@@ -1,0 +1,85 @@
+"""blazeseq_tpu — a TPU-native FASTX ingestion-and-analysis engine.
+
+A from-scratch reimplementation of the capabilities of BlazeSeq
+(MoSafi2/BlazeSeq, a Mojo SIMD FASTQ/FASTA parsing library), re-designed
+TPU-first:
+
+* Host layer: byte sources (file / memory / gzip / parallel-gzip), a
+  chunk-vectorized FASTQ parser whose hot loop runs in a native C++ bulk
+  scanner (blazeseq_tpu/native), and streaming FASTA/FAI/BED/GFF3/GTF parsers.
+* Device layer (jax/XLA/Pallas): Structure-of-Arrays read batches in HBM,
+  fused validation + Phred decode + QC-stats kernels, on-device structural
+  byte scanning, and a batched Needleman-Wunsch wavefront aligner.
+* Scale-out: data-parallel sharding of read batches over a
+  `jax.sharding.Mesh` with psum-merged QC statistics.
+
+Public API surface mirrors the reference (blazeseq/__init__.mojo:30-40):
+parsers expose `views()` / `records()` / `batches()`.
+"""
+
+from .constants import DEFAULT_BATCH_SIZE, DEFAULT_CAPACITY, EOF
+from .errors import (
+    FastxEOFError,
+    FastxError,
+    FastxErrorCode,
+    ParseContext,
+    ParseError,
+    ValidationError,
+)
+from .fastq.batch import DeviceFastqBatch, FastqBatch, PaddedFastqBatch, upload_batch_to_device
+from .fastq.parser import FastqParser, ParserConfig
+from .fastq.quality import QualitySchema, parse_schema
+from .fastq.record import Definition, FastqRecord, FastqView, Validator
+from .io.readers import (
+    FileReader,
+    GZFile,
+    MemoryReader,
+    ParallelGzipReader,
+    RapidgzipReader,
+    open_reader,
+)
+from .io.writers import (
+    BufferedWriter,
+    FileWriter,
+    GZWriter,
+    MemoryWriter,
+    buffered_writer_for_file,
+    buffered_writer_for_gzip,
+    buffered_writer_for_memory,
+)
+from .utils import (
+    compute_num_fasta_reads_for_size,
+    compute_num_reads_for_size,
+    generate_synthetic_fasta_buffer,
+    generate_synthetic_fastq_buffer,
+    generate_synthetic_fastq_to_writer,
+)
+
+__version__ = "0.1.0"
+
+
+def parser(path, quality_schema: str = "generic", parallelism: int = 4,
+           validate: bool = False, batch_size: int = DEFAULT_BATCH_SIZE):
+    """Ergonomic entry point mirroring the reference Python binding
+    (python/blazeseq/__init__.py:267-289): dispatches on file suffix to a
+    plain or parallel-gzip source."""
+    from .fastq.parser import FastqParser, ParserConfig
+
+    cfg = ParserConfig(check_ascii=validate, check_quality=validate,
+                       quality_schema=quality_schema)
+    return FastqParser(open_reader(path, parallelism=parallelism),
+                       batch_size=batch_size, config=cfg)
+
+
+# Lazy imports for heavier / jax-dependent subpackages.
+def __getattr__(name):
+    if name == "ops":
+        from . import ops as m
+        return m
+    if name == "parallel":
+        from . import parallel as m
+        return m
+    if name == "models":
+        from . import models as m
+        return m
+    raise AttributeError(name)

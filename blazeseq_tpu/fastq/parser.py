@@ -1,0 +1,423 @@
+"""FASTQ parser — chunk-vectorized host engine
+(reference behavior spec: blazeseq/fastq/parser.mojo).
+
+Architectural departure from the reference: instead of a per-record SIMD scan
+state machine resumed across buffer refills (parser.mojo:311-379, 452-522),
+this parser scans an entire buffered window per call through the native bulk
+kernel (blazeseq_tpu/native), producing offset tables for thousands of records
+at once with structure checks and optional ASCII/quality validation fused into
+the same pass. Python-level work is O(1) per window for the batch path and
+O(1) per record (one view object) for the view/record paths.
+
+API parity with the reference:
+  * three modes: next_view()/views(), next_record()/records(),
+    next_batch()/batches() (parser.mojo:160-274)
+  * identical error classes, messages, and record/line/file-position context
+  * identical edge semantics: id whitespace-stripping, CR retention in
+    seq/qual, EOF-without-trailing-newline (utils.mojo:294-329), trailing
+    blank-line acceptance, buffer capacity errors
+  * EOF signalled as FastxEOFError("EOF")
+
+One deliberate divergence: iterators raise parse/validation errors instead of
+printing and swallowing them (reference wart, parser.mojo:649-661).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .. import native
+from ..constants import (
+    DEFAULT_BATCH_SIZE,
+    DEFAULT_CAPACITY,
+    DEFAULT_CHUNK_SIZE,
+    MAX_CAPACITY,
+)
+from ..errors import (
+    FastxEOFError,
+    FastxErrorCode,
+    ParseError,
+    ValidationError,
+    validation_error_from_code,
+)
+from ..io.buffered import ByteStream
+from .batch import FastqBatch
+from .quality import GENERIC_SCHEMA, QualitySchema, parse_schema
+from .record import FastqRecord, FastqView, strip_spaces
+
+
+@dataclass
+class ParserConfig:
+    """Parser options (reference: parser.mojo:33-74). In the reference this is
+    a comptime parameter; here it is runtime config — validation flags are
+    plain ints passed to the native kernel, and the device pipeline
+    specializes on them at jit-trace time."""
+
+    buffer_capacity: int = DEFAULT_CAPACITY
+    buffer_max_capacity: int = MAX_CAPACITY
+    buffer_growth_enabled: bool = False
+    check_ascii: bool = False
+    check_quality: bool = False
+    quality_schema: Optional[str] = None
+
+
+_BLANK = frozenset(b"\n\r \t")
+
+
+class FastqParser:
+    """Unified FASTQ parser over a Reader (reference: parser.mojo:77-145)."""
+
+    def __init__(
+        self,
+        reader,
+        quality_schema: Optional[str] = None,
+        batch_size: int = DEFAULT_BATCH_SIZE,
+        config: Optional[ParserConfig] = None,
+    ):
+        self.config = config or ParserConfig()
+        if quality_schema is not None:
+            self.quality_schema: QualitySchema = parse_schema(quality_schema)
+        elif self.config.quality_schema is not None:
+            self.quality_schema = parse_schema(self.config.quality_schema)
+        else:
+            self.quality_schema = GENERIC_SCHEMA
+        chunk = min(DEFAULT_CHUNK_SIZE, max(self.config.buffer_capacity, 4096))
+        self._stream = ByteStream(reader, chunk_size=chunk)
+        self._batch_size = batch_size
+        self._served = 0  # records handed out or consumed (== line_number/4)
+        # scanned-but-unserved queue: absolute offsets into the stream buffer
+        self._q: np.ndarray = np.empty((0, 5), dtype=np.int64)
+        self._q_rows: list = []  # tolist() mirror for O(1) per-view access
+        self._q_pos = 0
+        self._pending_exc_info = None  # (code, id_bytes, seq_bytes)
+
+    # -- bookkeeping -----------------------------------------------------------
+    def has_more(self) -> bool:
+        return (
+            self._q_pos < len(self._q)
+            or self._pending_exc_info is not None
+            or self._stream.has_more()
+        )
+
+    def _queue_len(self) -> int:
+        return len(self._q) - self._q_pos
+
+    # -- error construction ----------------------------------------------------
+    def _raise_parse_error(self, code: FastxErrorCode, err_off: np.ndarray) -> None:
+        """Structure error at the next unserved record (reference context:
+        parser.mojo:332-338 — record/line 1-indexed, position = record start)."""
+        buf = self._stream.mview()
+        h = int(err_off[0])
+        rel_end = int(err_off[4]) - h if err_off[4] >= 0 else len(buf) - h
+        end = min(h + rel_end + 1, len(buf), h + 200)
+        snippet = bytes(buf[h:end]).decode("utf-8", "replace") if end > h else ""
+        raise ParseError(
+            code.message(),
+            record_number=self._served + 1,
+            line_number=self._served * 4 + 1,
+            file_position=self._stream.stream_position(),
+            record_snippet=snippet,
+            code=code,
+        )
+
+    def _raise_validation_error(self) -> None:
+        code, id_b, seq_b = self._pending_exc_info
+        self._pending_exc_info = None
+        self._served += 1  # the failing record was consumed (parser.mojo:375-377)
+        snippet = id_b.decode("utf-8", "replace")
+        if snippet:
+            snippet += "\n"
+        room = 200 - len(snippet)
+        if room > 0:
+            snippet += seq_b[:room].decode("utf-8", "replace")
+        raise validation_error_from_code(
+            FastxErrorCode(code), self._served, "", snippet
+        )
+
+    # -- scanning --------------------------------------------------------------
+    def _scan_more(self) -> None:
+        """Refill + scan the window, populating the record queue. Called only
+        when the queue is empty (so buffer mutation never invalidates served
+        offsets)."""
+        if self._pending_exc_info is not None:
+            self._raise_validation_error()
+        s = self._stream
+        cfg = self.config
+        if s.available() == 0:
+            s.fill()
+        if not s.has_more():
+            raise FastxEOFError()
+        while True:
+            buf_np = s.window()
+            res = native.scan_fastq(
+                buf_np,
+                start=s._head,
+                check_ascii=cfg.check_ascii,
+                check_quality=cfg.check_quality,
+                q_lower=self.quality_schema.LOWER,
+                q_upper=self.quality_schema.UPPER,
+            )
+            if len(res.offsets) or res.err_code:
+                self._ingest(res)
+                return
+            # no complete record in window
+            partial_len = s.available()
+            if s.is_eof():
+                self._handle_eof_tail(res.err_phase)
+                return
+            if partial_len >= cfg.buffer_capacity:
+                if not cfg.buffer_growth_enabled:
+                    raise ParseError(
+                        "FASTQ record exceeds buffer capacity (%d bytes). Enable"
+                        " buffer growth or increase buffer_capacity."
+                        % cfg.buffer_capacity,
+                        code=FastxErrorCode.BUFFER_EXCEEDED,
+                    )
+                if partial_len >= cfg.buffer_max_capacity:
+                    raise ParseError(
+                        "FASTQ record exceeds maximum buffer capacity (%d"
+                        " bytes). Enable buffer growth or increase max_capacity."
+                        % cfg.buffer_max_capacity,
+                        code=FastxErrorCode.BUFFER_AT_MAX,
+                    )
+            if s.fill() == 0 and s.available() == 0:
+                raise FastxEOFError()
+
+    def _ingest(self, res: native.ScanResult) -> None:
+        s = self._stream
+        offsets = res.offsets
+        code = res.err_code
+        if code in (1, 2, 3):  # structure error: bad record NOT consumed
+            # consume the good ones; error raised when queue drains
+            s.consume(res.consumed - s._head)
+            self._q = offsets
+            self._q_rows = offsets.tolist()
+            self._q_pos = 0
+            if len(offsets) == 0:
+                self._raise_parse_error(FastxErrorCode(code), res.err_offsets)
+            # stash structure error info implicitly: it will be re-detected on
+            # the next scan (record bytes are still in the buffer)
+            return
+        if code in (4, 5):  # validation error: bad record consumed, not served
+            bad = offsets[-1]
+            buf = s.mview()
+            id_b = strip_spaces(bytes(buf[int(bad[0]) + 1 : int(bad[1]) - 1]))
+            seq_b = bytes(buf[int(bad[1]) : int(bad[2]) - 1])
+            self._pending_exc_info = (code, id_b, seq_b)
+            offsets = offsets[:-1]
+        s.consume(res.consumed - s._head)
+        self._q = offsets
+        self._q_rows = offsets.tolist()
+        self._q_pos = 0
+        if len(offsets) == 0 and self._pending_exc_info is not None:
+            self._raise_validation_error()
+
+    def _handle_eof_tail(self, phase: int) -> None:
+        """EOF with a trailing partial record (reference: utils.mojo:294-329 +
+        parser.mojo:464-482)."""
+        s = self._stream
+        tail = bytes(s.mview()[s._head :])
+        if not tail:
+            raise FastxEOFError()
+        nl = [i for i, b in enumerate(tail) if b == 10]
+        if len(nl) >= 3:
+            qual_start = nl[2] + 1
+            rest = tail[qual_start:]
+            if all(b in _BLANK for b in rest):
+                raise FastxEOFError()  # file ends with blank lines
+            # valid last record without trailing newline; structure checks are
+            # skipped (reference _next_ref_complete EOF/QUAL path returns OK)
+            h = s._head
+            off = np.array(
+                [[h, h + nl[0] + 1, h + nl[1] + 1, h + qual_start,
+                  h + len(tail)]],
+                dtype=np.int64,
+            )
+            # fused validation for the synthesized record
+            if self.config.check_ascii or self.config.check_quality:
+                code = self._validate_tail(off[0])
+                if code:
+                    buf = s.mview()
+                    id_b = strip_spaces(
+                        bytes(buf[int(off[0, 0]) + 1 : int(off[0, 1]) - 1]))
+                    seq_b = bytes(buf[int(off[0, 1]) : int(off[0, 2]) - 1])
+                    self._pending_exc_info = (code, id_b, seq_b)
+                    s.consume(len(tail))
+                    self._raise_validation_error()
+            self._q = off
+            self._q_rows = off.tolist()
+            self._q_pos = 0
+            s.consume(len(tail))
+            return
+        raise ParseError(
+            "Unexpected end of file in FASTQ record at phase %d" % len(nl),
+            code=FastxErrorCode.UNEXPECTED_EOF,
+        )
+
+    def _validate_tail(self, off: np.ndarray) -> int:
+        buf = self._stream.mview()
+        h, sS, p, q, e = (int(x) for x in off)
+        if self.config.check_ascii:
+            if not (bytes(buf[h + 1 : p - 1]).isascii()
+                    and bytes(buf[q:e]).isascii()):
+                return 4
+        if self.config.check_quality:
+            qb = bytes(buf[q:e])
+            if qb and (min(qb) < self.quality_schema.LOWER
+                       or max(qb) > self.quality_schema.UPPER):
+                return 5
+        return 0
+
+    # -- record materialization --------------------------------------------------
+    def _view_at(self, row) -> FastqView:
+        buf = self._stream.mview()
+        h, sS, p, q, e = row
+        id_mv = buf[h + 1 : sS - 1]
+        # strip POSIX whitespace from id (reference: parser.mojo:368-371)
+        id_b = bytes(id_mv)
+        stripped = strip_spaces(id_b)
+        if len(stripped) != len(id_b):
+            lead = len(id_b) - len(id_b.lstrip(b" \t\n\v\f\r\x1c\x1d\x1e"))
+            id_mv = buf[h + 1 + lead : h + 1 + lead + len(stripped)]
+        return FastqView(
+            id_mv, buf[sS : p - 1], buf[q:e], self.quality_schema.OFFSET
+        )
+
+    # -- public: single-record modes ---------------------------------------------
+    def next_view(self) -> FastqView:
+        """Zero-copy next record (reference: parser.mojo:160-170). The view is
+        invalidated by the next parser call that refills the window."""
+        if self._q_pos >= len(self._q):
+            self._scan_more()
+        row = self._q_rows[self._q_pos]
+        self._q_pos += 1
+        self._served += 1
+        return self._view_at(row)
+
+    def next_record(self) -> FastqRecord:
+        """Owned next record (reference: parser.mojo:189-211)."""
+        if not self.has_more():
+            raise FastxEOFError()
+        v = self.next_view()
+        return v.to_record()
+
+    def next_batch(self, max_records: int = DEFAULT_BATCH_SIZE) -> FastqBatch:
+        """SoA batch of up to max_records (reference: parser.mojo:239-251):
+        stops early at EOF; non-EOF errors propagate."""
+        limit = max_records or self._batch_size
+        out: Optional[FastqBatch] = None
+        parts = []
+        got = 0
+        while got < limit:
+            if self._q_pos >= len(self._q):
+                try:
+                    self._scan_more()
+                except FastxEOFError:
+                    break
+            take = min(limit - got, self._queue_len())
+            rows = self._q[self._q_pos : self._q_pos + take]
+            window = self._stream.window()
+            seq, qual, ends = native.gather_soa(window, rows)
+            ids, id_ends = native.gather_ids(window, rows)
+            parts.append((seq, qual, ends, ids, id_ends))
+            self._q_pos += take
+            self._served += take
+            got += take
+        if not parts:
+            return FastqBatch(quality_offset=self.quality_schema.OFFSET)
+        if len(parts) == 1:
+            seq, qual, ends, ids, id_ends = parts[0]
+        else:
+            seq = np.concatenate([p[0] for p in parts])
+            qual = np.concatenate([p[1] for p in parts])
+            ids = np.concatenate([p[3] for p in parts])
+            ends_list, id_ends_list, base, id_base = [], [], 0, 0
+            for p in parts:
+                ends_list.append(p[2] + base)
+                id_ends_list.append(p[4] + id_base)
+                base += int(p[2][-1]) if len(p[2]) else 0
+                id_base += int(p[4][-1]) if len(p[4]) else 0
+            ends = np.concatenate(ends_list)
+            id_ends = np.concatenate(id_ends_list)
+        return FastqBatch.from_arrays(
+            seq, qual, ends, ids, id_ends,
+            quality_offset=self.quality_schema.OFFSET)
+
+    # -- public: iterators ---------------------------------------------------------
+    def views(self) -> Iterator[FastqView]:
+        while True:
+            try:
+                yield self.next_view()
+            except FastxEOFError:
+                return
+
+    def records(self) -> Iterator[FastqRecord]:
+        while True:
+            try:
+                yield self.next_record()
+            except FastxEOFError:
+                return
+
+    def batches(self, max_records: Optional[int] = None) -> Iterator[FastqBatch]:
+        limit = max_records or self._batch_size
+        while self.has_more():
+            batch = self.next_batch(limit)
+            if len(batch) == 0:
+                return
+            yield batch
+
+    # -- public: counting fast path --------------------------------------------------
+    def count(self):
+        """Count (records, bases) at full scan speed without materializing
+        records — the views-mode benchmark equivalent (reference runner:
+        benchmark/fastq-parser/run_blazeseq.mojo:21-60). Validation flags are
+        honored (fused in the native pass)."""
+        records = 0
+        bases = 0
+        cfg = self.config
+        validated = cfg.check_ascii or cfg.check_quality
+        s = self._stream
+        while True:
+            if self._q_pos < len(self._q):
+                rows = self._q[self._q_pos :]
+                records += len(rows)
+                bases += int((rows[:, 2] - rows[:, 1] - 1).sum())
+                self._served += len(rows)
+                self._q_pos = len(self._q)
+            if validated:
+                try:
+                    self._scan_more()
+                except FastxEOFError:
+                    break
+                continue
+            # unvalidated: count without building offset tables
+            n_rec, n_bases, consumed, err, phase = native.count_fastq(
+                s.window(), s._head)
+            if err:
+                # rescan with the offset path to produce the exact error
+                self._served += n_rec
+                s.consume(consumed - s._head)
+                self._scan_more()
+                raise AssertionError("unreachable")  # _scan_more raised
+            records += n_rec
+            bases += n_bases
+            self._served += n_rec
+            s.consume(consumed - s._head)
+            if s.is_eof():
+                if s.available():
+                    try:
+                        self._handle_eof_tail(phase)
+                    except FastxEOFError:
+                        break
+                    rows = self._q[self._q_pos :]
+                    records += len(rows)
+                    bases += int((rows[:, 2] - rows[:, 1] - 1).sum())
+                    self._served += len(rows)
+                    self._q_pos = len(self._q)
+                break
+            if s.fill() == 0 and s.available() == 0:
+                break
+        return records, bases

@@ -1,0 +1,297 @@
+"""Byte sources (reference: blazeseq/io/readers.mojo).
+
+The reference defines a `Reader` trait with one method
+``read_to_buffer(buf, amt, pos) -> n`` (readers.mojo:51-79) and four
+implementations: FileReader, MemoryReader, GZFile (zlib FFI), RapidgzipReader
+(parallel C++ inflate). Here a Reader is any object with
+``readinto(memoryview) -> int`` (0 at EOF) — the Python-native equivalent —
+plus ``close()``. Parsers are generic over this protocol, so file, memory,
+zlib, and parallel-gzip sources are interchangeable.
+
+The parallel-decompression equivalent of RapidgzipReader (readers.mojo:380-443)
+is `ParallelGzipReader`: a pipelined zlib inflater running in background
+threads. For BGZF files (bgzip; each block an independent gzip member with the
+BC extra field) blocks are decompressed in parallel across a thread pool; for
+plain gzip streams, decompression is pipelined one-stream-ahead so inflate
+overlaps with parsing (zlib releases the GIL).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import queue
+import struct
+import threading
+import zlib
+from typing import Optional, Protocol, runtime_checkable
+
+from ..constants import MB
+
+
+@runtime_checkable
+class Reader(Protocol):
+    def readinto(self, buf: memoryview) -> int: ...  # 0 at EOF
+    def close(self) -> None: ...
+
+
+class FileReader:
+    """Plain file byte source (reference: readers.mojo:86-137)."""
+
+    def __init__(self, path):
+        self._f = open(path, "rb", buffering=0)
+
+    def readinto(self, buf: memoryview) -> int:
+        n = self._f.readinto(buf)
+        return n or 0
+
+    def read(self, n: int = -1) -> bytes:
+        return self._f.read(n)
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class MemoryReader:
+    """In-memory byte source with reset() for benchmark reuse
+    (reference: readers.mojo:140-223)."""
+
+    def __init__(self, data):
+        self._data = memoryview(bytes(data) if isinstance(data, bytearray) else data)
+        self._pos = 0
+
+    def readinto(self, buf: memoryview) -> int:
+        n = min(len(buf), len(self._data) - self._pos)
+        if n <= 0:
+            return 0
+        buf[:n] = self._data[self._pos : self._pos + n]
+        self._pos += n
+        return n
+
+    def reset(self) -> None:
+        self._pos = 0
+
+    def close(self) -> None:
+        pass
+
+
+class GZFile:
+    """Single-threaded gzip source via zlib (reference: readers.mojo:283-377).
+
+    Streams through `zlib.decompressobj` with a raw-deflate-over-gzip wrapper
+    (wbits=31) and handles multi-member gzip files (e.g. bgzip output).
+    """
+
+    def __init__(self, path, read_chunk: int = 1 * MB):
+        self._f = open(path, "rb", buffering=0)
+        self._dec = zlib.decompressobj(wbits=31)
+        self._read_chunk = read_chunk
+        self._pending = b""
+        self._eof = False
+
+    def _decompress_more(self) -> None:
+        while not self._pending and not self._eof:
+            if self._dec.eof:
+                # multi-member: restart on leftover tail
+                tail = self._dec.unused_data
+                self._dec = zlib.decompressobj(wbits=31)
+                if tail:
+                    self._pending = self._dec.decompress(tail)
+                    continue
+            raw = self._f.read(self._read_chunk)
+            if not raw:
+                self._eof = True
+                self._pending = self._dec.flush()
+                break
+            self._pending = self._dec.decompress(raw)
+
+    def readinto(self, buf: memoryview) -> int:
+        self._decompress_more()
+        n = min(len(buf), len(self._pending))
+        if n == 0:
+            return 0
+        buf[:n] = self._pending[:n]
+        self._pending = self._pending[n:]
+        return n
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def _is_bgzf(header: bytes) -> bool:
+    """Detect the BGZF variant of gzip (BC extra subfield)."""
+    if len(header) < 18 or header[:2] != b"\x1f\x8b" or header[3] & 4 == 0:
+        return False
+    xlen = struct.unpack("<H", header[10:12])[0]
+    extra = header[12 : 12 + xlen]
+    while len(extra) >= 4:
+        si1, si2, slen = extra[0], extra[1], struct.unpack("<H", extra[2:4])[0]
+        if si1 == 66 and si2 == 67 and slen == 2:
+            return True
+        extra = extra[4 + slen :]
+    return False
+
+
+class _BgzfBlockIter:
+    """Iterate (compressed_block_bytes) of a BGZF file using the BSIZE field."""
+
+    def __init__(self, f):
+        self._f = f
+
+    def __iter__(self):
+        while True:
+            header = self._f.read(18)
+            if len(header) < 18:
+                return
+            xlen = struct.unpack("<H", header[10:12])[0]
+            extra = self._f.read(xlen - 6) if xlen > 6 else b""
+            full_extra = header[12:18] + extra
+            bsize = None
+            e = full_extra
+            while len(e) >= 4:
+                si1, si2, slen = e[0], e[1], struct.unpack("<H", e[2:4])[0]
+                if si1 == 66 and si2 == 67 and slen == 2:
+                    bsize = struct.unpack("<H", e[4:6])[0]
+                e = e[4 + slen :]
+            if bsize is None:
+                raise ValueError("not a BGZF block")
+            rest = self._f.read(bsize + 1 - 18 - (xlen - 6) if xlen > 6 else bsize + 1 - 18)
+            yield header + extra + rest
+
+
+class ParallelGzipReader:
+    """Parallel/pipelined gzip source (TPU-native stand-in for RapidgzipReader,
+    reference: readers.mojo:380-443; pixi.toml:36-46).
+
+    parallelism=0 uses all cores (reference semantics). For BGZF inputs each
+    64KB block is an independent deflate stream, decompressed concurrently by a
+    worker pool (zlib releases the GIL, so threads scale). For arbitrary gzip
+    streams decompression runs in one background thread, overlapping inflate
+    with downstream parsing/compute — the critical property for keeping the
+    host->HBM feed pipeline saturated.
+    """
+
+    def __init__(self, path, parallelism: int = 0, read_chunk: int = 1 * MB):
+        if parallelism <= 0:
+            parallelism = os.cpu_count() or 1
+        self._parallelism = parallelism
+        self._path = path
+        with open(path, "rb") as probe:
+            head = probe.read(64)
+        self._bgzf = _is_bgzf(head)
+        self._queue: queue.Queue = queue.Queue(maxsize=max(4, 2 * parallelism))
+        self._pending = b""
+        self._pos = 0
+        self._done = False
+        self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    # -- producer side ------------------------------------------------------
+    def _produce(self):
+        try:
+            if self._bgzf and self._parallelism > 1:
+                self._produce_bgzf()
+            else:
+                self._produce_stream()
+        except BaseException as e:  # surfaced on the consumer side
+            self._err = e
+        finally:
+            self._queue.put(None)
+
+    def _produce_stream(self):
+        with open(self._path, "rb", buffering=0) as f:
+            dec = zlib.decompressobj(wbits=31)
+            while not self._stop.is_set():
+                raw = f.read(1 * MB)
+                if not raw:
+                    out = dec.flush()
+                    if out:
+                        self._queue.put(out)
+                    return
+                while raw:
+                    out = dec.decompress(raw)
+                    if out:
+                        self._queue.put(out)
+                    if dec.eof:
+                        raw = dec.unused_data
+                        dec = zlib.decompressobj(wbits=31)
+                    else:
+                        raw = b""
+
+    def _produce_bgzf(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def inflate(block: bytes) -> bytes:
+            return zlib.decompress(block, wbits=31)
+
+        with open(self._path, "rb", buffering=0) as f, ThreadPoolExecutor(
+            max_workers=self._parallelism
+        ) as pool:
+            in_flight: "queue.Queue" = queue.Queue()
+            blocks = iter(_BgzfBlockIter(f))
+            depth = 4 * self._parallelism
+
+            def submit_next() -> bool:
+                try:
+                    blk = next(blocks)
+                except StopIteration:
+                    return False
+                in_flight.put(pool.submit(inflate, blk))
+                return True
+
+            for _ in range(depth):
+                if not submit_next():
+                    break
+            while not in_flight.empty():
+                if self._stop.is_set():
+                    return
+                fut = in_flight.get()
+                out = fut.result()
+                if out:
+                    self._queue.put(out)
+                submit_next()
+
+    # -- consumer side ------------------------------------------------------
+    def readinto(self, buf: memoryview) -> int:
+        while self._pos >= len(self._pending):
+            item = self._queue.get()
+            if item is None:
+                self._done = True
+                if self._err is not None:
+                    raise self._err
+                return 0
+            self._pending = item
+            self._pos = 0
+        n = min(len(buf), len(self._pending) - self._pos)
+        buf[:n] = self._pending[self._pos : self._pos + n]
+        self._pos += n
+        return n
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+
+
+# Back-compat alias mirroring the reference's public name.
+RapidgzipReader = ParallelGzipReader
+
+
+def open_reader(path, parallelism: int = 4) -> Reader:
+    """Open a byte source by file suffix (reference suffix dispatch:
+    python/blazeseq_parser.mojo:100-114)."""
+    p = str(path)
+    if p.endswith(".gz") or p.endswith(".bgz"):
+        return ParallelGzipReader(p, parallelism=parallelism)
+    return FileReader(p)

@@ -1,0 +1,375 @@
+"""Native host-kernel loader with pure-numpy fallback.
+
+Loads (building on first use if needed) the C++ scanning library
+`libblazeseq_scan.so` and exposes typed wrappers. When the native library is
+unavailable (no compiler, BLAZESEQ_NATIVE=0), a numpy implementation with
+identical semantics is used — slower, but bit-identical results.
+
+All functions operate on a numpy uint8 window and return record offset tables:
+int64[count, 5] columns (header_start, seq_start, sep_start, qual_start,
+record_end), the reference RecordOffsets layout (blazeseq/utils.mojo:39-93).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import tempfile
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "scan.cpp")
+_LIB_NAME = "libblazeseq_scan.so"
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build_lib() -> Optional[str]:
+    out_candidates = [
+        os.path.join(_HERE, _LIB_NAME),
+        os.path.join(tempfile.gettempdir(), "blazeseq_tpu_" + _LIB_NAME),
+    ]
+    for out in out_candidates:
+        if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(_SRC):
+            return out
+    for out in out_candidates:
+        try:
+            cmd = [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                _SRC, "-o", out,
+            ]
+            r = subprocess.run(cmd, capture_output=True, timeout=120)
+            if r.returncode == 0:
+                return out
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("BLAZESEQ_NATIVE", "1") == "0":
+        return None
+    path = _build_lib()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    i64, i32, u8 = ctypes.c_int64, ctypes.c_int32, ctypes.c_uint8
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.bs_scan_fastq.restype = i64
+    lib.bs_scan_fastq.argtypes = [
+        p_u8, i64, i64, i64, i32, i32, u8, u8, p_i64, p_i64, p_i32, p_i32,
+    ]
+    lib.bs_count_fastq.restype = i64
+    lib.bs_count_fastq.argtypes = [p_u8, i64, i64, p_i64, p_i64, p_i32, p_i32]
+    lib.bs_find_newlines.restype = i64
+    lib.bs_find_newlines.argtypes = [p_u8, i64, p_i64, i64]
+    lib.bs_gather_soa.restype = i64
+    lib.bs_gather_soa.argtypes = [p_u8, p_i64, i64, p_u8, p_u8, p_i64]
+    lib.bs_gather_ids.restype = i64
+    lib.bs_gather_ids.argtypes = [p_u8, p_i64, i64, p_u8, p_i64]
+    _lib = lib
+    return _lib
+
+
+def has_native() -> bool:
+    return _load() is not None
+
+
+class ScanResult(NamedTuple):
+    offsets: np.ndarray  # int64[count, 5]
+    consumed: int  # bytes consumed (next record start)
+    err_code: int  # FastxErrorCode value (0 = OK)
+    err_phase: int  # newlines found in the trailing partial record (0..3)
+    err_offsets: Optional[np.ndarray]  # partial offsets of a structure-error record
+
+
+def _ptr_u8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _ptr_i64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def scan_fastq(
+    window: np.ndarray,
+    start: int = 0,
+    max_records: int = 2**62,
+    check_ascii: bool = False,
+    check_quality: bool = False,
+    q_lower: int = 33,
+    q_upper: int = 126,
+) -> ScanResult:
+    """Scan `window[start:]` for complete FASTQ records with fused validation.
+
+    Mirrors bs_scan_fastq (scan.cpp): structure errors leave the bad record
+    uncounted (its partial offsets returned in err_offsets); validation errors
+    count & consume the bad record as the last row.
+    """
+    lib = _load()
+    n = len(window)
+    if lib is not None:
+        # Upper bound for record count in this window: each record needs >= 4
+        # bytes ("@\n" is invalid; minimal "@\n\n+\n\n" is 6); use n//4 + 1.
+        cap = min(max_records, (n - start) // 4 + 1) if n > start else 0
+        cap = max(cap, 1)
+        out = np.empty((cap + 1, 5), dtype=np.int64)
+        consumed = ctypes.c_int64(0)
+        err_code = ctypes.c_int32(0)
+        err_phase = ctypes.c_int32(0)
+        count = lib.bs_scan_fastq(
+            _ptr_u8(window), n, start, cap,
+            1 if check_ascii else 0, 1 if check_quality else 0,
+            q_lower, q_upper - q_lower,
+            _ptr_i64(out), ctypes.byref(consumed),
+            ctypes.byref(err_code), ctypes.byref(err_phase),
+        )
+        err_off = None
+        if err_code.value in (1, 2, 3):
+            err_off = out[count].copy()
+        return ScanResult(
+            out[:count], consumed.value, err_code.value, err_phase.value, err_off
+        )
+    return _scan_fastq_np(
+        window, start, max_records, check_ascii, check_quality, q_lower, q_upper
+    )
+
+
+def _scan_fastq_np(
+    window: np.ndarray,
+    start: int,
+    max_records: int,
+    check_ascii: bool,
+    check_quality: bool,
+    q_lower: int,
+    q_upper: int,
+) -> ScanResult:
+    """Numpy fallback with identical semantics to bs_scan_fastq."""
+    sub = window[start:]
+    nl = np.flatnonzero(sub == 10).astype(np.int64)
+    if start:
+        nl += start
+    n_complete = min(len(nl) // 4, max_records)
+    phase = int(len(nl) - n_complete * 4) if n_complete * 4 <= len(nl) else 0
+    if n_complete == len(nl) // 4:
+        phase = int(len(nl) % 4)
+    else:
+        phase = 0  # capped by max_records, not by data
+
+    if n_complete == 0:
+        return ScanResult(
+            np.empty((0, 5), dtype=np.int64), start, 0, phase, None
+        )
+    nl4 = nl[: n_complete * 4].reshape(n_complete, 4)
+    offsets = np.empty((n_complete, 5), dtype=np.int64)
+    offsets[0, 0] = start
+    offsets[1:, 0] = nl4[:-1, 3] + 1
+    offsets[:, 1] = nl4[:, 0] + 1
+    offsets[:, 2] = nl4[:, 1] + 1
+    offsets[:, 3] = nl4[:, 2] + 1
+    offsets[:, 4] = nl4[:, 3]
+
+    # Structure checks, vectorized (reference: utils.mojo:449-462).
+    bad_at = window[offsets[:, 0]] != 64  # '@'
+    bad_plus = window[offsets[:, 2]] != 43  # '+'
+    seq_len = offsets[:, 2] - offsets[:, 1] - 1
+    qual_len = offsets[:, 4] - offsets[:, 3]
+    bad_len = seq_len != qual_len
+    bad_any = bad_at | bad_plus | bad_len
+    err_code = 0
+    err_off = None
+    count = n_complete
+    if bad_any.any():
+        k = int(np.argmax(bad_any))
+        if bad_at[k]:
+            err_code = 1
+        elif bad_plus[k]:
+            err_code = 2
+        else:
+            err_code = 3
+        err_off = offsets[k].copy()
+        count = k
+        offsets = offsets[:k]
+        phase = 0
+
+    consumed = int(offsets[-1, 4]) + 1 if count else start
+
+    if count and (check_ascii or check_quality):
+        vcode, vidx = _validate_np(
+            window, offsets, check_ascii, check_quality, q_lower, q_upper
+        )
+        if vidx >= 0:
+            # validation failure: bad record is counted & consumed
+            offsets = offsets[: vidx + 1]
+            count = vidx + 1
+            consumed = int(offsets[-1, 4]) + 1
+            err_code = vcode
+            err_off = None
+            phase = 0
+    return ScanResult(offsets, consumed, err_code, phase, err_off)
+
+
+def _segment_reduce(ufunc, data: np.ndarray, starts: np.ndarray, ends: np.ndarray, empty_val):
+    """Per-segment reduction via np.ufunc.reduceat; empty segments get empty_val."""
+    nseg = len(starts)
+    if nseg == 0:
+        return np.empty(0, dtype=data.dtype)
+    bounds = np.empty(nseg * 2, dtype=np.int64)
+    bounds[0::2] = starts
+    bounds[1::2] = ends
+    # reduceat requires indices < len(data); guard trailing segment at the end
+    safe = np.minimum(bounds, len(data) - 1)
+    res = ufunc.reduceat(data, safe)[0::2]
+    return np.where(ends > starts, res, empty_val)
+
+
+def _validate_np(
+    window: np.ndarray,
+    offsets: np.ndarray,
+    check_ascii: bool,
+    check_quality: bool,
+    q_lower: int,
+    q_upper: int,
+):
+    """Vectorized ASCII/quality validation; returns (code, first_bad_index|-1)."""
+    bad = np.zeros(len(offsets), dtype=bool)
+    codes = np.zeros(len(offsets), dtype=np.int32)
+    if check_ascii:
+        id_seq_or = _segment_reduce(
+            np.bitwise_or, window, offsets[:, 0] + 1, offsets[:, 2] - 1, np.uint8(0)
+        )
+        qual_or = _segment_reduce(
+            np.bitwise_or, window, offsets[:, 3], offsets[:, 4], np.uint8(0)
+        )
+        a_bad = ((id_seq_or | qual_or) & 0x80) != 0
+        codes = np.where(a_bad & ~bad, 4, codes)
+        bad |= a_bad
+    if check_quality:
+        qmax = _segment_reduce(
+            np.maximum, window, offsets[:, 3], offsets[:, 4], np.uint8(q_lower)
+        )
+        qmin = _segment_reduce(
+            np.minimum, window, offsets[:, 3], offsets[:, 4], np.uint8(q_lower)
+        )
+        q_bad = (qmax > q_upper) | (qmin < q_lower)
+        codes = np.where(q_bad & ~bad, 5, codes)
+        bad |= q_bad
+    if bad.any():
+        k = int(np.argmax(bad))
+        return int(codes[k]), k
+    return 0, -1
+
+
+def count_fastq(window: np.ndarray, start: int = 0):
+    """Count (records, bases) of complete records in window[start:].
+
+    Returns (records, bases, consumed, err_code, err_phase)."""
+    lib = _load()
+    n = len(window)
+    if lib is not None:
+        bases = ctypes.c_int64(0)
+        consumed = ctypes.c_int64(0)
+        err_code = ctypes.c_int32(0)
+        err_phase = ctypes.c_int32(0)
+        records = lib.bs_count_fastq(
+            _ptr_u8(window), n, start, ctypes.byref(bases),
+            ctypes.byref(consumed), ctypes.byref(err_code), ctypes.byref(err_phase),
+        )
+        return records, bases.value, consumed.value, err_code.value, err_phase.value
+    res = _scan_fastq_np(window, start, 2**62, False, False, 33, 126)
+    if len(res.offsets):
+        bases = int((res.offsets[:, 2] - res.offsets[:, 1] - 1).sum())
+    else:
+        bases = 0
+    return len(res.offsets), bases, res.consumed, res.err_code, res.err_phase
+
+
+def gather_soa(window: np.ndarray, offsets: np.ndarray):
+    """Gather (seq_bytes, qual_bytes, ends) SoA arrays for the given records."""
+    nrec = len(offsets)
+    seq_lens = offsets[:, 2] - offsets[:, 1] - 1
+    total = int(seq_lens.sum())
+    seq = np.empty(total, dtype=np.uint8)
+    qual = np.empty(total, dtype=np.uint8)
+    ends = np.empty(nrec, dtype=np.int64)
+    if nrec == 0:
+        return seq, qual, ends
+    lib = _load()
+    if lib is not None:
+        offs = np.ascontiguousarray(offsets, dtype=np.int64)
+        lib.bs_gather_soa(
+            _ptr_u8(window), _ptr_i64(offs), nrec,
+            _ptr_u8(seq), _ptr_u8(qual), _ptr_i64(ends),
+        )
+        return seq, qual, ends
+    # numpy fallback: boolean-mask ragged gather
+    np.cumsum(seq_lens, out=ends)
+    seq_mask = _range_mask(len(window), offsets[:, 1], offsets[:, 2] - 1)
+    qual_mask = _range_mask(len(window), offsets[:, 3], offsets[:, 4])
+    seq[:] = window[seq_mask]
+    qual[:] = window[qual_mask]
+    return seq, qual, ends
+
+
+def gather_ids(window: np.ndarray, offsets: np.ndarray):
+    """Gather whitespace-stripped id bytes + cumulative ends."""
+    nrec = len(offsets)
+    ends = np.empty(nrec, dtype=np.int64)
+    if nrec == 0:
+        return np.empty(0, dtype=np.uint8), ends
+    lib = _load()
+    if lib is not None:
+        cap = int((offsets[:, 1] - offsets[:, 0] - 2).clip(min=0).sum())
+        out = np.empty(max(cap, 1), dtype=np.uint8)
+        offs = np.ascontiguousarray(offsets, dtype=np.int64)
+        total = lib.bs_gather_ids(
+            _ptr_u8(window), _ptr_i64(offs), nrec, _ptr_u8(out), _ptr_i64(ends)
+        )
+        return out[:total], ends
+    buf = window.tobytes()
+    parts = []
+    total = 0
+    for i in range(nrec):
+        h, s = int(offsets[i, 0]), int(offsets[i, 1])
+        part = buf[h + 1 : s - 1].strip(b" \t\n\v\f\r\x1c\x1d\x1e")
+        parts.append(part)
+        total += len(part)
+        ends[i] = total
+    return np.frombuffer(b"".join(parts), dtype=np.uint8).copy(), ends
+
+
+def _range_mask(n: int, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Boolean mask covering [starts_i, ends_i) ranges; O(n) vectorized."""
+    delta = np.zeros(n + 1, dtype=np.int32)
+    np.add.at(delta, starts, 1)
+    np.add.at(delta, ends, -1)
+    return np.cumsum(delta[:-1]) > 0
+
+
+def find_newlines(window: np.ndarray, start: int = 0) -> np.ndarray:
+    lib = _load()
+    n = len(window)
+    if lib is not None and n - start > 0:
+        cap = n - start
+        out = np.empty(cap, dtype=np.int64)
+        cnt = lib.bs_find_newlines(
+            _ptr_u8(window[start:]) if start else _ptr_u8(window),
+            n - start, _ptr_i64(out), cap,
+        )
+        res = out[:cnt]
+        return res + start if start else res
+    return np.flatnonzero(window[start:] == 10).astype(np.int64) + start

@@ -1,0 +1,261 @@
+// blazeseq_tpu native host kernels: bulk FASTQ record scanning + fused
+// validation, newline discovery, and SoA gather.
+//
+// TPU-native role: the TPU does the heavy per-byte compute (validation,
+// decoding, stats, alignment) on SoA batches; this library is the host-side
+// feed path that turns a raw byte window into record offset tables at memory
+// bandwidth, so the host never becomes the bottleneck of the HBM ingest
+// pipeline. It replaces the reference's in-parser SIMD scan state machine
+// (reference behavior spec: blazeseq/utils.mojo:472-551 _scan_record,
+// blazeseq/fastq/record.mojo:77-148 Validator, blazeseq/fastq/parser.mojo:311-379).
+//
+// Build: g++ -O3 -march=native -shared -fPIC scan.cpp -o libblazeseq_scan.so
+// No external dependencies. glibc memchr is AVX2/AVX512-optimized.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// FastxErrorCode values (mirrors blazeseq_tpu/errors.py)
+enum : int32_t {
+  BS_OK = 0,
+  BS_ID_NO_AT = 1,
+  BS_SEP_NO_PLUS = 2,
+  BS_SEQ_QUAL_LEN_MISMATCH = 3,
+  BS_ASCII_INVALID = 4,
+  BS_QUALITY_OUT_OF_RANGE = 5,
+};
+
+// High-bit test over [p, p+n). Returns true if all bytes are 7-bit ASCII.
+inline bool all_ascii(const uint8_t* p, int64_t n) {
+  int64_t i = 0;
+  uint64_t acc = 0;
+  for (; i + 8 <= n; i += 8) {
+    uint64_t w;
+    std::memcpy(&w, p + i, 8);
+    acc |= w;
+  }
+  if (acc & 0x8080808080808080ULL) return false;
+  for (; i < n; ++i)
+    if (p[i] & 0x80) return false;
+  return true;
+}
+
+// Inclusive-range check: every byte b in [p, p+n) satisfies lower <= b <= upper,
+// via the unsigned-wraparound trick (b - lower) <= span.
+inline bool all_in_range(const uint8_t* p, int64_t n, uint8_t lower,
+                         uint8_t span) {
+  int64_t i = 0;
+  // Vectorizable loop: accumulate the max of (b - lower) and compare once.
+  uint8_t bad = 0;
+  for (; i < n; ++i) {
+    uint8_t d = (uint8_t)(p[i] - lower);
+    bad |= (uint8_t)(d > span);
+  }
+  return !bad;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Find all '\n' positions in [buf, buf+n); writes up to cap positions into out.
+// Returns the number written (callers size cap generously; a second call with
+// start offset can resume).
+int64_t bs_find_newlines(const uint8_t* buf, int64_t n, int64_t* out,
+                         int64_t cap) {
+  int64_t count = 0;
+  int64_t pos = 0;
+  while (count < cap) {
+    const void* p = std::memchr(buf + pos, '\n', (size_t)(n - pos));
+    if (!p) break;
+    pos = (const uint8_t*)p - buf;
+    out[count++] = pos;
+    ++pos;
+    if (pos >= n) break;
+  }
+  return count;
+}
+
+// Scan a window for complete FASTQ records with fused structure validation and
+// optional ASCII / quality-range validation.
+//
+//   out:        int64[max_records * 5]: header_start, seq_start, sep_start,
+//               qual_start, record_end per record (record_end = index of the
+//               record's final '\n' = one past the last quality byte).
+//   consumed:   offset one past the final newline of the last *returned*
+//               record (the next record's header_start).
+//   err_code:   BS_OK, a structure code (bad record NOT counted; its partial
+//               offsets are written at out[count*5] for snippet building), or
+//               a validation code (bad record IS counted & consumed, matching
+//               reference consume-then-validate ordering, fastq/parser.mojo:160-170).
+//   err_phase:  when the window ends mid-record: number of newlines already
+//               found for the partial record (0..3). Python uses this for
+//               EOF handling (reference _check_end_qual, utils.mojo:294-329).
+//
+// Returns the number of complete valid-structure records written to out
+// (including, for validation errors, the failing record as the last one).
+int64_t bs_scan_fastq(const uint8_t* buf, int64_t n, int64_t start,
+                      int64_t max_records, int32_t check_ascii,
+                      int32_t check_quality, uint8_t q_lower, uint8_t q_span,
+                      int64_t* out, int64_t* consumed, int32_t* err_code,
+                      int32_t* err_phase) {
+  int64_t pos = start;
+  int64_t count = 0;
+  *err_code = BS_OK;
+  *err_phase = 0;
+  *consumed = start;
+
+  while (count < max_records && pos < n) {
+    const int64_t h = pos;
+    int64_t* rec = out + count * 5;
+    rec[0] = h;
+    rec[1] = rec[2] = rec[3] = rec[4] = -1;
+
+    const void* m1 = std::memchr(buf + pos, '\n', (size_t)(n - pos));
+    if (!m1) { *err_phase = 0; return count; }
+    const int64_t s = (const uint8_t*)m1 - buf + 1;
+    rec[1] = s;
+    if (s >= n) { *err_phase = 1; return count; }
+
+    const void* m2 = std::memchr(buf + s, '\n', (size_t)(n - s));
+    if (!m2) { *err_phase = 1; return count; }
+    const int64_t p = (const uint8_t*)m2 - buf + 1;
+    rec[2] = p;
+    if (p >= n) { *err_phase = 2; return count; }
+
+    const void* m3 = std::memchr(buf + p, '\n', (size_t)(n - p));
+    if (!m3) { *err_phase = 2; return count; }
+    const int64_t q = (const uint8_t*)m3 - buf + 1;
+    rec[3] = q;
+    if (q >= n) { *err_phase = 3; return count; }
+
+    const void* m4 = std::memchr(buf + q, '\n', (size_t)(n - q));
+    if (!m4) { *err_phase = 3; return count; }
+    const int64_t e = (const uint8_t*)m4 - buf;  // record_end
+    rec[4] = e;
+
+    // Structure validation (reference: utils.mojo:449-462).
+    if (buf[h] != '@') { *err_code = BS_ID_NO_AT; return count; }
+    if (buf[p] != '+') { *err_code = BS_SEP_NO_PLUS; return count; }
+    const int64_t seq_len = p - s - 1;
+    const int64_t qual_len = e - q;
+    if (seq_len != qual_len) {
+      *err_code = BS_SEQ_QUAL_LEN_MISMATCH;
+      return count;
+    }
+
+    // Record is structurally complete: consume it (validation failures below
+    // still consume, matching the reference's consume-then-validate order).
+    ++count;
+    pos = e + 1;
+    *consumed = pos;
+
+    if (check_ascii) {
+      // id + seq lines: [h+1, p-1) includes the seq-end '\n' (ASCII, harmless)
+      // and excludes the separator-line content, which the reference never
+      // ASCII-checks (record.mojo:107-116 checks id/seq/qual spans only).
+      if (!all_ascii(buf + h + 1, (p - 1) - (h + 1)) ||
+          !all_ascii(buf + q, qual_len)) {
+        *err_code = BS_ASCII_INVALID;
+        return count;
+      }
+    }
+    if (check_quality) {
+      if (!all_in_range(buf + q, qual_len, q_lower, q_span)) {
+        *err_code = BS_QUALITY_OUT_OF_RANGE;
+        return count;
+      }
+    }
+  }
+  return count;
+}
+
+// Gather SoA arrays from a window + offset table in one pass:
+// copies sequence bytes and quality bytes into contiguous output buffers and
+// writes cumulative end offsets (int64). Returns total bases copied.
+int64_t bs_gather_soa(const uint8_t* buf, const int64_t* offsets, int64_t nrec,
+                      uint8_t* seq_out, uint8_t* qual_out, int64_t* ends_out) {
+  int64_t total = 0;
+  for (int64_t i = 0; i < nrec; ++i) {
+    const int64_t* rec = offsets + i * 5;
+    const int64_t s = rec[1];
+    const int64_t p = rec[2];
+    const int64_t q = rec[3];
+    const int64_t len = p - s - 1;
+    std::memcpy(seq_out + total, buf + s, (size_t)len);
+    std::memcpy(qual_out + total, buf + q, (size_t)len);
+    total += len;
+    ends_out[i] = total;
+  }
+  return total;
+}
+
+// Gather id bytes (header line content after '@', POSIX-whitespace-stripped on
+// both ends, reference: utils.mojo:223-242) into a contiguous buffer with
+// cumulative ends. Returns total id bytes.
+int64_t bs_gather_ids(const uint8_t* buf, const int64_t* offsets, int64_t nrec,
+                      uint8_t* id_out, int64_t* id_ends_out) {
+  auto is_space = [](uint8_t c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\v' || c == '\f' ||
+           c == '\r' || c == 0x1c || c == 0x1d || c == 0x1e;
+  };
+  int64_t total = 0;
+  for (int64_t i = 0; i < nrec; ++i) {
+    const int64_t* rec = offsets + i * 5;
+    int64_t a = rec[0] + 1;      // after '@'
+    int64_t b = rec[1] - 1;      // before '\n'
+    while (a < b && is_space(buf[a])) ++a;
+    while (b > a && is_space(buf[b - 1])) --b;
+    const int64_t len = b - a;
+    std::memcpy(id_out + total, buf + a, (size_t)len);
+    total += len;
+    id_ends_out[i] = total;
+  }
+  return total;
+}
+
+// Count reads and bases in a window without materializing anything
+// (views-mode equivalent: reference benchmark runners print `records base_pairs`,
+// benchmark/fastq-parser/run_blazeseq.mojo:21-60).
+int64_t bs_count_fastq(const uint8_t* buf, int64_t n, int64_t start,
+                       int64_t* bases_out, int64_t* consumed,
+                       int32_t* err_code, int32_t* err_phase) {
+  int64_t pos = start;
+  int64_t records = 0;
+  int64_t bases = 0;
+  *err_code = BS_OK;
+  *err_phase = 0;
+  *consumed = start;
+  while (pos < n) {
+    const int64_t h = pos;
+    const void* m1 = std::memchr(buf + pos, '\n', (size_t)(n - pos));
+    if (!m1) { *err_phase = 0; break; }
+    const int64_t s = (const uint8_t*)m1 - buf + 1;
+    if (s >= n) { *err_phase = 1; break; }
+    const void* m2 = std::memchr(buf + s, '\n', (size_t)(n - s));
+    if (!m2) { *err_phase = 1; break; }
+    const int64_t p = (const uint8_t*)m2 - buf + 1;
+    if (p >= n) { *err_phase = 2; break; }
+    const void* m3 = std::memchr(buf + p, '\n', (size_t)(n - p));
+    if (!m3) { *err_phase = 2; break; }
+    const int64_t q = (const uint8_t*)m3 - buf + 1;
+    if (q >= n) { *err_phase = 3; break; }
+    const void* m4 = std::memchr(buf + q, '\n', (size_t)(n - q));
+    if (!m4) { *err_phase = 3; break; }
+    const int64_t e = (const uint8_t*)m4 - buf;
+    if (buf[h] != '@') { *err_code = BS_ID_NO_AT; break; }
+    if (buf[p] != '+') { *err_code = BS_SEP_NO_PLUS; break; }
+    const int64_t seq_len = p - s - 1;
+    if (seq_len != e - q) { *err_code = BS_SEQ_QUAL_LEN_MISMATCH; break; }
+    ++records;
+    bases += seq_len;
+    pos = e + 1;
+    *consumed = pos;
+  }
+  *bases_out = bases;
+  return records;
+}
+
+}  // extern "C"
