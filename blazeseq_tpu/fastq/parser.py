@@ -346,6 +346,48 @@ class FastqParser:
             seq, qual, ends, ids, id_ends,
             quality_offset=self.quality_schema.OFFSET)
 
+    def next_padded(self, max_records: int = DEFAULT_BATCH_SIZE,
+                    max_len: int = 256, pad_records_to: Optional[int] = None):
+        """Fill a padded [rows, max_len] device-layout batch directly from the
+        scan queue (the host->HBM feed fast path; reads longer than max_len
+        are clamped). Returns a PaddedFastqBatch with numpy arrays."""
+        from .batch import PaddedFastqBatch
+
+        limit = max_records or self._batch_size
+        rows = max(limit, pad_records_to or 0)
+        seq = np.zeros((rows, max_len), dtype=np.uint8)
+        qual = np.zeros((rows, max_len), dtype=np.uint8)
+        lengths = np.zeros(rows, dtype=np.int32)
+        got = 0
+        while got < limit:
+            if self._q_pos >= len(self._q):
+                try:
+                    self._scan_more()
+                except FastxEOFError:
+                    break
+            take = min(limit - got, self._queue_len())
+            rows_off = self._q[self._q_pos : self._q_pos + take]
+            native.gather_padded(
+                self._stream.window(), rows_off, max_len,
+                out=(seq[got : got + take], qual[got : got + take],
+                     lengths[got : got + take]))
+            self._q_pos += take
+            self._served += take
+            got += take
+        return PaddedFastqBatch(seq=seq, qual=qual, lengths=lengths,
+                                n_records=got,
+                                quality_offset=self.quality_schema.OFFSET)
+
+    def padded_batches(self, max_records: Optional[int] = None,
+                       max_len: int = 256,
+                       pad_records_to: Optional[int] = None):
+        limit = max_records or self._batch_size
+        while self.has_more():
+            pb = self.next_padded(limit, max_len, pad_records_to)
+            if pb.n_records == 0:
+                return
+            yield pb
+
     # -- public: iterators ---------------------------------------------------------
     def views(self) -> Iterator[FastqView]:
         while True:

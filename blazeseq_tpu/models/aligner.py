@@ -1,0 +1,61 @@
+"""NWAligner — batched global alignment of reads against a reference.
+
+Model-level wrapper over the wavefront NW kernels (blazeseq_tpu/ops/nw.py),
+mirroring the reference GPU example end-to-end flow
+(examples/nw_gpu/execution.mojo:90-152): SoA batches -> device -> batched DP
+-> scores -> optional CPU-twin verification (main.mojo:72-87 asserts
+GPU == CPU scores; `verify_batch` is that check)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import TPU_LANE
+from ..fastq.batch import FastqBatch, PaddedFastqBatch
+from ..ops import nw as nw_ops
+
+MAX_QUERY_LEN = 256  # reference clamp (examples/nw_gpu/kernels.mojo:15-16)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class NWAligner:
+    def __init__(self, reference: bytes, max_query_len: int = MAX_QUERY_LEN,
+                 prefer_pallas: Optional[bool] = None):
+        self.reference = bytes(reference)
+        self._ref = jnp.asarray(np.frombuffer(self.reference, dtype=np.uint8))
+        self.max_query_len = max_query_len
+        self.prefer_pallas = prefer_pallas
+
+    def score_padded(self, pb: PaddedFastqBatch) -> np.ndarray:
+        lengths = jnp.minimum(jnp.asarray(pb.lengths, dtype=jnp.int32),
+                              self.max_query_len)
+        seq = jnp.asarray(pb.seq)
+        if seq.shape[1] > self.max_query_len:
+            seq = seq[:, : self.max_query_len]
+        scores = nw_ops.nw_scores(seq, lengths, self._ref,
+                                  prefer_pallas=self.prefer_pallas)
+        return np.asarray(scores)[: pb.n_records]
+
+    def score_batch(self, batch: FastqBatch) -> np.ndarray:
+        pb = batch.to_padded(max_len=min(self.max_query_len, TPU_LANE))
+        return self.score_padded(pb)
+
+    def score_cpu(self, batch: FastqBatch) -> np.ndarray:
+        """Host twin (≡ run_cpu_nw, execution.mojo:137-152)."""
+        out = np.empty(len(batch), dtype=np.int32)
+        for i in range(len(batch)):
+            q = batch.get_ref(i).sequence_bytes()[: self.max_query_len]
+            out[i] = nw_ops.needleman_wunsch_cpu(q, self.reference)
+        return out
+
+    def verify_batch(self, batch: FastqBatch) -> bool:
+        """Device-vs-CPU score equality (≡ main.mojo:72-87)."""
+        return bool(np.array_equal(self.score_batch(batch),
+                                   self.score_cpu(batch)))

@@ -1,0 +1,117 @@
+"""QCModel — streaming FastQC-style quality-control over a FASTQ source.
+
+The framework's flagship "model": file/gzip bytes -> host bulk scan -> padded
+SoA batches -> device fused validate/decode/QC (+ optional NW alignment) ->
+host int64 accumulation. Batches use a static shape (fixed record count and
+read length buckets) so XLA compiles the step once.
+
+This generalizes the reference's end-to-end consumers (reads/bases counting
+runners + nw_gpu example, SURVEY.md §2.2/§2.4) into a reusable pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import DEFAULT_BATCH_SIZE, TPU_LANE
+from ..fastq.parser import FastqParser, ParserConfig
+from ..fastq.quality import QualitySchema, parse_schema
+from ..io.readers import open_reader
+from ..ops.stats import QCAccumulator
+from ..parallel.pipeline import build_qc_align_step
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class QCReport:
+    reads: int
+    bases: int
+    error_reads: int
+    gc_fraction: float
+    mean_quality: float
+    base_counts: np.ndarray  # [5] A C G T other
+    per_position_mean_quality: np.ndarray
+    qual_hist: np.ndarray
+    nw_scores: Optional[np.ndarray] = None
+
+    def __str__(self) -> str:
+        return (
+            "QCReport(reads=%d, bases=%d, errors=%d, gc=%.4f, meanQ=%.2f)"
+            % (self.reads, self.bases, self.error_reads, self.gc_fraction,
+               self.mean_quality)
+        )
+
+
+class QCModel:
+    """Streaming QC (and optional alignment) engine."""
+
+    def __init__(self, quality_schema: str | QualitySchema = "generic",
+                 check_ascii: bool = True, check_quality: bool = True,
+                 batch_size: int = DEFAULT_BATCH_SIZE,
+                 max_read_len: int = 256,
+                 align_to: Optional[bytes] = None,
+                 mesh=None):
+        self.schema = (quality_schema if isinstance(quality_schema, QualitySchema)
+                       else parse_schema(quality_schema))
+        self.check_ascii = check_ascii
+        self.check_quality = check_quality
+        self.batch_size = batch_size
+        self.max_read_len = _round_up(max_read_len, TPU_LANE)
+        self.align_to = align_to
+        self.mesh = mesh
+        self._step = build_qc_align_step(
+            mesh, check_ascii=check_ascii, check_quality=check_quality,
+            with_alignment=align_to is not None)
+
+    def run_file(self, path, parallelism: int = 4) -> QCReport:
+        return self.run_reader(open_reader(path, parallelism=parallelism))
+
+    def run_reader(self, reader) -> QCReport:
+        parser = FastqParser(reader, config=ParserConfig())
+        parser.quality_schema = self.schema
+        return self.run_parser(parser)
+
+    def run_parser(self, parser: FastqParser) -> QCReport:
+        acc = QCAccumulator()
+        all_scores = [] if self.align_to is not None else None
+        ref = (jnp.asarray(np.frombuffer(self.align_to, dtype=np.uint8))
+               if self.align_to is not None
+               else jnp.zeros(TPU_LANE, jnp.uint8))
+        pad_n = self.batch_size
+        if self.mesh is not None:
+            pad_n = _round_up(pad_n, self.mesh.size)
+        for pb in parser.padded_batches(self.batch_size,
+                                        max_len=self.max_read_len,
+                                        pad_records_to=pad_n):
+            res = self._step(
+                jnp.asarray(pb.seq), jnp.asarray(pb.qual),
+                jnp.asarray(pb.lengths, dtype=jnp.int32),
+                jnp.int32(pb.n_records), ref,
+                jnp.int32(self.schema.LOWER), jnp.int32(self.schema.UPPER),
+                jnp.int32(self.schema.OFFSET))
+            acc.add(res.stats)
+            if all_scores is not None:
+                all_scores.append(np.asarray(res.nw_scores)[: pb.n_records])
+        if acc.total is None:
+            from ..ops.stats import zero_stats
+
+            acc.add(zero_stats(self.max_read_len))
+        t = acc.total
+        return QCReport(
+            reads=int(t.reads),
+            bases=int(t.bases),
+            error_reads=int(t.error_reads),
+            gc_fraction=acc.gc_fraction(),
+            mean_quality=acc.mean_quality(),
+            base_counts=np.asarray(t.base_counts),
+            per_position_mean_quality=acc.per_position_mean_quality(),
+            qual_hist=np.asarray(t.qual_hist),
+            nw_scores=(np.concatenate(all_scores) if all_scores else None),
+        )

@@ -81,6 +81,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bs_gather_soa.argtypes = [p_u8, p_i64, i64, p_u8, p_u8, p_i64]
     lib.bs_gather_ids.restype = i64
     lib.bs_gather_ids.argtypes = [p_u8, p_i64, i64, p_u8, p_i64]
+    lib.bs_gather_padded.restype = None
+    lib.bs_gather_padded.argtypes = [p_u8, p_i64, i64, i64, p_u8, p_u8, p_i32]
     _lib = lib
     return _lib
 
@@ -350,6 +352,40 @@ def gather_ids(window: np.ndarray, offsets: np.ndarray):
         total += len(part)
         ends[i] = total
     return np.frombuffer(b"".join(parts), dtype=np.uint8).copy(), ends
+
+
+def gather_padded(window: np.ndarray, offsets: np.ndarray, width: int,
+                  pad_records_to: int = 0, out=None):
+    """Gather records directly into padded [rows, width] uint8 layout
+    (+ clamped lengths i32[rows]). Rows beyond len(offsets) are zeroed.
+    Pass out=(seq, qual, lengths) (contiguous views) to fill preallocated
+    buffers."""
+    nrec = len(offsets)
+    if out is not None:
+        seq, qual, lengths = out
+    else:
+        rows = max(nrec, pad_records_to)
+        seq = np.zeros((rows, width), dtype=np.uint8)
+        qual = np.zeros((rows, width), dtype=np.uint8)
+        lengths = np.zeros(rows, dtype=np.int32)
+    if nrec == 0:
+        return seq, qual, lengths
+    lib = _load()
+    if lib is not None:
+        offs = np.ascontiguousarray(offsets, dtype=np.int64)
+        lib.bs_gather_padded(
+            _ptr_u8(window), _ptr_i64(offs), nrec, width,
+            _ptr_u8(seq), _ptr_u8(qual),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return seq, qual, lengths
+    lens = np.minimum(offsets[:, 2] - offsets[:, 1] - 1, width)
+    for i in range(nrec):
+        s, q, L = int(offsets[i, 1]), int(offsets[i, 3]), int(lens[i])
+        seq[i, :L] = window[s : s + L]
+        qual[i, :L] = window[q : q + L]
+    lengths[:nrec] = lens
+    return seq, qual, lengths
 
 
 def _range_mask(n: int, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:

@@ -216,6 +216,30 @@ int64_t bs_gather_ids(const uint8_t* buf, const int64_t* offsets, int64_t nrec,
   return total;
 }
 
+// Gather directly into the padded [nrec, width] device layout (rows
+// zero-padded, reads clamped to width). Writes per-record lengths (clamped).
+// This is the host->HBM feed fast path: one memcpy per line, no intermediate
+// flat SoA.
+void bs_gather_padded(const uint8_t* buf, const int64_t* offsets, int64_t nrec,
+                      int64_t width, uint8_t* seq_out, uint8_t* qual_out,
+                      int32_t* len_out) {
+  for (int64_t i = 0; i < nrec; ++i) {
+    const int64_t* rec = offsets + i * 5;
+    const int64_t s = rec[1];
+    const int64_t p = rec[2];
+    const int64_t q = rec[3];
+    int64_t len = p - s - 1;
+    if (len > width) len = width;
+    uint8_t* srow = seq_out + i * width;
+    uint8_t* qrow = qual_out + i * width;
+    std::memcpy(srow, buf + s, (size_t)len);
+    std::memcpy(qrow, buf + q, (size_t)len);
+    std::memset(srow + len, 0, (size_t)(width - len));
+    std::memset(qrow + len, 0, (size_t)(width - len));
+    len_out[i] = (int32_t)len;
+  }
+}
+
 // Count reads and bases in a window without materializing anything
 // (views-mode equivalent: reference benchmark runners print `records base_pairs`,
 // benchmark/fastq-parser/run_blazeseq.mojo:21-60).

@@ -1,0 +1,14 @@
+"""Device kernels (jax/XLA/Pallas): validation, decoding, QC stats,
+structural scanning, and Needleman-Wunsch alignment."""
+
+from .common import length_mask, round_up, use_interpret
+from .nw import needleman_wunsch_cpu, nw_scores, nw_scores_pallas, nw_scores_xla
+from .scan import (
+    count_records_device,
+    gather_padded_device,
+    newline_positions_device,
+    record_offsets_device,
+    structural_bitmaps,
+)
+from .stats import MAX_PHRED, QCAccumulator, QCStats, qc_stats, zero_stats
+from .validate import validate_decode, validate_decode_pallas, validate_decode_xla

@@ -1,0 +1,25 @@
+"""Shared helpers for device kernels."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def use_interpret() -> bool:
+    """Pallas kernels compile natively on TPU; elsewhere (CPU tests) run in
+    interpreter mode."""
+    return jax.default_backend() != "tpu"
+
+
+def length_mask(lengths: jnp.ndarray, width: int) -> jnp.ndarray:
+    """[n, width] bool mask of valid positions given per-record lengths."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, (lengths.shape[0], width), 1)
+    return pos < lengths[:, None]

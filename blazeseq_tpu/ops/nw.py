@@ -1,0 +1,197 @@
+"""Batched Needleman-Wunsch global alignment on TPU.
+
+Device analog of the reference GPU example (examples/nw_gpu/kernels.mojo:21-89:
+one CUDA-style block per read, two-row DP, scoring +1 match / -1 mismatch /
+-1 gap, dp[0][j] = -j, dp[i][0] = -i, score = dp[qlen][rlen]).
+
+The TPU-native formulation is an **anti-diagonal wavefront**: cells on
+diagonal d = i + j depend only on diagonals d-1 and d-2, so each step is a
+fully vectorized [batch, Lq+1] VPU update and the sequential dimension is a
+single lax.fori_loop/scan of length Lq+Lr. Reads are a padded [B, Lq] SoA
+batch (variable lengths via a lengths vector); per-read scores are extracted
+at diagonal d = len + Lr with a one-hot reduction.
+
+Three implementations with identical results:
+  * `needleman_wunsch_cpu` — numpy scalar twin for validation
+    (≡ kernels.mojo:92-129)
+  * `nw_scores_xla`       — jnp lax.scan version
+  * `nw_scores_pallas`    — Pallas kernel, DP diagonals resident in VMEM,
+    grid over record tiles
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import round_up, use_interpret
+
+NEG = -(10**9) // 2
+
+
+def needleman_wunsch_cpu(query: bytes, ref: bytes,
+                         match: int = 1, mismatch: int = -1,
+                         gap: int = -1) -> int:
+    """Scalar host reference implementation (≡ examples/nw_gpu/kernels.mojo:92-129)."""
+    q = np.frombuffer(bytes(query), dtype=np.uint8)
+    r = np.frombuffer(bytes(ref), dtype=np.uint8)
+    m, n = len(q), len(r)
+    g = -gap  # positive gap penalty
+    prev = (np.arange(n + 1, dtype=np.int32) * gap).astype(np.int32)
+    ar = np.arange(n, dtype=np.int32)
+    for i in range(1, m + 1):
+        cur = np.empty(n + 1, dtype=np.int32)
+        cur[0] = i * gap
+        sub = np.where(r == q[i - 1], match, mismatch).astype(np.int32)
+        best = np.maximum(prev[:-1] + sub, prev[1:] + gap)
+        # left-gap dependency cur[j+1] = max(best[j], cur[j] + gap) resolved in
+        # closed form: cur[j+1] = max(runmax(best[k] + g*k)[j], cur[0]+gap) - g*j
+        b = best + g * ar
+        run = np.maximum(np.maximum.accumulate(b), cur[0] + gap)
+        cur[1:] = run - g * ar
+        prev = cur
+    return int(prev[n])
+
+
+def _diag_ref_table(ref: jnp.ndarray, Lq: int) -> jnp.ndarray:
+    """RD[d, i] = ref[d-1-i] (0xFF where out of range), for d in 1..Lq+Lr.
+    Precomputing the per-diagonal reference characters turns the in-loop
+    gather into a contiguous row read."""
+    Lr = ref.shape[0]
+    D = Lq + Lr
+    d_idx = jnp.arange(1, D + 1, dtype=jnp.int32)[:, None]
+    i_idx = jnp.arange(Lq + 1, dtype=jnp.int32)[None, :]
+    j = d_idx - 1 - i_idx
+    valid = (j >= 0) & (j < Lr)
+    return jnp.where(valid, ref[jnp.clip(j, 0, Lr - 1)], jnp.uint8(0xFF))
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap"))
+def nw_scores_xla(seq, lengths, ref, match: int = 1, mismatch: int = -1,
+                  gap: int = -1):
+    """Batched NW scores via lax.scan over anti-diagonals.
+
+    seq: u8[B, Lq] padded reads; lengths: i32[B]; ref: u8[Lr].
+    Returns i32[B] global alignment scores (rows with length 0 score -Lr*|gap|
+    ... i.e. pure-gap alignment, matching dp[0][Lr])."""
+    B, Lq = seq.shape
+    Lr = ref.shape[0]
+    D = Lq + Lr
+    i_idx = jnp.arange(Lq + 1, dtype=jnp.int32)[None, :]
+    seq_shift = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.uint8), seq], axis=1)  # q[i-1] at index i
+    RD = _diag_ref_table(ref, Lq)
+    d_vals = jnp.arange(1, D + 1, dtype=jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+    target_d = lengths + Lr
+
+    def step(carry, xs):
+        prev1, prev2, score = carry
+        d, rchars = xs
+        sub = jnp.where(seq_shift == rchars[None, :], match, mismatch)
+        p2s = jnp.roll(prev2, 1, axis=1)
+        p1s = jnp.roll(prev1, 1, axis=1)
+        new = jnp.maximum(jnp.maximum(p2s + sub, p1s + gap), prev1 + gap)
+        new = jnp.where(i_idx == 0, d * gap, new)
+        new = jnp.where(i_idx == d, d * gap, new)
+        got = jnp.sum(jnp.where(i_idx == lengths[:, None], new, 0), axis=1)
+        score = jnp.where(d == target_d, got, score)
+        return (new, prev1, score), None
+
+    init = (
+        jnp.zeros((B, Lq + 1), jnp.int32),  # diag 0: only cell (0,0)=0 used
+        jnp.zeros((B, Lq + 1), jnp.int32),
+        jnp.full((B,), NEG, dtype=jnp.int32),
+    )
+    (_, _, score), _ = jax.lax.scan(step, init, (d_vals, RD))
+    return score
+
+
+def _nw_kernel(lr_ref, qshift_ref, len_ref, rd_ref, out_ref, prev1, prev2):
+    Lr = lr_ref[0]
+    TB, W = prev1.shape  # W = Lq+1 rounded up to lane
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1)
+    lens = len_ref[...]  # [TB, 1]
+    target_d = lens + Lr
+    qshift = qshift_ref[...]  # i32; q[i-1] at lane i
+
+    prev1[...] = jnp.zeros((TB, W), jnp.int32)
+    prev2[...] = jnp.zeros((TB, W), jnp.int32)
+    out_ref[...] = jnp.full(out_ref.shape, NEG, jnp.int32)
+    D = rd_ref.shape[0]
+
+    def body(d, _):
+        # i32 row read (u8 dynamic-slice + compare both avoided on v5e)
+        rchars = rd_ref[pl.ds(d - 1, 1), :]  # [1, W] i32
+        sub = jnp.where(qshift == rchars, 1, -1)
+        p1 = prev1[...]
+        p2s = pltpu.roll(prev2[...], 1, 1)
+        p1s = pltpu.roll(p1, 1, 1)
+        new = jnp.maximum(jnp.maximum(p2s + sub, p1s - 1), p1 - 1)
+        new = jnp.where(i_idx == 0, -d, new)
+        new = jnp.where(i_idx == d, -d, new)
+        got = jnp.sum(jnp.where(i_idx == lens, new, 0), axis=1, keepdims=True)
+        out_ref[...] = jnp.where(target_d == d, got, out_ref[...])
+        prev2[...] = p1
+        prev1[...] = new
+        return 0
+
+    jax.lax.fori_loop(1, D + 1, body, 0)
+
+
+def nw_scores_pallas(seq, lengths, ref, block_records: int = 256):
+    """Pallas wavefront NW (match/mismatch/gap = +1/-1/-1, as the reference
+    GPU kernel). DP diagonals live in VMEM scratch; grid tiles the batch."""
+    B, Lq = seq.shape
+    Lr = int(ref.shape[0])
+    W = round_up(Lq + 1, 128)
+    n_pad = round_up(B, block_records)
+    tb = min(block_records, n_pad)
+    RD = _diag_ref_table(jnp.asarray(ref), Lq)  # [D, Lq+1]
+    RD = jnp.pad(RD, ((0, 0), (0, W - (Lq + 1))),
+                 constant_values=0xFF).astype(jnp.int32)
+    seq_p = jnp.pad(jnp.asarray(seq), ((0, n_pad - B), (0, 0)))
+    # qshift[b, i] = q[b, i-1]; lanes 0 and > Lq get a sentinel that never
+    # matches the 0xFF out-of-range reference sentinel. i32 throughout (v5e
+    # Mosaic has no 8-bit vector compares).
+    qshift = jnp.pad(
+        jnp.concatenate(
+            [jnp.full((n_pad, 1), 0xFE, jnp.uint8), seq_p], axis=1),
+        ((0, 0), (0, W - (Lq + 1))), constant_values=0xFE).astype(jnp.int32)
+    len_p = jnp.pad(jnp.asarray(lengths, dtype=jnp.int32),
+                    (0, n_pad - B)).reshape(n_pad, 1)
+    lr_param = jnp.array([Lr], dtype=jnp.int32)
+
+    out = pl.pallas_call(
+        _nw_kernel,
+        grid=(n_pad // tb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tb, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RD.shape[0], W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((tb, W), jnp.int32),
+            pltpu.VMEM((tb, W), jnp.int32),
+        ],
+        interpret=use_interpret(),
+    )(lr_param, qshift, len_p, RD)
+    return out[:B, 0]
+
+
+def nw_scores(seq, lengths, ref, prefer_pallas=None):
+    """Dispatching wrapper."""
+    if prefer_pallas is None:
+        prefer_pallas = jax.default_backend() == "tpu"
+    fn = nw_scores_pallas if prefer_pallas else nw_scores_xla
+    return fn(jnp.asarray(seq), jnp.asarray(lengths), jnp.asarray(ref))

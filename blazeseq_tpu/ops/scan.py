@@ -1,0 +1,192 @@
+"""On-device structural byte scanning — record-boundary discovery in HBM.
+
+TPU-native replacement for the reference's host SIMD newline sweep
+(`_scan_record`, blazeseq/utils.mojo:472-551): raw FASTQ bytes are streamed to
+HBM as fixed-size uint8 chunks, and the device computes
+
+* structural-byte bitmaps ('\n', '@', '+') packed 32 positions/uint32 — the
+  Pallas kernel `structural_bitmaps`;
+* newline position tensors via masked-rank scatter compaction (the device
+  analog of `RecordOffsets` extraction, utils.mojo:39-93);
+* complete record offset tables + structure validation
+  (`record_offsets_device` ≡ `_validate_fastq_structure`, utils.mojo:449-462).
+
+Everything is static-shape: callers fix `max_records` per chunk (chunk_size/4
+is a safe bound) and get a count back.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import round_up, use_interpret
+
+NEWLINE = 10
+AT = 64
+PLUS = 43
+
+_LANE = 128
+_WORDS_PER_ROW = _LANE // 32
+
+
+def _bitmap_kernel(chunk_ref, nl_ref, at_ref, plus_ref, counts_ref):
+    """Pack '\n'/'@'/'+' occupancy bitmaps, 32 lanes per uint32 word."""
+    # i32 upcast: v5e Mosaic rejects 8-bit vector compares. Bit packing is
+    # done in i32 (Mosaic lacks unsigned reductions); two's-complement
+    # addition of distinct powers of two yields the same bit pattern, and the
+    # wrapper bitcasts the result to uint32.
+    x = chunk_ref[...].astype(jnp.int32)  # [rows, 128]
+    rows = x.shape[0]
+    # weight lane l with 2^(l % 32); packing then reduces each 32-lane group
+    # separately (lane-dim reshapes are unsupported by Mosaic, lane slices
+    # are fine)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANE), 1)
+    weights = jnp.left_shift(jnp.int32(1), lane % 32)
+
+    def pack(mask):
+        m = mask.astype(jnp.int32) * weights
+        cols = [
+            jnp.sum(m[:, w * 32:(w + 1) * 32], axis=1, keepdims=True,
+                    dtype=jnp.int32)
+            for w in range(_WORDS_PER_ROW)
+        ]
+        return jnp.concatenate(cols, axis=1)
+
+    nl = x == NEWLINE
+    nl_ref[...] = pack(nl)
+    at_ref[...] = pack(x == AT)
+    plus_ref[...] = pack(x == PLUS)
+    counts_ref[...] = jnp.sum(nl, axis=1, dtype=jnp.int32, keepdims=True)
+
+
+def structural_bitmaps(chunk: jnp.ndarray, block_rows: int = 512):
+    """Pallas kernel: chunk u8[N] (N % 128 == 0) -> (nl, at, plus) uint32
+    bitmaps of shape [N/128, 4] + per-row newline counts i32[N/128, 1]."""
+    n = chunk.shape[0]
+    assert n % _LANE == 0, "chunk length must be a multiple of 128"
+    rows = n // _LANE
+    x = chunk.reshape(rows, _LANE)
+    tr = min(block_rows, rows)
+    grid = (pl.cdiv(rows, tr),)
+    specs2d = lambda w: pl.BlockSpec((tr, w), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _bitmap_kernel,
+        grid=grid,
+        in_specs=[specs2d(_LANE)],
+        out_specs=(specs2d(_WORDS_PER_ROW),) * 3 + (specs2d(1),),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, _WORDS_PER_ROW), jnp.int32),
+            jax.ShapeDtypeStruct((rows, _WORDS_PER_ROW), jnp.int32),
+            jax.ShapeDtypeStruct((rows, _WORDS_PER_ROW), jnp.int32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.int32),
+        ),
+        interpret=use_interpret(),
+    )(x)
+    cast = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
+    return cast(out[0]), cast(out[1]), cast(out[2]), out[3]
+
+
+@functools.partial(jax.jit, static_argnames=("max_count",))
+def newline_positions_device(chunk: jnp.ndarray, max_count: int):
+    """Positions of '\n' bytes, compacted to a static-size tensor.
+
+    Returns (positions i32[max_count] padded with len(chunk), count i32[]).
+    Compaction is rank-scatter: rank = cumsum(mask) - 1, positions scattered
+    to their rank (linear, no sort)."""
+    n = chunk.shape[0]
+    mask = chunk == NEWLINE
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    count = jnp.where(mask[-1], rank[-1] + 1, rank[-1] + mask[-1])
+    count = jnp.sum(mask, dtype=jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    out = jnp.full(max_count, n, dtype=jnp.int32)
+    idx = jnp.where(mask, rank, max_count)  # dropped when not newline
+    out = out.at[idx].set(pos, mode="drop")
+    return out, count
+
+
+@functools.partial(jax.jit, static_argnames=("max_records",))
+def record_offsets_device(chunk: jnp.ndarray, max_records: int,
+                          start: jnp.ndarray | None = None):
+    """Full on-device FASTQ boundary extraction for one chunk.
+
+    Returns:
+      offsets i32[max_records, 5] (header/seq/sep/qual starts + record_end,
+        reference RecordOffsets layout, padded with -1)
+      n_records i32[]  — complete records found
+      codes i32[max_records] — structure codes per record (0 OK, 1 ID_NO_AT,
+        2 SEP_NO_PLUS, 3 SEQ_QUAL_LEN_MISMATCH; ≡ utils.mojo:449-462)
+    """
+    n = chunk.shape[0]
+    if start is None:
+        start = jnp.int32(0)
+    valid_region = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1) >= start
+    mask = (chunk == NEWLINE) & valid_region
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    count = jnp.sum(mask, dtype=jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    nl = jnp.full(max_records * 4, n, dtype=jnp.int32)
+    idx = jnp.where(mask, rank, max_records * 4)
+    nl = nl.at[idx].set(pos, mode="drop")
+    nl4 = nl.reshape(max_records, 4)
+
+    n_rec = count // 4
+    rec_valid = jnp.arange(max_records, dtype=jnp.int32) < n_rec
+    header = jnp.concatenate([start[None], nl4[:-1, 3] + 1])
+    offsets = jnp.stack(
+        [header, nl4[:, 0] + 1, nl4[:, 1] + 1, nl4[:, 2] + 1, nl4[:, 3]],
+        axis=1)
+    offsets = jnp.where(rec_valid[:, None], offsets, -1)
+
+    # structure validation via gathers (clamped for padding rows)
+    h = jnp.clip(header, 0, n - 1)
+    p = jnp.clip(nl4[:, 1] + 1, 0, n - 1)
+    seq_len = nl4[:, 1] - nl4[:, 0] - 1
+    qual_len = nl4[:, 3] - (nl4[:, 2] + 1)
+    codes = jnp.zeros(max_records, dtype=jnp.int32)
+    codes = jnp.where(seq_len != qual_len, 3, codes)
+    codes = jnp.where(chunk[p] != PLUS, 2, codes)
+    codes = jnp.where(chunk[h] != AT, 1, codes)
+    codes = jnp.where(rec_valid, codes, 0)
+    return offsets, n_rec, codes
+
+
+@functools.partial(jax.jit, static_argnames=("max_records", "max_len"))
+def gather_padded_device(chunk: jnp.ndarray, offsets: jnp.ndarray,
+                         max_records: int, max_len: int):
+    """Device SoA gather: offsets -> padded seq/qual [max_records, max_len]
+    + lengths. The device analog of FastqBatch construction
+    (record_batch.mojo:65-87) without touching the host."""
+    n = chunk.shape[0]
+    valid = offsets[:, 0] >= 0
+    seq_start = jnp.where(valid, offsets[:, 1], 0)
+    qual_start = jnp.where(valid, offsets[:, 3], 0)
+    lengths = jnp.where(valid, offsets[:, 2] - offsets[:, 1] - 1, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (max_records, max_len), 1)
+    in_row = col < lengths[:, None]
+    sidx = jnp.clip(seq_start[:, None] + col, 0, n - 1)
+    qidx = jnp.clip(qual_start[:, None] + col, 0, n - 1)
+    seq = jnp.where(in_row, chunk[sidx], jnp.uint8(0))
+    qual = jnp.where(in_row, chunk[qidx], jnp.uint8(0))
+    return seq, qual, lengths.astype(jnp.int32)
+
+
+def count_records_device(chunk: jnp.ndarray):
+    """reads/bases counting fully on device (views-mode equivalent)."""
+    _, _, _, counts = structural_bitmaps(_pad_lane(chunk))
+    newlines = jnp.sum(counts, dtype=jnp.int32)
+    return newlines // 4
+
+
+def _pad_lane(chunk: jnp.ndarray) -> jnp.ndarray:
+    n = chunk.shape[0]
+    target = round_up(n, _LANE)
+    if target != n:
+        chunk = jnp.pad(chunk, (0, target - n))
+    return chunk

@@ -1,0 +1,152 @@
+"""On-device QC statistics over padded read batches.
+
+The reference's only "stats" are the reads/bases counters every benchmark
+runner prints (benchmark/fastq-parser/run_blazeseq.mojo:3-5); the TPU build
+extends this into a proper FastQC-style QC pass computed on device, because
+that is the point of putting reads in HBM. Everything is one fused XLA pass:
+elementwise compares + reductions on the VPU, one-hot contractions for the
+histograms.
+
+Device leaves are int32 (single-batch magnitudes are small and jax runs in
+32-bit mode); cross-batch totals are accumulated host-side in int64 by
+`QCAccumulator`. All device outputs form an additive pytree so they psum
+cleanly across a device mesh (blazeseq_tpu/parallel/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import length_mask
+
+MAX_PHRED = 64  # histogram bins [0, 64)
+
+_BASES = b"ACGT"  # base classes: A C G T other
+
+
+class QCStats(NamedTuple):
+    """Additive per-batch QC statistics (every leaf sums across shards)."""
+
+    reads: jnp.ndarray  # i32 []
+    bases: jnp.ndarray  # i32 []
+    base_counts: jnp.ndarray  # i32 [5]  A C G T other
+    per_pos_base_counts: jnp.ndarray  # i32 [5, L]
+    per_pos_qual_sum: jnp.ndarray  # i32 [L]
+    per_pos_count: jnp.ndarray  # i32 [L]
+    qual_hist: jnp.ndarray  # i32 [MAX_PHRED]
+    gc_count: jnp.ndarray  # i32 []  total G+C bases
+    error_reads: jnp.ndarray  # i32 [] reads with validation errors
+
+    def merge(self, other: "QCStats") -> "QCStats":
+        return jax.tree.map(lambda a, b: a + b, self, other)
+
+
+def zero_stats(max_len: int) -> QCStats:
+    z = lambda *s: jnp.zeros(s, jnp.int32)
+    return QCStats(z(), z(), z(5), z(5, max_len), z(max_len), z(max_len),
+                   z(MAX_PHRED), z(), z())
+
+
+def _base_class(seq: jnp.ndarray) -> jnp.ndarray:
+    """Map ASCII bytes to {0:A 1:C 2:G 3:T 4:other}, case-insensitive."""
+    upper = seq & 0xDF
+    cls = jnp.full(seq.shape, 4, dtype=jnp.int32)
+    for k, b in enumerate(_BASES):
+        cls = jnp.where(upper == b, k, cls)
+    return cls
+
+
+@jax.jit
+def qc_stats(seq, qual, lengths, offset, n_records=None,
+             error_codes=None) -> QCStats:
+    """Compute QCStats for one padded batch [n, L].
+
+    `n_records` distinguishes genuine records from padding rows when the
+    record dimension is padded to a static batch size."""
+    n, L = seq.shape
+    if n_records is None:
+        n_records = jnp.int32(n)
+    row_valid = jax.lax.broadcasted_iota(jnp.int32, (n,), 0) < n_records
+    mask = length_mask(lengths, L) & row_valid[:, None]
+    phred = jnp.where(mask, qual - offset.astype(jnp.uint8), jnp.uint8(255))
+    phredc = jnp.clip(phred, 0, MAX_PHRED - 1).astype(jnp.int32)
+
+    cls = jnp.where(mask, _base_class(seq), 5)
+    onehot = cls[:, :, None] == jnp.arange(5)[None, None, :]
+    per_pos_base = jnp.sum(onehot, axis=0, dtype=jnp.int32).T  # [5, L]
+    base_counts = jnp.sum(per_pos_base, axis=1, dtype=jnp.int32)
+
+    qual_hist = jnp.sum(
+        mask[:, :, None]
+        & (phredc[:, :, None] == jnp.arange(MAX_PHRED)[None, None, :]),
+        axis=(0, 1), dtype=jnp.int32)
+
+    per_pos_qual_sum = jnp.sum(jnp.where(mask, phredc, 0), axis=0,
+                               dtype=jnp.int32)
+    per_pos_count = jnp.sum(mask, axis=0, dtype=jnp.int32)
+
+    gc = base_counts[1] + base_counts[2]
+    err = (jnp.sum((error_codes != 0) & row_valid, dtype=jnp.int32)
+           if error_codes is not None else jnp.zeros((), jnp.int32))
+    return QCStats(
+        reads=n_records.astype(jnp.int32),
+        bases=jnp.sum(jnp.where(row_valid, lengths, 0), dtype=jnp.int32),
+        base_counts=base_counts,
+        per_pos_base_counts=per_pos_base,
+        per_pos_qual_sum=per_pos_qual_sum,
+        per_pos_count=per_pos_count,
+        qual_hist=qual_hist,
+        gc_count=gc,
+        error_reads=err,
+    )
+
+
+class QCAccumulator:
+    """Host-side int64 accumulator for streaming QC over many batches."""
+
+    def __init__(self):
+        self._tot = None
+
+    def add(self, stats: QCStats) -> None:
+        host = jax.tree.map(lambda a: np.asarray(a, dtype=np.int64), stats)
+        if self._tot is None:
+            self._tot = host
+        else:
+            self._tot = jax.tree.map(_add_padded, self._tot, host)
+
+    @property
+    def total(self) -> QCStats:
+        return self._tot
+
+    # -- derived metrics -----------------------------------------------------
+    def gc_fraction(self) -> float:
+        t = self._tot
+        return float(t.gc_count) / max(float(t.bases), 1.0)
+
+    def mean_quality(self) -> float:
+        t = self._tot
+        total = float(np.sum(t.qual_hist * np.arange(MAX_PHRED)))
+        return total / max(float(t.bases), 1.0)
+
+    def per_position_mean_quality(self) -> np.ndarray:
+        t = self._tot
+        cnt = np.maximum(t.per_pos_count, 1)
+        return t.per_pos_qual_sum / cnt
+
+
+def _add_padded(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Sum arrays whose trailing (position) axis may differ across batches."""
+    if a.shape == b.shape:
+        return a + b
+    L = max(a.shape[-1], b.shape[-1])
+
+    def widen(x):
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, L - x.shape[-1])]
+        return np.pad(x, pad)
+
+    return widen(a) + widen(b)

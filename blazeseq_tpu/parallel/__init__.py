@@ -1,0 +1,4 @@
+"""Multi-device scale-out: meshes, shardings, and the SPMD analysis pipeline."""
+
+from .mesh import DP_AXIS, batch_sharding, make_mesh, replicated, shard_batch
+from .pipeline import QCAlignResult, build_qc_align_step, run_qc_align

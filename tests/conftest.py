@@ -1,5 +1,15 @@
-"""Test configuration: force a virtual 8-device CPU mesh so multi-chip
-sharding paths compile and execute without TPU hardware."""
+"""Test configuration.
+
+Environment notes:
+* In the axon harness, jax binds the REAL TPU chip at interpreter start
+  (sitecustomize registers the 'axon' PJRT plugin before any conftest runs),
+  so device tests exercise actual v5e Mosaic compilation. A persistent
+  compilation cache makes repeat runs fast.
+* Multi-chip sharding tests need a virtual CPU mesh, which requires a clean
+  subprocess (PYTHONPATH="" PALLAS_AXON_POOL_IPS="" JAX_PLATFORMS=cpu); see
+  tests/test_multichip.py. The env defaults below cover non-axon
+  environments where in-process forcing works.
+"""
 
 import os
 
@@ -9,5 +19,18 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_blazeseq")
+
+
+def pytest_configure(config):
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
 
 DATA_DIR = os.path.join(os.path.dirname(__file__), "data")

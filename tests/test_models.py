@@ -1,0 +1,71 @@
+"""End-to-end model tests: QCModel streaming pipeline + NWAligner."""
+
+import numpy as np
+
+import blazeseq_tpu as bt
+from blazeseq_tpu.models import NWAligner, QCModel
+
+
+def test_qc_model_end_to_end():
+    n = 300
+    buf = bytes(bt.generate_synthetic_fastq_buffer(n, 30, 120, 2, 40, "sanger"))
+    model = QCModel(quality_schema="sanger", batch_size=128, max_read_len=128)
+    report = model.run_reader(bt.MemoryReader(buf))
+    # cross-check against the host count path
+    records, bases = bt.FastqParser(bt.MemoryReader(buf)).count()
+    assert report.reads == records == n
+    assert report.bases == bases
+    assert report.error_reads == 0
+    assert 0.3 < report.gc_fraction < 0.7
+    assert report.mean_quality > 0
+    assert int(report.base_counts.sum()) == bases
+    assert int(report.qual_hist.sum()) == bases
+
+
+def test_qc_model_counts_error_reads():
+    good = bytes(bt.generate_synthetic_fastq_buffer(10, 20, 30, 2, 40, "sanger"))
+    bad = b"@bad\nACGT\n+\n\x01\x01\x01\x01\n"
+    model = QCModel(quality_schema="sanger", batch_size=64)
+    report = model.run_reader(bt.MemoryReader(good + bad))
+    assert report.reads == 11
+    assert report.error_reads == 1
+
+
+def test_qc_model_with_alignment():
+    buf = bytes(bt.generate_synthetic_fastq_buffer(20, 20, 40, 2, 40, "sanger"))
+    ref = b"ACGTACGTACGTACGTACGT"
+    model = QCModel(quality_schema="sanger", batch_size=32, align_to=ref)
+    report = model.run_reader(bt.MemoryReader(buf))
+    assert report.nw_scores is not None and len(report.nw_scores) == 20
+    aligner = NWAligner(ref)
+    batch = bt.FastqParser(bt.MemoryReader(buf)).next_batch(20)
+    assert report.nw_scores.tolist() == aligner.score_cpu(batch).tolist()
+
+
+def test_nw_aligner_verify_batch():
+    """Device-vs-CPU score equality, the reference example's acceptance test
+    (examples/nw_gpu/main.mojo:72-87)."""
+    buf = bytes(bt.generate_synthetic_fastq_buffer(50, 20, 60, 2, 40, "sanger"))
+    batch = bt.FastqParser(bt.MemoryReader(buf)).next_batch(50)
+    aligner = NWAligner(b"GATTACA" * 8)
+    assert aligner.verify_batch(batch)
+
+
+def test_parser_padded_batches_roundtrip():
+    buf = bytes(bt.generate_synthetic_fastq_buffer(100, 10, 50, 2, 40, "sanger"))
+    p = bt.FastqParser(bt.MemoryReader(buf))
+    pbs = list(p.padded_batches(40, max_len=64))
+    assert [pb.n_records for pb in pbs] == [40, 40, 20]
+    recs = list(bt.FastqParser(bt.MemoryReader(buf)).records())
+    i = 0
+    for pb in pbs:
+        seq = np.asarray(pb.seq)
+        qual = np.asarray(pb.qual)
+        lens = np.asarray(pb.lengths)
+        for k in range(pb.n_records):
+            r = recs[i]
+            assert lens[k] == len(r)
+            assert bytes(seq[k, : lens[k]]) == r.sequence_bytes()
+            assert bytes(qual[k, : lens[k]]) == r.quality_bytes()
+            i += 1
+    assert i == 100

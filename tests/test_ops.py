@@ -1,0 +1,206 @@
+"""Device kernel tests (run on CPU backend with interpret-mode Pallas;
+the same code compiles natively on TPU)."""
+
+import numpy as np
+import pytest
+
+import blazeseq_tpu as bt
+from blazeseq_tpu.fastq.quality import SANGER_SCHEMA
+from blazeseq_tpu.ops import nw, scan, stats, validate
+
+
+def _padded_batch(n=50, lo=10, hi=40):
+    buf = bt.generate_synthetic_fastq_buffer(n, lo, hi, 2, 40, "sanger")
+    p = bt.FastqParser(bt.MemoryReader(buf))
+    batch = p.next_batch(n)
+    return batch, batch.to_padded()
+
+
+def test_validate_decode_xla_clean():
+    batch, pb = _padded_batch()
+    codes, phred = validate.validate_decode(
+        pb.seq, pb.qual, pb.lengths, SANGER_SCHEMA, prefer_pallas=False)
+    assert int(np.sum(np.asarray(codes))) == 0
+    # phred values match host decode record-for-record
+    for i in range(len(batch)):
+        r = batch.get_record(i)
+        got = np.asarray(phred)[i, : len(r)]
+        assert got.tolist() == r.phred_scores().tolist()
+
+
+def test_validate_decode_pallas_matches_xla():
+    _, pb = _padded_batch()
+    c1, p1 = validate.validate_decode(
+        pb.seq, pb.qual, pb.lengths, SANGER_SCHEMA, prefer_pallas=False)
+    c2, p2 = validate.validate_decode(
+        pb.seq, pb.qual, pb.lengths, SANGER_SCHEMA, prefer_pallas=True)
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_validate_detects_bad_quality():
+    _, pb = _padded_batch()
+    qual = np.asarray(pb.qual).copy()
+    qual[3, 0] = 1  # below sanger lower bound
+    codes, _ = validate.validate_decode(
+        pb.seq, qual, pb.lengths, SANGER_SCHEMA, prefer_pallas=False)
+    codes = np.asarray(codes)
+    assert codes[3] == 5 and np.sum(codes != 0) == 1
+
+
+def test_validate_detects_non_ascii():
+    _, pb = _padded_batch()
+    seq = np.asarray(pb.seq).copy()
+    seq[7, 2] = 0xC3
+    codes, _ = validate.validate_decode(
+        seq, pb.qual, pb.lengths, SANGER_SCHEMA, prefer_pallas=False)
+    assert np.asarray(codes)[7] == 4
+
+
+def test_qc_stats_counts():
+    batch, pb = _padded_batch(n=64)
+    st = stats.qc_stats(pb.seq, pb.qual, pb.lengths,
+                        np.int32(33), n_records=np.int32(pb.n_records))
+    assert int(st.reads) == 64
+    assert int(st.bases) == batch.seq_len()
+    bc = np.asarray(st.base_counts)
+    assert int(bc.sum()) == batch.seq_len()
+    # cross-check GC against host bytes
+    seq_bytes = batch._sequence_bytes
+    host_gc = int(np.sum((seq_bytes == ord("G")) | (seq_bytes == ord("C"))))
+    assert int(st.gc_count) == host_gc
+    # quality histogram covers every base
+    assert int(np.asarray(st.qual_hist).sum()) == batch.seq_len()
+
+
+def test_qc_accumulator_merges():
+    acc = stats.QCAccumulator()
+    b1, pb1 = _padded_batch(n=32, lo=10, hi=20)
+    b2, pb2 = _padded_batch(n=16, lo=30, hi=60)
+    for b, pb in [(b1, pb1), (b2, pb2)]:
+        acc.add(stats.qc_stats(pb.seq, pb.qual, pb.lengths, np.int32(33),
+                               n_records=np.int32(pb.n_records)))
+    assert int(acc.total.reads) == 48
+    assert int(acc.total.bases) == b1.seq_len() + b2.seq_len()
+    assert 0.0 < acc.gc_fraction() < 1.0
+    assert acc.mean_quality() > 0
+
+
+def test_structural_bitmaps():
+    data = b"@r1\nACGT\n+\nIIII\n" * 8
+    chunk = np.frombuffer(data, dtype=np.uint8)
+    nl, at, plus, counts = scan.structural_bitmaps(scan._pad_lane(chunk))
+    total_nl = int(np.asarray(counts).sum())
+    assert total_nl == data.count(b"\n")
+    # reconstruct newline positions from the packed bitmap
+    words = np.asarray(nl).reshape(-1)
+    positions = []
+    for w_idx, w in enumerate(words):
+        for bit in range(32):
+            if (int(w) >> bit) & 1:
+                positions.append(w_idx * 32 + bit)
+    expected = [i for i, b in enumerate(data) if b == ord("\n")]
+    assert positions == expected
+
+
+def test_newline_positions_device():
+    data = b"@r\nAC\n+\nII\n@r2\nACGT\n+\nIIII\n"
+    chunk = np.frombuffer(data, dtype=np.uint8)
+    pos, count = scan.newline_positions_device(chunk, max_count=16)
+    expected = [i for i, b in enumerate(data) if b == ord("\n")]
+    assert int(count) == len(expected)
+    assert np.asarray(pos)[: len(expected)].tolist() == expected
+
+
+def test_record_offsets_device_matches_host():
+    buf = bytes(bt.generate_synthetic_fastq_buffer(20, 10, 30, 2, 40, "sanger"))
+    chunk = np.frombuffer(buf, dtype=np.uint8)
+    offsets, n_rec, codes = scan.record_offsets_device(chunk, max_records=32)
+    assert int(n_rec) == 20
+    assert int(np.asarray(codes).sum()) == 0
+    from blazeseq_tpu import native
+
+    host = native.scan_fastq(chunk)
+    assert np.array_equal(np.asarray(offsets)[:20], host.offsets)
+
+
+def test_record_offsets_device_detects_structure_errors():
+    data = b"@r1\nACGT\n+\nIIII\nX2\nGG\n+\nII\n@r3\nAC\n+\nIIII\n"
+    chunk = np.frombuffer(data, dtype=np.uint8)
+    _, n_rec, codes = scan.record_offsets_device(chunk, max_records=8)
+    codes = np.asarray(codes)
+    assert int(n_rec) == 3
+    assert codes[0] == 0 and codes[1] == 1 and codes[2] == 3
+
+
+def test_gather_padded_device():
+    buf = bytes(bt.generate_synthetic_fastq_buffer(10, 5, 20, 2, 40, "sanger"))
+    chunk = np.frombuffer(buf, dtype=np.uint8)
+    offsets, n_rec, _ = scan.record_offsets_device(chunk, max_records=16)
+    seq, qual, lengths = scan.gather_padded_device(chunk, offsets, 16, 32)
+    p = bt.FastqParser(bt.MemoryReader(buf))
+    for i, rec in enumerate(p.records()):
+        L = int(np.asarray(lengths)[i])
+        assert L == len(rec)
+        assert bytes(np.asarray(seq)[i, :L]) == rec.sequence_bytes()
+        assert bytes(np.asarray(qual)[i, :L]) == rec.quality_bytes()
+
+
+# ---------------------------------------------------------------------------
+# Needleman-Wunsch
+# ---------------------------------------------------------------------------
+
+
+def test_nw_cpu_known_scores():
+    assert nw.needleman_wunsch_cpu(b"ACGT", b"ACGT") == 4
+    assert nw.needleman_wunsch_cpu(b"ACGT", b"ACGA") == 2  # 3 match - 1 mismatch
+    assert nw.needleman_wunsch_cpu(b"ACGT", b"") == -4
+    assert nw.needleman_wunsch_cpu(b"", b"ACG") == -3
+    assert nw.needleman_wunsch_cpu(b"AAAA", b"TTTT") == -4
+    assert nw.needleman_wunsch_cpu(b"ACGT", b"AGT") == 2  # one gap
+
+
+def test_nw_xla_matches_cpu():
+    rng = np.random.default_rng(0)
+    ref = bytes(rng.choice(list(b"ACGT"), size=37))
+    B, Lq = 23, 29
+    lens = rng.integers(0, Lq + 1, size=B)
+    seq = np.zeros((B, Lq), dtype=np.uint8)
+    queries = []
+    for i in range(B):
+        q = bytes(rng.choice(list(b"ACGT"), size=int(lens[i])))
+        queries.append(q)
+        seq[i, : len(q)] = np.frombuffer(q, dtype=np.uint8)
+    got = np.asarray(nw.nw_scores_xla(seq, lens.astype(np.int32),
+                                      np.frombuffer(ref, dtype=np.uint8)))
+    want = [nw.needleman_wunsch_cpu(q, ref) for q in queries]
+    assert got.tolist() == want
+
+
+def test_nw_pallas_matches_xla():
+    rng = np.random.default_rng(1)
+    ref = bytes(rng.choice(list(b"ACGT"), size=40))
+    B, Lq = 17, 33
+    lens = rng.integers(1, Lq + 1, size=B).astype(np.int32)
+    seq = np.zeros((B, Lq), dtype=np.uint8)
+    for i in range(B):
+        seq[i, : lens[i]] = rng.choice(list(b"ACGT"), size=int(lens[i]))
+    a = np.asarray(nw.nw_scores_xla(seq, lens, np.frombuffer(ref, np.uint8)))
+    b = np.asarray(nw.nw_scores_pallas(seq, lens, np.frombuffer(ref, np.uint8),
+                                       block_records=32))
+    assert a.tolist() == b.tolist()
+
+
+def test_nw_batch_e2e_like_reference_example():
+    """parse -> SoA -> device -> NW -> verify vs CPU twin
+    (≡ examples/nw_gpu/main.mojo:72-87 score-equality assertion)."""
+    buf = bt.generate_synthetic_fastq_buffer(64, 20, 40, 2, 40, "sanger")
+    batch = bt.FastqParser(bt.MemoryReader(buf)).next_batch(64)
+    pb = batch.to_padded()
+    ref = b"GATTACAGATTACAGATTACAGATTACAGATTACAGATTA"
+    scores = np.asarray(nw.nw_scores(pb.seq, pb.lengths,
+                                     np.frombuffer(ref, np.uint8),
+                                     prefer_pallas=False))
+    for i in range(len(batch)):
+        want = nw.needleman_wunsch_cpu(batch.get_record(i).sequence_bytes(), ref)
+        assert scores[i] == want
