@@ -26,10 +26,21 @@ from .errors import (
     ParseError,
     ValidationError,
 )
+from .fai.parser import FaiParser, build_fai, write_fai
+from .fai.record import FaiRecord, FaiView
+from .fasta.parser import FastaBatch, FastaParser, FastaParserConfig
+from .fasta.record import FastaRecord
 from .fastq.batch import DeviceFastqBatch, FastqBatch, PaddedFastqBatch, upload_batch_to_device
 from .fastq.parser import FastqParser, ParserConfig
 from .fastq.quality import QualitySchema, parse_schema
 from .fastq.record import Definition, FastqRecord, FastqView, Validator
+from .io.delimited import (
+    DefaultLinePolicy,
+    DelimitedReader,
+    DelimitedRecord,
+    DelimitedView,
+    LineAction,
+)
 from .io.readers import (
     FileReader,
     GZFile,

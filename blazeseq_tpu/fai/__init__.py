@@ -1,0 +1,2 @@
+from .parser import FaiParser, build_fai, write_fai
+from .record import FaiRecord, FaiView

@@ -1,0 +1,2 @@
+from .parser import FastaBatch, FastaParser, FastaParserConfig
+from .record import FastaRecord

@@ -83,6 +83,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bs_gather_ids.argtypes = [p_u8, p_i64, i64, p_u8, p_i64]
     lib.bs_gather_padded.restype = None
     lib.bs_gather_padded.argtypes = [p_u8, p_i64, i64, i64, p_u8, p_u8, p_i32]
+    lib.bs_scan_fasta.restype = i64
+    lib.bs_scan_fasta.argtypes = [
+        p_u8, i64, i64, i32, i64, i32, p_u8, p_i64, p_u8, p_i64,
+        p_i64, p_i64, p_i32, p_i64,
+    ]
     _lib = lib
     return _lib
 
@@ -352,6 +357,141 @@ def gather_ids(window: np.ndarray, offsets: np.ndarray):
         total += len(part)
         ends[i] = total
     return np.frombuffer(b"".join(parts), dtype=np.uint8).copy(), ends
+
+
+class FastaScanResult(NamedTuple):
+    ids: np.ndarray  # u8 concatenated (whitespace-stripped)
+    id_ends: np.ndarray  # i64 cumulative
+    seqs: np.ndarray  # u8 concatenated (newlines/whitespace-normalized)
+    seq_ends: np.ndarray  # i64 cumulative
+    consumed: int
+    lines_consumed: int
+    err_code: int  # 0 OK; 100 header missing; 101 empty sequence; 4 ascii
+    err_line: int  # 0-based line index within this scan
+
+
+_POSIX_WS = b" \t\n\v\f\r\x1c\x1d\x1e"
+
+
+def scan_fasta(window: np.ndarray, start: int = 0, at_eof: bool = False,
+               max_records: int = 2**62,
+               check_ascii: bool = False) -> FastaScanResult:
+    """Scan window[start:] for complete FASTA records (semantics: C++
+    bs_scan_fasta; reference blazeseq/fasta/parser.mojo:120-195)."""
+    n = len(window)
+    lib = _load()
+    if lib is not None:
+        span = n - start
+        cap = min(max_records, span // 2 + 2)
+        id_out = np.empty(max(span, 1), dtype=np.uint8)
+        seq_out = np.empty(max(span, 1), dtype=np.uint8)
+        id_ends = np.empty(cap + 1, dtype=np.int64)
+        seq_ends = np.empty(cap + 1, dtype=np.int64)
+        consumed = ctypes.c_int64(0)
+        lines = ctypes.c_int64(0)
+        err_code = ctypes.c_int32(0)
+        err_line = ctypes.c_int64(0)
+        count = lib.bs_scan_fasta(
+            _ptr_u8(window), n, start, 1 if at_eof else 0, cap,
+            1 if check_ascii else 0,
+            _ptr_u8(id_out), _ptr_i64(id_ends), _ptr_u8(seq_out),
+            _ptr_i64(seq_ends), ctypes.byref(consumed), ctypes.byref(lines),
+            ctypes.byref(err_code), ctypes.byref(err_line))
+        id_total = int(id_ends[count - 1]) if count else 0
+        seq_total = int(seq_ends[count - 1]) if count else 0
+        return FastaScanResult(
+            id_out[:id_total], id_ends[:count], seq_out[:seq_total],
+            seq_ends[:count], consumed.value, lines.value, err_code.value,
+            err_line.value)
+    return _scan_fasta_py(window, start, at_eof, max_records, check_ascii)
+
+
+def _scan_fasta_py(window: np.ndarray, start: int, at_eof: bool,
+                   max_records: int, check_ascii: bool) -> FastaScanResult:
+    """Pure-Python fallback with identical semantics."""
+    data = window.tobytes()[start:]
+    ids, seqs = [], []
+    id_ends, seq_ends = [], []
+    id_total = seq_total = 0
+    consumed = start
+    lines_consumed = 0
+    err_code, err_line = 0, 0
+    have_header = False
+    cur_id = b""
+    cur_seq = []
+    header_line = 0
+    pos = 0
+    line_idx = 0
+
+    def commit():
+        nonlocal id_total, seq_total, err_code, err_line
+        seq = b"".join(cur_seq)
+        if not seq:
+            err_code, err_line = 101, header_line + 1
+            return False
+        if check_ascii and not (cur_id.isascii() and seq.isascii()):
+            err_code, err_line = 4, header_line
+            return False
+        ids.append(cur_id)
+        seqs.append(seq)
+        id_total += len(cur_id)
+        seq_total += len(seq)
+        id_ends.append(id_total)
+        seq_ends.append(seq_total)
+        return True
+
+    n = len(data)
+    while pos < n and len(id_ends) < max_records:
+        eol = data.find(b"\n", pos)
+        if eol < 0:
+            if not at_eof:
+                break
+            eol = n
+        stripped = data[pos:eol].strip(_POSIX_WS)
+        if not have_header:
+            if not stripped:
+                pos = eol + 1
+                line_idx += 1
+                if eol < n:
+                    consumed = start + pos
+                    lines_consumed = line_idx
+                continue
+            if not stripped.startswith(b">"):
+                err_code, err_line = 100, line_idx
+                break
+            cur_id = stripped[1:].strip(_POSIX_WS)
+            cur_seq = []
+            have_header = True
+            header_line = line_idx
+        elif stripped.startswith(b">"):
+            if not commit():
+                break
+            consumed = start + pos
+            lines_consumed = line_idx
+            cur_id = stripped[1:].strip(_POSIX_WS)
+            cur_seq = []
+            header_line = line_idx
+        else:
+            cur_seq.append(stripped)
+        pos = eol + 1
+        line_idx += 1
+        if eol == n:
+            break
+    else:
+        pass
+    if (at_eof and have_header and not err_code and len(id_ends) < max_records
+            and pos >= n):
+        if commit():
+            consumed = len(window)
+            lines_consumed = line_idx
+    ids_b = b"".join(ids)
+    seqs_b = b"".join(seqs)
+    return FastaScanResult(
+        np.frombuffer(ids_b, dtype=np.uint8).copy(),
+        np.array(id_ends, dtype=np.int64),
+        np.frombuffer(seqs_b, dtype=np.uint8).copy(),
+        np.array(seq_ends, dtype=np.int64),
+        consumed, lines_consumed, err_code, err_line)
 
 
 def gather_padded(window: np.ndarray, offsets: np.ndarray, width: int,

@@ -282,4 +282,153 @@ int64_t bs_count_fastq(const uint8_t* buf, int64_t n, int64_t start,
   return records;
 }
 
+namespace {
+inline bool is_posix_space(uint8_t c) {
+  return c == ' ' || c == '\t' || c == '\n' || c == '\v' || c == '\f' ||
+         c == '\r' || c == 0x1c || c == 0x1d || c == 0x1e;
+}
+}  // namespace
+
+// Scan a window for complete FASTA records (behavior spec:
+// blazeseq/fasta/parser.mojo:120-195 — every line whitespace-stripped at both
+// ends, multi-line sequences concatenated, blank lines skipped, a stripped
+// line starting with '>' begins the next record).
+//
+//   at_eof:     1 when the window is the end of the stream; the trailing
+//               record (no following '>' header) is then flushed.
+//   id_out/id_ends, seq_out/seq_ends: concatenated bytes + cumulative ends
+//               (caller sizes both at window length).
+//   consumed:   byte offset of the next unconsumed line (start of the next
+//               record's header line, or n when everything was consumed).
+//   lines_consumed: '\n' count within [start, consumed).
+//   err_code:   0 OK; 100 header-missing ('>' expected); 101 empty sequence;
+//               4 ASCII_INVALID (when check_ascii). The failing record is not
+//               counted. err_line = 0-based line index (within this scan)
+//               of the offending line.
+// Returns number of complete records.
+int64_t bs_scan_fasta(const uint8_t* buf, int64_t n, int64_t start,
+                      int32_t at_eof, int64_t max_records, int32_t check_ascii,
+                      uint8_t* id_out, int64_t* id_ends, uint8_t* seq_out,
+                      int64_t* seq_ends, int64_t* consumed,
+                      int64_t* lines_consumed, int32_t* err_code,
+                      int64_t* err_line) {
+  int64_t pos = start;
+  int64_t count = 0;
+  int64_t id_base = 0, seq_base = 0;
+  int64_t line_idx = 0;            // lines seen within this scan
+  int64_t committed_lines = 0;     // lines within [start, consumed)
+  *consumed = start;
+  *lines_consumed = 0;
+  *err_code = 0;
+  *err_line = 0;
+
+  bool have_header = false;
+  int64_t id_tent_len = 0;   // tentative id bytes at id_out + id_base
+  int64_t seq_tent_len = 0;  // tentative seq bytes at seq_out + seq_base
+  int64_t header_line = 0;
+  bool tent_ascii_bad = false;
+  int64_t tent_bad_line = 0;
+
+  auto commit = [&]() -> bool {  // returns false on error
+    if (seq_tent_len == 0) {
+      *err_code = 101;
+      *err_line = header_line + 1;  // sequence expected on the next line
+      return false;
+    }
+    if (check_ascii && tent_ascii_bad) {
+      *err_code = 4;
+      *err_line = tent_bad_line;
+      return false;
+    }
+    id_base += id_tent_len;
+    seq_base += seq_tent_len;
+    id_ends[count] = id_base;
+    seq_ends[count] = seq_base;
+    ++count;
+    return true;
+  };
+
+  while (pos < n && count < max_records) {
+    const void* m = std::memchr(buf + pos, '\n', (size_t)(n - pos));
+    int64_t eol;
+    bool had_newline = true;
+    if (m) {
+      eol = (const uint8_t*)m - buf;
+    } else if (at_eof) {
+      eol = n;
+      had_newline = false;
+    } else {
+      break;  // incomplete line; caller refills
+    }
+    // strip both ends (POSIX whitespace)
+    int64_t a = pos, b = eol;
+    while (a < b && is_posix_space(buf[a])) ++a;
+    while (b > a && is_posix_space(buf[b - 1])) --b;
+
+    if (!have_header) {
+      if (a == b) {  // blank line before header
+        pos = eol + 1;
+        ++line_idx;
+        if (had_newline) { *consumed = pos; ++committed_lines; }
+        continue;
+      }
+      if (buf[a] != '>') {
+        *err_code = 100;
+        *err_line = line_idx;
+        *lines_consumed = committed_lines;
+        return count;
+      }
+      int64_t ia = a + 1, ib = b;
+      while (ia < ib && is_posix_space(buf[ia])) ++ia;
+      id_tent_len = ib - ia;
+      std::memcpy(id_out + id_base, buf + ia, (size_t)id_tent_len);
+      if (check_ascii && !all_ascii(buf + ia, id_tent_len)) {
+        tent_ascii_bad = true;
+        tent_bad_line = line_idx;
+      } else {
+        tent_ascii_bad = false;
+      }
+      seq_tent_len = 0;
+      have_header = true;
+      header_line = line_idx;
+    } else if (a < b && buf[a] == '>') {
+      // next record's header: commit the current record first
+      if (!commit()) { *lines_consumed = committed_lines; return count; }
+      *consumed = pos;  // next record starts at this header line
+      committed_lines = line_idx;
+      *lines_consumed = committed_lines;
+      // reprocess this header line for the new record
+      int64_t ia = a + 1, ib = b;
+      while (ia < ib && is_posix_space(buf[ia])) ++ia;
+      id_tent_len = ib - ia;
+      std::memcpy(id_out + id_base, buf + ia, (size_t)id_tent_len);
+      tent_ascii_bad =
+          check_ascii && !all_ascii(buf + ia, id_tent_len);
+      if (tent_ascii_bad) tent_bad_line = line_idx;
+      seq_tent_len = 0;
+      header_line = line_idx;
+    } else {
+      // sequence line (possibly blank -> appends nothing)
+      std::memcpy(seq_out + seq_base + seq_tent_len, buf + a, (size_t)(b - a));
+      if (check_ascii && !tent_ascii_bad && !all_ascii(buf + a, b - a)) {
+        tent_ascii_bad = true;
+        tent_bad_line = line_idx;
+      }
+      seq_tent_len += b - a;
+    }
+    pos = eol + 1;
+    ++line_idx;
+    if (!m) break;  // consumed the unterminated final line
+  }
+
+  if (at_eof && have_header && count < max_records && pos >= n) {
+    if (commit()) {
+      *consumed = n;
+      committed_lines = line_idx;
+    }
+  }
+  *lines_consumed = committed_lines;
+  return count;
+}
+
 }  // extern "C"

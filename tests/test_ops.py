@@ -162,13 +162,13 @@ def test_nw_cpu_known_scores():
 
 def test_nw_xla_matches_cpu():
     rng = np.random.default_rng(0)
-    ref = bytes(rng.choice(list(b"ACGT"), size=37))
+    ref = bytes(rng.choice(list(b"ACGT"), size=37).astype(np.uint8))
     B, Lq = 23, 29
     lens = rng.integers(0, Lq + 1, size=B)
     seq = np.zeros((B, Lq), dtype=np.uint8)
     queries = []
     for i in range(B):
-        q = bytes(rng.choice(list(b"ACGT"), size=int(lens[i])))
+        q = bytes(rng.choice(list(b"ACGT"), size=int(lens[i])).astype(np.uint8))
         queries.append(q)
         seq[i, : len(q)] = np.frombuffer(q, dtype=np.uint8)
     got = np.asarray(nw.nw_scores_xla(seq, lens.astype(np.int32),
@@ -179,7 +179,7 @@ def test_nw_xla_matches_cpu():
 
 def test_nw_pallas_matches_xla():
     rng = np.random.default_rng(1)
-    ref = bytes(rng.choice(list(b"ACGT"), size=40))
+    ref = bytes(rng.choice(list(b"ACGT"), size=40).astype(np.uint8))
     B, Lq = 17, 33
     lens = rng.integers(1, Lq + 1, size=B).astype(np.int32)
     seq = np.zeros((B, Lq), dtype=np.uint8)
