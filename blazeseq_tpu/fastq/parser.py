@@ -84,13 +84,12 @@ class FastqParser:
             self.quality_schema = parse_schema(self.config.quality_schema)
         else:
             self.quality_schema = GENERIC_SCHEMA
-        chunk = min(DEFAULT_CHUNK_SIZE, max(self.config.buffer_capacity, 4096))
-        self._stream = ByteStream(reader, chunk_size=chunk)
+        self._stream = ByteStream(reader, chunk_size=DEFAULT_CHUNK_SIZE)
         self._batch_size = batch_size
         self._served = 0  # records handed out or consumed (== line_number/4)
         # scanned-but-unserved queue: absolute offsets into the stream buffer
         self._q: np.ndarray = np.empty((0, 5), dtype=np.int64)
-        self._q_rows: list = []  # tolist() mirror for O(1) per-view access
+        self._q_rows = None  # lazy tolist() mirror for O(1) per-view access
         self._q_pos = 0
         self._pending_exc_info = None  # (code, id_bytes, seq_bytes)
 
@@ -190,11 +189,43 @@ class FastqParser:
         s = self._stream
         offsets = res.offsets
         code = res.err_code
+        # per-record capacity enforcement (reference fixed-buffer semantics:
+        # a record larger than buffer_capacity raises unless growth is on,
+        # parser.mojo:484-503)
+        if len(offsets):
+            cap = (self.config.buffer_max_capacity
+                   if self.config.buffer_growth_enabled
+                   else self.config.buffer_capacity)
+            sizes = offsets[:, 4] + 1 - offsets[:, 0]
+            too_big = sizes > cap
+            if too_big.any():
+                k = int(np.argmax(too_big))
+                if k == 0:
+                    if self.config.buffer_growth_enabled:
+                        raise ParseError(
+                            "FASTQ record exceeds maximum buffer capacity (%d"
+                            " bytes). Enable buffer growth or increase"
+                            " max_capacity." % self.config.buffer_max_capacity,
+                            code=FastxErrorCode.BUFFER_AT_MAX,
+                        )
+                    raise ParseError(
+                        "FASTQ record exceeds buffer capacity (%d bytes)."
+                        " Enable buffer growth or increase buffer_capacity."
+                        % self.config.buffer_capacity,
+                        code=FastxErrorCode.BUFFER_EXCEEDED,
+                    )
+                # serve the good prefix; the oversized record is re-detected
+                # on the next scan (its bytes are not consumed)
+                offsets = offsets[:k]
+                res = res._replace(
+                    offsets=offsets, consumed=int(offsets[-1, 4]) + 1,
+                    err_code=0, err_offsets=None)
+                code = 0
         if code in (1, 2, 3):  # structure error: bad record NOT consumed
             # consume the good ones; error raised when queue drains
             s.consume(res.consumed - s._head)
             self._q = offsets
-            self._q_rows = offsets.tolist()
+            self._q_rows = None
             self._q_pos = 0
             if len(offsets) == 0:
                 self._raise_parse_error(FastxErrorCode(code), res.err_offsets)
@@ -210,7 +241,7 @@ class FastqParser:
             offsets = offsets[:-1]
         s.consume(res.consumed - s._head)
         self._q = offsets
-        self._q_rows = offsets.tolist()
+        self._q_rows = None  # materialized lazily by the view path
         self._q_pos = 0
         if len(offsets) == 0 and self._pending_exc_info is not None:
             self._raise_validation_error()
@@ -248,7 +279,7 @@ class FastqParser:
                     s.consume(len(tail))
                     self._raise_validation_error()
             self._q = off
-            self._q_rows = off.tolist()
+            self._q_rows = None
             self._q_pos = 0
             s.consume(len(tail))
             return
@@ -292,6 +323,8 @@ class FastqParser:
         invalidated by the next parser call that refills the window."""
         if self._q_pos >= len(self._q):
             self._scan_more()
+        if self._q_rows is None:
+            self._q_rows = self._q.tolist()
         row = self._q_rows[self._q_pos]
         self._q_pos += 1
         self._served += 1
@@ -348,32 +381,88 @@ class FastqParser:
 
     def next_padded(self, max_records: int = DEFAULT_BATCH_SIZE,
                     max_len: int = 256, pad_records_to: Optional[int] = None):
-        """Fill a padded [rows, max_len] device-layout batch directly from the
-        scan queue (the host->HBM feed fast path; reads longer than max_len
-        are clamped). Returns a PaddedFastqBatch with numpy arrays."""
+        """Fill a padded [rows, max_len] device-layout batch straight from the
+        byte window in one fused native pass (scan + structure/ASCII/quality
+        validation + gather; reads longer than max_len are clamped). The
+        host->HBM feed fast path. Error semantics match next_batch: non-EOF
+        errors propagate and discard the partial batch."""
         from .batch import PaddedFastqBatch
 
         limit = max_records or self._batch_size
         rows = max(limit, pad_records_to or 0)
-        seq = np.zeros((rows, max_len), dtype=np.uint8)
-        qual = np.zeros((rows, max_len), dtype=np.uint8)
+        seq = np.empty((rows, max_len), dtype=np.uint8)
+        qual = np.empty((rows, max_len), dtype=np.uint8)
         lengths = np.zeros(rows, dtype=np.int32)
         got = 0
+        s = self._stream
+        cfg = self.config
+        cap = (cfg.buffer_max_capacity if cfg.buffer_growth_enabled
+               else cfg.buffer_capacity)
         while got < limit:
-            if self._q_pos >= len(self._q):
+            # drain any queued offsets first (mixed view/batch usage)
+            if self._q_pos < len(self._q):
+                take = min(limit - got, self._queue_len())
+                native.gather_padded(
+                    s.window(), self._q[self._q_pos : self._q_pos + take],
+                    max_len,
+                    out=(seq[got : got + take], qual[got : got + take],
+                         lengths[got : got + take]))
+                self._q_pos += take
+                self._served += take
+                got += take
+                continue
+            if self._pending_exc_info is not None:
+                self._raise_validation_error()
+            if s.available() == 0 and s.fill() == 0 and s.available() == 0:
+                break  # EOF
+            r = native.scan_gather_padded(
+                s.window(), s._head, limit - got, max_len,
+                cfg.check_ascii, cfg.check_quality,
+                self.quality_schema.LOWER, self.quality_schema.UPPER,
+                cap, seq[got:], qual[got:], lengths[got:])
+            if r is None:  # no native library: queue-based fallback
                 try:
                     self._scan_more()
                 except FastxEOFError:
                     break
-            take = min(limit - got, self._queue_len())
-            rows_off = self._q[self._q_pos : self._q_pos + take]
-            native.gather_padded(
-                self._stream.window(), rows_off, max_len,
-                out=(seq[got : got + take], qual[got : got + take],
-                     lengths[got : got + take]))
-            self._q_pos += take
-            self._served += take
-            got += take
+                continue
+            count, consumed, err, phase = r
+            if count:
+                s.consume(consumed - s._head)
+                self._served += count
+                got += count
+                continue
+            if err:
+                # reproduce the exact error through the offset path (always
+                # raises: the bad record sits at the window head)
+                self._scan_more()
+                raise AssertionError("unreachable")
+            # no complete record in window
+            if s.is_eof():
+                if s.available() == 0:
+                    break
+                try:
+                    self._handle_eof_tail(phase)
+                except FastxEOFError:
+                    break
+                continue  # synthesized tail record now queued
+            if s.available() >= cfg.buffer_capacity:
+                if not cfg.buffer_growth_enabled:
+                    raise ParseError(
+                        "FASTQ record exceeds buffer capacity (%d bytes)."
+                        " Enable buffer growth or increase buffer_capacity."
+                        % cfg.buffer_capacity,
+                        code=FastxErrorCode.BUFFER_EXCEEDED)
+                if s.available() >= cfg.buffer_max_capacity:
+                    raise ParseError(
+                        "FASTQ record exceeds maximum buffer capacity (%d"
+                        " bytes). Enable buffer growth or increase"
+                        " max_capacity." % cfg.buffer_max_capacity,
+                        code=FastxErrorCode.BUFFER_AT_MAX)
+            if s.fill() == 0 and s.available() == 0:
+                break
+        if got < rows:
+            lengths[got:] = 0
         return PaddedFastqBatch(seq=seq, qual=qual, lengths=lengths,
                                 n_records=got,
                                 quality_offset=self.quality_schema.OFFSET)
@@ -420,7 +509,6 @@ class FastqParser:
         records = 0
         bases = 0
         cfg = self.config
-        validated = cfg.check_ascii or cfg.check_quality
         s = self._stream
         while True:
             if self._q_pos < len(self._q):
@@ -429,15 +517,12 @@ class FastqParser:
                 bases += int((rows[:, 2] - rows[:, 1] - 1).sum())
                 self._served += len(rows)
                 self._q_pos = len(self._q)
-            if validated:
-                try:
-                    self._scan_more()
-                except FastxEOFError:
-                    break
-                continue
-            # unvalidated: count without building offset tables
+            # count without building offset tables (validation fused)
             n_rec, n_bases, consumed, err, phase = native.count_fastq(
-                s.window(), s._head)
+                s.window(), s._head,
+                check_ascii=cfg.check_ascii, check_quality=cfg.check_quality,
+                q_lower=self.quality_schema.LOWER,
+                q_upper=self.quality_schema.UPPER)
             if err:
                 # rescan with the offset path to produce the exact error
                 self._served += n_rec

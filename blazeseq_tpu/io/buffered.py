@@ -40,13 +40,22 @@ class ByteStream:
 
     def __init__(self, reader, chunk_size: int = DEFAULT_CHUNK_SIZE):
         self._reader = reader
-        self._arr = np.empty(2 * chunk_size, dtype=np.uint8)
         self._head = 0
-        self._end = 0
         self._eof = False
         self._consumed = 0  # total bytes consumed from stream start
         self.chunk_size = chunk_size
         self.last_shift = 0
+        as_array = getattr(reader, "as_array", None)
+        if as_array is not None:
+            # zero-copy window over an in-memory source: the whole stream is
+            # already addressable, so fill() is a no-op and no compaction or
+            # copying ever happens
+            self._arr = as_array()
+            self._end = len(self._arr)
+            self._eof = True
+        else:
+            self._arr = np.empty(2 * chunk_size, dtype=np.uint8)
+            self._end = 0
 
     def available(self) -> int:
         return self._end - self._head
@@ -135,6 +144,8 @@ class LineIterator:
         self._nl: list = []
         self._nl_cursor = 0
         self._scanned_upto = 0  # absolute buffer offset scanned so far
+        if self._stream._end > 0:  # zero-copy in-memory source: scan upfront
+            self._scan_new()
 
     # -- bookkeeping ---------------------------------------------------------
     def get_line_number(self) -> int:
@@ -150,6 +161,18 @@ class LineIterator:
         return self._stream.has_more()
 
     # -- internals -----------------------------------------------------------
+    def _scan_new(self) -> None:
+        """Discover newlines in the not-yet-scanned region of the buffer."""
+        s = self._stream
+        arr = s._arr[self._scanned_upto : s._end]
+        new_pos = np.flatnonzero(arr == NEW_LINE)
+        if self._nl_cursor:
+            self._nl = self._nl[self._nl_cursor :]
+            self._nl_cursor = 0
+        if len(new_pos):
+            self._nl.extend((new_pos + self._scanned_upto).tolist())
+        self._scanned_upto = s._end
+
     def _fill(self) -> int:
         s = self._stream
         n = s.fill()
@@ -159,14 +182,7 @@ class LineIterator:
             self._nl_cursor = 0
             self._scanned_upto = max(self._scanned_upto - shift, 0)
         if n:
-            arr = s._arr[self._scanned_upto : s._end]
-            new_pos = np.flatnonzero(arr == NEW_LINE)
-            if self._nl_cursor:
-                self._nl = self._nl[self._nl_cursor :]
-                self._nl_cursor = 0
-            if len(new_pos):
-                self._nl.extend((new_pos + self._scanned_upto).tolist())
-            self._scanned_upto = s._end
+            self._scan_new()
         return n
 
     # -- public --------------------------------------------------------------

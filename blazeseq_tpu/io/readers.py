@@ -74,6 +74,14 @@ class MemoryReader:
         self._pos += n
         return n
 
+    def as_array(self):
+        """Zero-copy numpy view over the remaining bytes. ByteStream adopts
+        this directly, skipping the readinto memcpy for in-memory sources."""
+        import numpy as np
+
+        return np.frombuffer(self._data, dtype=np.uint8,
+                             offset=self._pos)
+
     def reset(self) -> None:
         self._pos = 0
 

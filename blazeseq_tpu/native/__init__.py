@@ -74,7 +74,9 @@ def _load() -> Optional[ctypes.CDLL]:
         p_u8, i64, i64, i64, i32, i32, u8, u8, p_i64, p_i64, p_i32, p_i32,
     ]
     lib.bs_count_fastq.restype = i64
-    lib.bs_count_fastq.argtypes = [p_u8, i64, i64, p_i64, p_i64, p_i32, p_i32]
+    lib.bs_count_fastq.argtypes = [
+        p_u8, i64, i64, i32, i32, u8, u8, p_i64, p_i64, p_i32, p_i32,
+    ]
     lib.bs_find_newlines.restype = i64
     lib.bs_find_newlines.argtypes = [p_u8, i64, p_i64, i64]
     lib.bs_gather_soa.restype = i64
@@ -87,6 +89,15 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bs_scan_fasta.argtypes = [
         p_u8, i64, i64, i32, i64, i32, p_u8, p_i64, p_u8, p_i64,
         p_i64, p_i64, p_i32, p_i64,
+    ]
+    lib.bs_generate_fastq.restype = i64
+    lib.bs_generate_fastq.argtypes = [
+        i64, i64, i64, i64, i64, i64, i64, i32, i32, i32, p_u8, p_u8,
+    ]
+    lib.bs_scan_gather_padded.restype = i64
+    lib.bs_scan_gather_padded.argtypes = [
+        p_u8, i64, i64, i64, i64, i32, i32, u8, u8, i64,
+        p_u8, p_u8, p_i32, p_i64, p_i32, p_i32,
     ]
     _lib = lib
     return _lib
@@ -281,8 +292,12 @@ def _validate_np(
     return 0, -1
 
 
-def count_fastq(window: np.ndarray, start: int = 0):
-    """Count (records, bases) of complete records in window[start:].
+def count_fastq(window: np.ndarray, start: int = 0,
+                check_ascii: bool = False, check_quality: bool = False,
+                q_lower: int = 33, q_upper: int = 126):
+    """Count (records, bases) of complete records in window[start:], with
+    optional fused validation (errors reported via err_code; the failing
+    record IS counted/consumed, like bs_scan_fastq).
 
     Returns (records, bases, consumed, err_code, err_phase)."""
     lib = _load()
@@ -293,11 +308,15 @@ def count_fastq(window: np.ndarray, start: int = 0):
         err_code = ctypes.c_int32(0)
         err_phase = ctypes.c_int32(0)
         records = lib.bs_count_fastq(
-            _ptr_u8(window), n, start, ctypes.byref(bases),
-            ctypes.byref(consumed), ctypes.byref(err_code), ctypes.byref(err_phase),
+            _ptr_u8(window), n, start,
+            1 if check_ascii else 0, 1 if check_quality else 0,
+            q_lower, q_upper - q_lower,
+            ctypes.byref(bases), ctypes.byref(consumed),
+            ctypes.byref(err_code), ctypes.byref(err_phase),
         )
         return records, bases.value, consumed.value, err_code.value, err_phase.value
-    res = _scan_fastq_np(window, start, 2**62, False, False, 33, 126)
+    res = _scan_fastq_np(window, start, 2**62, check_ascii, check_quality,
+                         q_lower, q_upper)
     if len(res.offsets):
         bases = int((res.offsets[:, 2] - res.offsets[:, 1] - 1).sum())
     else:
@@ -357,6 +376,50 @@ def gather_ids(window: np.ndarray, offsets: np.ndarray):
         total += len(part)
         ends[i] = total
     return np.frombuffer(b"".join(parts), dtype=np.uint8).copy(), ends
+
+
+def generate_fastq(first_read: int, num_reads: int, total_reads: int,
+                   min_length: int, max_length: int, min_phred: int,
+                   max_phred: int, offset: int, lower: int, upper: int,
+                   base_lut: np.ndarray):
+    """Native synthetic FASTQ generation; returns uint8 array or None when the
+    native library is unavailable (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    num_digits = len(str(total_reads - 1)) if total_reads > 1 else 1
+    cap = num_reads * (7 + num_digits + 2 * max_length + 4) + 16
+    out = np.empty(cap, dtype=np.uint8)
+    lut = np.ascontiguousarray(base_lut, dtype=np.uint8)
+    n = lib.bs_generate_fastq(
+        first_read, num_reads, total_reads, min_length, max_length,
+        min_phred, max_phred, offset, lower, upper, _ptr_u8(lut), _ptr_u8(out))
+    return out[:n]
+
+
+def scan_gather_padded(window: np.ndarray, start: int, max_records: int,
+                       width: int, check_ascii: bool, check_quality: bool,
+                       q_lower: int, q_upper: int, max_rec_size: int,
+                       out_seq: np.ndarray, out_qual: np.ndarray,
+                       out_len: np.ndarray):
+    """Fused single-pass scan+validate+padded-gather. Returns
+    (count, consumed, err_code, err_phase); err_code -9 = capacity exceeded,
+    other codes as bs_scan_fastq but with nothing of the bad record consumed.
+    Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    consumed = ctypes.c_int64(0)
+    err_code = ctypes.c_int32(0)
+    err_phase = ctypes.c_int32(0)
+    count = lib.bs_scan_gather_padded(
+        _ptr_u8(window), len(window), start, max_records, width,
+        1 if check_ascii else 0, 1 if check_quality else 0,
+        q_lower, q_upper - q_lower, max_rec_size,
+        _ptr_u8(out_seq), _ptr_u8(out_qual),
+        out_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(consumed), ctypes.byref(err_code), ctypes.byref(err_phase))
+    return count, consumed.value, err_code.value, err_phase.value
 
 
 class FastaScanResult(NamedTuple):

@@ -216,6 +216,79 @@ int64_t bs_gather_ids(const uint8_t* buf, const int64_t* offsets, int64_t nrec,
   return total;
 }
 
+// Fused scan + validate + padded gather: one pass over the window that finds
+// record boundaries, applies structure/ASCII/quality validation, and writes
+// seq/qual straight into the padded [*, width] device layout. This is the
+// single-pass host->HBM feed kernel (bytes are touched once on read, once on
+// write). Reads longer than width are clamped (reference MAX_QUERY_LEN
+// semantics, examples/nw_gpu/kernels.mojo:15-16).
+//
+// Stops BEFORE any record that fails validation/structure or exceeds
+// max_rec_size (err_code set, nothing of that record consumed); the caller
+// rescans it through bs_scan_fastq for exact error context. err_code -9 means
+// capacity exceeded.
+int64_t bs_scan_gather_padded(const uint8_t* buf, int64_t n, int64_t start,
+                              int64_t max_records, int64_t width,
+                              int32_t check_ascii, int32_t check_quality,
+                              uint8_t q_lower, uint8_t q_span,
+                              int64_t max_rec_size, uint8_t* seq_out,
+                              uint8_t* qual_out, int32_t* len_out,
+                              int64_t* consumed, int32_t* err_code,
+                              int32_t* err_phase) {
+  int64_t pos = start;
+  int64_t count = 0;
+  *err_code = BS_OK;
+  *err_phase = 0;
+  *consumed = start;
+  while (count < max_records && pos < n) {
+    const int64_t h = pos;
+    const void* m1 = std::memchr(buf + pos, '\n', (size_t)(n - pos));
+    if (!m1) { *err_phase = 0; return count; }
+    const int64_t s = (const uint8_t*)m1 - buf + 1;
+    if (s >= n) { *err_phase = 1; return count; }
+    const void* m2 = std::memchr(buf + s, '\n', (size_t)(n - s));
+    if (!m2) { *err_phase = 1; return count; }
+    const int64_t p = (const uint8_t*)m2 - buf + 1;
+    if (p >= n) { *err_phase = 2; return count; }
+    const void* m3 = std::memchr(buf + p, '\n', (size_t)(n - p));
+    if (!m3) { *err_phase = 2; return count; }
+    const int64_t q = (const uint8_t*)m3 - buf + 1;
+    if (q >= n) { *err_phase = 3; return count; }
+    const void* m4 = std::memchr(buf + q, '\n', (size_t)(n - q));
+    if (!m4) { *err_phase = 3; return count; }
+    const int64_t e = (const uint8_t*)m4 - buf;
+
+    if (buf[h] != '@') { *err_code = BS_ID_NO_AT; return count; }
+    if (buf[p] != '+') { *err_code = BS_SEP_NO_PLUS; return count; }
+    const int64_t seq_len = p - s - 1;
+    if (seq_len != e - q) { *err_code = BS_SEQ_QUAL_LEN_MISMATCH; return count; }
+    if (e + 1 - h > max_rec_size) { *err_code = -9; return count; }
+    if (check_ascii &&
+        (!all_ascii(buf + h + 1, (p - 1) - (h + 1)) ||
+         !all_ascii(buf + q, seq_len))) {
+      *err_code = BS_ASCII_INVALID;
+      return count;
+    }
+    if (check_quality && !all_in_range(buf + q, seq_len, q_lower, q_span)) {
+      *err_code = BS_QUALITY_OUT_OF_RANGE;
+      return count;
+    }
+
+    const int64_t len = seq_len > width ? width : seq_len;
+    uint8_t* srow = seq_out + count * width;
+    uint8_t* qrow = qual_out + count * width;
+    std::memcpy(srow, buf + s, (size_t)len);
+    std::memcpy(qrow, buf + q, (size_t)len);
+    std::memset(srow + len, 0, (size_t)(width - len));
+    std::memset(qrow + len, 0, (size_t)(width - len));
+    len_out[count] = (int32_t)len;
+    ++count;
+    pos = e + 1;
+    *consumed = pos;
+  }
+  return count;
+}
+
 // Gather directly into the padded [nrec, width] device layout (rows
 // zero-padded, reads clamped to width). Writes per-record lengths (clamped).
 // This is the host->HBM feed fast path: one memcpy per line, no intermediate
@@ -244,6 +317,8 @@ void bs_gather_padded(const uint8_t* buf, const int64_t* offsets, int64_t nrec,
 // (views-mode equivalent: reference benchmark runners print `records base_pairs`,
 // benchmark/fastq-parser/run_blazeseq.mojo:21-60).
 int64_t bs_count_fastq(const uint8_t* buf, int64_t n, int64_t start,
+                       int32_t check_ascii, int32_t check_quality,
+                       uint8_t q_lower, uint8_t q_span,
                        int64_t* bases_out, int64_t* consumed,
                        int32_t* err_code, int32_t* err_phase) {
   int64_t pos = start;
@@ -273,6 +348,16 @@ int64_t bs_count_fastq(const uint8_t* buf, int64_t n, int64_t start,
     if (buf[p] != '+') { *err_code = BS_SEP_NO_PLUS; break; }
     const int64_t seq_len = p - s - 1;
     if (seq_len != e - q) { *err_code = BS_SEQ_QUAL_LEN_MISMATCH; break; }
+    if (check_ascii &&
+        (!all_ascii(buf + h + 1, (p - 1) - (h + 1)) ||
+         !all_ascii(buf + q, seq_len))) {
+      *err_code = BS_ASCII_INVALID;  // record left unconsumed for rescan
+      break;
+    }
+    if (check_quality && !all_in_range(buf + q, seq_len, q_lower, q_span)) {
+      *err_code = BS_QUALITY_OUT_OF_RANGE;
+      break;
+    }
     ++records;
     bases += seq_len;
     pos = e + 1;
@@ -280,6 +365,75 @@ int64_t bs_count_fastq(const uint8_t* buf, int64_t n, int64_t start,
   }
   *bases_out = bases;
   return records;
+}
+
+// Deterministic synthetic FASTQ generator (exact model of the reference
+// generator, blazeseq/utils.mojo:707-917: per-read Knuth MMIX LCG masked to
+// 63 bits, GC-biased 8-slot LUT, linear quality decay + LCG jitter).
+// Writes records for reads [first_read, first_read + num_reads) into out;
+// returns bytes written. num_digits fixes the zero-padded header width.
+int64_t bs_generate_fastq(int64_t first_read, int64_t num_reads,
+                          int64_t total_reads_for_digits, int64_t min_length,
+                          int64_t max_length, int64_t min_phred,
+                          int64_t max_phred, int32_t offset_i, int32_t lower_i,
+                          int32_t upper_i, const uint8_t* base_lut,
+                          uint8_t* out) {
+  const uint64_t MASK63 = 0x7FFFFFFFFFFFFFFFULL;
+  const uint64_t A = 6364136223846793005ULL;
+  const uint64_t C = 1442695040888963407ULL;
+  int64_t num_digits = 1;
+  if (total_reads_for_digits > 1) {
+    num_digits = 0;
+    for (int64_t v = total_reads_for_digits - 1; v > 0; v /= 10) ++num_digits;
+  }
+  const int64_t q_start = max_phred;
+  const int64_t q_range = max_phred - min_phred;
+  const int64_t noise_amp = (q_range / 6) + 1;
+  const int64_t noise_mod = 2 * noise_amp + 1;
+
+  uint8_t* p = out;
+  for (int64_t i = first_read; i < first_read + num_reads; ++i) {
+    int64_t read_len = (max_length == min_length)
+                           ? min_length
+                           : min_length + ((i * 31 + 7) %
+                                           (max_length - min_length + 1));
+    // header: @read_<zero-padded i>\n
+    *p++ = '@'; *p++ = 'r'; *p++ = 'e'; *p++ = 'a'; *p++ = 'd'; *p++ = '_';
+    for (int64_t k = num_digits - 1; k >= 0; --k) {
+      int64_t div = 1;
+      for (int64_t t = 0; t < k; ++t) div *= 10;
+      *p++ = (uint8_t)('0' + (i / div) % 10);
+    }
+    *p++ = '\n';
+    // sequence
+    uint64_t s = ((uint64_t)i * A + C) & MASK63;
+    for (int64_t b = 0; b < read_len; ++b) {
+      s = (s * A + C) & MASK63;
+      p[b] = base_lut[(s >> 33) & 7];
+    }
+    p += read_len;
+    *p++ = '\n'; *p++ = '+'; *p++ = '\n';
+    // quality: linear decay + jitter
+    uint64_t q = ((uint64_t)i * 2654435761ULL + 1013904223ULL) & MASK63;
+    const int64_t lm1 = read_len - 1;
+    for (int64_t b = 0; b < read_len; ++b) {
+      int64_t mean =
+          (lm1 == 0) ? q_start
+                     : q_start - (q_range * b + lm1 / 2) / lm1;
+      q = (q * 1664525ULL + 1013904223ULL) & MASK63;
+      int64_t noise = (int64_t)((q >> 17) % (uint64_t)noise_mod);
+      int64_t phred = mean + noise - noise_amp;
+      if (phred < min_phred) phred = min_phred;
+      if (phred > max_phred) phred = max_phred;
+      int64_t a = offset_i + phred;
+      if (a < lower_i) a = lower_i;
+      if (a > upper_i) a = upper_i;
+      p[b] = (uint8_t)a;
+    }
+    p += read_len;
+    *p++ = '\n';
+  }
+  return p - out;
 }
 
 namespace {

@@ -94,6 +94,17 @@ def generate_synthetic_fastq_buffer(
     schema = parse_schema(quality_schema)
     offset_i, lower_i, upper_i = schema.OFFSET, schema.LOWER, schema.UPPER
     base_lut = _gc_biased_base_lut(gc_bias)
+
+    # native fast path (bit-identical; blazeseq_tpu/native/scan.cpp
+    # bs_generate_fastq)
+    from . import native
+
+    nat = native.generate_fastq(
+        0, num_reads, num_reads, min_length, max_length, min_phred,
+        max_phred, offset_i, lower_i, upper_i, base_lut)
+    if nat is not None:
+        return bytearray(nat.tobytes())
+
     num_digits = len(str(num_reads - 1)) if num_reads > 1 else 1
     header_size = 6 + num_digits + 1
 
