@@ -26,6 +26,8 @@ from .errors import (
     ParseError,
     ValidationError,
 )
+from .bed.parser import BedParser, BedWriter
+from .bed.record import BedRecord, BedView, ItemRgb, Strand
 from .fai.parser import FaiParser, build_fai, write_fai
 from .fai.record import FaiRecord, FaiView
 from .fasta.parser import FastaBatch, FastaParser, FastaParserConfig
@@ -34,6 +36,12 @@ from .fastq.batch import DeviceFastqBatch, FastqBatch, PaddedFastqBatch, upload_
 from .fastq.parser import FastqParser, ParserConfig
 from .fastq.quality import QualitySchema, parse_schema
 from .fastq.record import Definition, FastqRecord, FastqView, Validator
+from .features.ranges import Interval, Position
+from .gff.attributes import Gff3Attributes, parse_gff3_attributes
+from .gff.parser import Gff3Parser
+from .gff.record import Gff3Record, Gff3Strand, SequenceRegion
+from .gtf.attributes import GtfAttributes, parse_gtf_attributes
+from .gtf.parser import GtfParser, GtfRecord
 from .io.delimited import (
     DefaultLinePolicy,
     DelimitedReader,

@@ -113,13 +113,15 @@ class DelimitedReader:
 
     def __init__(self, reader, delimiter: bytes = b"\t",
                  policy=None, has_header: bool = False,
-                 capacity: int = DEFAULT_CAPACITY):
+                 capacity: int = DEFAULT_CAPACITY,
+                 check_consistent_fields: bool = True):
         self.lines = LineIterator(reader, capacity=capacity,
                                   growth_enabled=True)
         self._delimiter = delimiter
         self._record_number = 0
         self._has_header = has_header
         self._header: Optional[DelimitedRecord] = None
+        self._check_consistent = check_consistent_fields
         self._expected_num_fields = 0
         self.policy = policy or DefaultLinePolicy()
         self._stopped = False
@@ -159,6 +161,8 @@ class DelimitedReader:
         self._header = view.to_record()
 
     def _check_field_count(self, n: int) -> None:
+        if not self._check_consistent:
+            return
         if self._expected_num_fields == 0:
             self._expected_num_fields = n
         elif n != self._expected_num_fields:
