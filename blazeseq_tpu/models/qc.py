@@ -79,6 +79,8 @@ class QCModel:
         return self.run_parser(parser)
 
     def run_parser(self, parser: FastqParser) -> QCReport:
+        import jax
+
         acc = QCAccumulator()
         all_scores = [] if self.align_to is not None else None
         ref = (jnp.asarray(np.frombuffer(self.align_to, dtype=np.uint8))
@@ -87,6 +89,13 @@ class QCModel:
         pad_n = self.batch_size
         if self.mesh is not None:
             pad_n = _round_up(pad_n, self.mesh.size)
+        # device-resident running total, flushed to the host int64 accumulator
+        # every _FLUSH_EVERY batches (keeps int32 leaves far from overflow and
+        # minimizes device->host pulls)
+        _FLUSH_EVERY = 64
+        dev_total = None
+        pending = 0
+        merge = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
         for pb in parser.padded_batches(self.batch_size,
                                         max_len=self.max_read_len,
                                         pad_records_to=pad_n):
@@ -96,9 +105,17 @@ class QCModel:
                 jnp.int32(pb.n_records), ref,
                 jnp.int32(self.schema.LOWER), jnp.int32(self.schema.UPPER),
                 jnp.int32(self.schema.OFFSET))
-            acc.add(res.stats)
+            dev_total = res.stats if dev_total is None else merge(
+                dev_total, res.stats)
+            pending += 1
+            if pending >= _FLUSH_EVERY:
+                acc.add(dev_total)
+                dev_total = None
+                pending = 0
             if all_scores is not None:
                 all_scores.append(np.asarray(res.nw_scores)[: pb.n_records])
+        if dev_total is not None:
+            acc.add(dev_total)
         if acc.total is None:
             from ..ops.stats import zero_stats
 

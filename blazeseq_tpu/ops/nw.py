@@ -190,8 +190,12 @@ def nw_scores_pallas(seq, lengths, ref, block_records: int = 256):
 
 
 def nw_scores(seq, lengths, ref, prefer_pallas=None):
-    """Dispatching wrapper."""
+    """Dispatching wrapper. The lax.scan formulation is the default: on v5e
+    the XLA-fused wavefront runs ~100x faster than the current Pallas kernel
+    (whose per-diagonal dynamic-slice row read serializes poorly); the Pallas
+    version is retained as an opt-in and as the basis for a future
+    VMEM-pipelined implementation."""
     if prefer_pallas is None:
-        prefer_pallas = jax.default_backend() == "tpu"
+        prefer_pallas = False
     fn = nw_scores_pallas if prefer_pallas else nw_scores_xla
     return fn(jnp.asarray(seq), jnp.asarray(lengths), jnp.asarray(ref))

@@ -60,10 +60,12 @@ def _validate_kernel(params_ref, seq_ref, qual_ref, len_ref, codes_ref,
     qual = qual_ref[...].astype(jnp.int32)
     n, width = seq.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (n, width), 1)
-    mask = pos < len_ref[...][:, None]
+    mask = pos < len_ref[...]  # len_ref is [n, 1] (2-D for Mosaic layouts)
 
-    bad_q = jnp.any(mask & ((qual < q_lower) | (qual > q_upper)), axis=1)
-    bad_a = jnp.any(mask & (((seq | qual) & 0x80) != 0), axis=1)
+    bad_q = jnp.any(mask & ((qual < q_lower) | (qual > q_upper)), axis=1,
+                    keepdims=True)
+    bad_a = jnp.any(mask & (((seq | qual) & 0x80) != 0), axis=1,
+                    keepdims=True)
     codes = jnp.where(bad_q & (check_quality != 0), QUALITY_OUT_OF_RANGE, 0)
     codes = jnp.where(bad_a & (check_ascii != 0), ASCII_INVALID, codes)
     codes_ref[...] = codes.astype(jnp.int32)
@@ -90,19 +92,20 @@ def validate_decode_pallas(seq, qual, lengths, q_lower, q_upper, offset,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tn, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tn,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((round_up(n, tn),), jnp.int32),
+            jax.ShapeDtypeStruct((round_up(n, tn), 1), jnp.int32),
             jax.ShapeDtypeStruct((round_up(n, tn), L), jnp.uint8),
         ),
         interpret=use_interpret(),
-    )(params, _pad_rows(seq, tn), _pad_rows(qual, tn), _pad_rows(lengths, tn))
-    return codes[:n], phred[:n]
+    )(params, _pad_rows(seq, tn), _pad_rows(qual, tn),
+      _pad_rows(lengths, tn).reshape(-1, 1))
+    return codes[:n, 0], phred[:n]
 
 
 def _pad_rows(a, tn):
