@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Benchmark orchestrator (≡ reference benchmark/fastq-parser/bench.py +
+run_benchmarks.sh).
+
+Workloads:
+  parser        wall-clock subprocess timing of the counting runner over a
+                generated plain FASTQ corpus, per mode, with warmup + reps
+                (hyperfine-style; uses `taskset -c 0` pinning when available)
+  gzip          same over a gzip corpus with ParallelGzipReader (parallelism 4
+                and 1)
+  throughput    in-process modes x validation matrix (no subprocess overhead)
+  fasta         FASTA counting over a generated corpus
+
+Every cell's `records base_pairs` output is cross-checked for agreement
+(reference bench.py:113-156). Results are written to
+benchmark/results/<workload>.json; plot with benchmark/plot_results.py.
+
+Usage: python benchmark/bench_harness.py --workload parser --size-mb 512
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RESULTS_DIR = os.path.join(REPO, "benchmark", "results")
+
+
+def _gen_fastq(size_mb: int, read_len: int = 100) -> str:
+    import blazeseq_tpu as bt
+
+    path = "/tmp/bench_corpus_%dmb_%dbp.fastq" % (size_mb, read_len)
+    if not os.path.exists(path):
+        n = bt.compute_num_reads_for_size(size_mb << 20, read_len, read_len)
+        buf = bt.generate_synthetic_fastq_buffer(n, read_len, read_len, 2, 40,
+                                                 "sanger")
+        with open(path, "wb") as f:
+            f.write(buf)
+    return path
+
+
+def _gen_fastq_gz(size_mb: int) -> str:
+    import zlib
+
+    plain = _gen_fastq(size_mb)
+    path = plain + ".gz"
+    if not os.path.exists(path):
+        comp = zlib.compressobj(6, zlib.DEFLATED, 31)
+        with open(plain, "rb") as src, open(path, "wb") as dst:
+            while True:
+                chunk = src.read(1 << 20)
+                if not chunk:
+                    break
+                dst.write(comp.compress(chunk))
+            dst.write(comp.flush())
+    return path
+
+
+def _gen_fasta(size_mb: int) -> str:
+    import blazeseq_tpu as bt
+
+    path = "/tmp/bench_corpus_%dmb.fasta" % size_mb
+    if not os.path.exists(path):
+        n = bt.compute_num_fasta_reads_for_size(size_mb << 20, 1000, 3000)
+        buf = bt.generate_synthetic_fasta_buffer(n, 1000, 3000)
+        with open(path, "wb") as f:
+            f.write(buf)
+    return path
+
+
+def _pin_prefix():
+    if shutil.which("taskset"):
+        return ["taskset", "-c", "0"]
+    return []
+
+
+def _time_subprocess(cmd, warmup=1, reps=3):
+    """hyperfine-style: warmup runs then reps, return (times, stdout)."""
+    out = None
+    for _ in range(warmup):
+        r = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        out = r.stdout.strip()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        times.append(time.perf_counter() - t0)
+        assert r.stdout.strip() == out, "nondeterministic runner output"
+    return times, out
+
+
+def _record(workload, rows, corpus_size):
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    path = os.path.join(RESULTS_DIR, "%s.json" % workload)
+    with open(path, "w") as f:
+        json.dump({"workload": workload, "corpus_bytes": corpus_size,
+                   "rows": rows}, f, indent=2)
+    print("wrote %s" % path)
+
+
+def _check_agreement(rows):
+    counts = {(r["records"], r["base_pairs"]) for r in rows}
+    if len(counts) != 1:
+        raise SystemExit("FATAL: records/base_pairs disagree across runners: %s"
+                         % counts)
+    print("cross-check OK: all runners agree on %s records / %s base_pairs"
+          % counts.pop())
+
+
+def workload_parser(size_mb, reps):
+    corpus = _gen_fastq(size_mb)
+    size = os.path.getsize(corpus)
+    runner = os.path.join(REPO, "benchmark", "runners", "run_fastq.py")
+    rows = []
+    for mode in ["count", "padded", "batch", "records"]:
+        cmd = _pin_prefix() + [sys.executable, runner, corpus, "--mode", mode]
+        times, out = _time_subprocess(cmd, reps=reps)
+        records, bases = map(int, out.split())
+        mean = sum(times) / len(times)
+        rows.append(dict(mode=mode, mean_s=mean, min_s=min(times),
+                         times=times, gbps=size / min(times) / 1e9,
+                         records=records, base_pairs=bases))
+        print("parser/%s: %.3fs (%.2f GB/s incl. interpreter startup)"
+              % (mode, min(times), size / min(times) / 1e9))
+    _check_agreement(rows)
+    _record("parser", rows, size)
+
+
+def workload_gzip(size_mb, reps):
+    corpus = _gen_fastq_gz(size_mb)
+    plain_size = os.path.getsize(_gen_fastq(size_mb))
+    runner = os.path.join(REPO, "benchmark", "runners", "run_fastq.py")
+    rows = []
+    for par in [4, 1]:
+        cmd = _pin_prefix() + [sys.executable, runner, corpus,
+                               "--mode", "count", "--parallelism", str(par)]
+        times, out = _time_subprocess(cmd, reps=reps)
+        records, bases = map(int, out.split())
+        rows.append(dict(mode="gzip_p%d" % par, mean_s=sum(times) / len(times),
+                         min_s=min(times), times=times,
+                         gbps=plain_size / min(times) / 1e9,
+                         records=records, base_pairs=bases))
+        print("gzip/p%d: %.3fs" % (par, min(times)))
+    _check_agreement(rows)
+    _record("gzip", rows, plain_size)
+
+
+def workload_throughput(size_mb, reps):
+    corpus = _gen_fastq(size_mb)
+    size = os.path.getsize(corpus)
+    runner = os.path.join(REPO, "benchmark", "throughput", "run_throughput.py")
+    r = subprocess.run(
+        _pin_prefix() + [sys.executable, runner, corpus,
+                         "--reps", str(reps)],
+        capture_output=True, text=True, check=True)
+    rows = []
+    for line in r.stdout.strip().splitlines():
+        mode, val, secs, gbps, records, bases = line.split()
+        rows.append(dict(mode=mode, validation=val, parse_seconds=float(secs),
+                         gbps=float(gbps), records=int(records),
+                         base_pairs=int(bases)))
+        print("throughput/%s/%s: %s GB/s" % (mode, val, gbps))
+    _check_agreement(rows)
+    _record("throughput", rows, size)
+
+
+def workload_fasta(size_mb, reps):
+    corpus = _gen_fasta(size_mb)
+    size = os.path.getsize(corpus)
+    runner = os.path.join(REPO, "benchmark", "runners", "run_fasta.py")
+    times, out = _time_subprocess(
+        _pin_prefix() + [sys.executable, runner, corpus], reps=reps)
+    records, bases = map(int, out.split())
+    rows = [dict(mode="fasta", mean_s=sum(times) / len(times),
+                 min_s=min(times), times=times,
+                 gbps=size / min(times) / 1e9, records=records,
+                 base_pairs=bases)]
+    print("fasta: %.3fs (%.2f GB/s)" % (min(times), rows[0]["gbps"]))
+    _record("fasta", rows, size)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", default="throughput",
+                    choices=["parser", "gzip", "throughput", "fasta", "all"])
+    ap.add_argument("--size-mb", type=int, default=512)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+    loads = (["parser", "gzip", "throughput", "fasta"]
+             if args.workload == "all" else [args.workload])
+    for w in loads:
+        globals()["workload_" + w](args.size_mb, args.reps)
+
+
+if __name__ == "__main__":
+    main()
