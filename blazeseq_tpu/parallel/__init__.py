@@ -2,3 +2,4 @@
 
 from .mesh import DP_AXIS, batch_sharding, make_mesh, replicated, shard_batch
 from .pipeline import QCAlignResult, build_qc_align_step, run_qc_align
+from .sharding import RangeReader, find_record_boundary, open_shard, shard_file
