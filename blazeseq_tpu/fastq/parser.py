@@ -500,6 +500,11 @@ class FastqParser:
                 return
             yield batch
 
+    def batches_with_size(self, n: int) -> Iterator[FastqBatch]:
+        """Alias mirroring the reference Python binding
+        (python/blazeseq/__init__.py:188-230)."""
+        return self.batches(n)
+
     # -- public: counting fast path --------------------------------------------------
     def count(self):
         """Count (records, bases) at full scan speed without materializing

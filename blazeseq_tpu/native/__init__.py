@@ -582,12 +582,13 @@ def gather_padded(window: np.ndarray, offsets: np.ndarray, width: int,
             lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
         return seq, qual, lengths
-    lens = np.minimum(offsets[:, 2] - offsets[:, 1] - 1, width)
+    true_lens = offsets[:, 2] - offsets[:, 1] - 1
+    lens = np.minimum(true_lens, width)
     for i in range(nrec):
         s, q, L = int(offsets[i, 1]), int(offsets[i, 3]), int(lens[i])
         seq[i, :L] = window[s : s + L]
         qual[i, :L] = window[q : q + L]
-    lengths[:nrec] = lens
+    lengths[:nrec] = true_lens
     return seq, qual, lengths
 
 

@@ -274,6 +274,9 @@ int64_t bs_scan_gather_padded(const uint8_t* buf, int64_t n, int64_t start,
       return count;
     }
 
+    // copy is clamped to the row width, but len_out records the TRUE read
+    // length so downstream counters (bases, read-length stats) stay exact;
+    // per-position kernels mask with min(len, width) implicitly
     const int64_t len = seq_len > width ? width : seq_len;
     uint8_t* srow = seq_out + count * width;
     uint8_t* qrow = qual_out + count * width;
@@ -281,7 +284,7 @@ int64_t bs_scan_gather_padded(const uint8_t* buf, int64_t n, int64_t start,
     std::memcpy(qrow, buf + q, (size_t)len);
     std::memset(srow + len, 0, (size_t)(width - len));
     std::memset(qrow + len, 0, (size_t)(width - len));
-    len_out[count] = (int32_t)len;
+    len_out[count] = (int32_t)seq_len;
     ++count;
     pos = e + 1;
     *consumed = pos;
@@ -301,15 +304,15 @@ void bs_gather_padded(const uint8_t* buf, const int64_t* offsets, int64_t nrec,
     const int64_t s = rec[1];
     const int64_t p = rec[2];
     const int64_t q = rec[3];
-    int64_t len = p - s - 1;
-    if (len > width) len = width;
+    const int64_t true_len = p - s - 1;
+    int64_t len = true_len > width ? width : true_len;
     uint8_t* srow = seq_out + i * width;
     uint8_t* qrow = qual_out + i * width;
     std::memcpy(srow, buf + s, (size_t)len);
     std::memcpy(qrow, buf + q, (size_t)len);
     std::memset(srow + len, 0, (size_t)(width - len));
     std::memset(qrow + len, 0, (size_t)(width - len));
-    len_out[i] = (int32_t)len;
+    len_out[i] = (int32_t)true_len;
   }
 }
 

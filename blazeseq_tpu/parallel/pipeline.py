@@ -52,7 +52,9 @@ def _local_step(seq, qual, lengths, n_records, ref, q_lower, q_upper, offset,
     if axis_name is not None:
         st = jax.lax.psum(st, axis_name)
     if with_alignment:
-        scores = nw_ops.nw_scores_xla(seq, lengths, ref)
+        # lengths may exceed the padded width for clamped long reads
+        scores = nw_ops.nw_scores_xla(
+            seq, jnp.minimum(lengths, seq.shape[1]), ref)
     else:
         scores = jnp.zeros(seq.shape[0], jnp.int32)
     return QCAlignResult(st, codes, phred, scores)

@@ -51,6 +51,24 @@ def test_nw_aligner_verify_batch():
     assert aligner.verify_batch(batch)
 
 
+def test_padded_clamps_copy_but_keeps_true_length():
+    """Reads longer than max_len: bytes clamped to the row, lengths exact
+    (so bases counters stay correct)."""
+    long = b"@r1\n" + b"A" * 300 + b"\n+\n" + b"I" * 300 + b"\n"
+    p = bt.FastqParser(bt.MemoryReader(long + b"@r2\nACGT\n+\nIIII\n"))
+    pb = p.next_padded(4, max_len=128)
+    assert pb.n_records == 2
+    assert np.asarray(pb.lengths)[:2].tolist() == [300, 4]
+    assert bytes(np.asarray(pb.seq)[0]) == b"A" * 128
+    # QC over this batch still counts the true base total
+    from blazeseq_tpu.ops.stats import qc_stats
+
+    st = qc_stats(np.asarray(pb.seq), np.asarray(pb.qual),
+                  np.asarray(pb.lengths), np.int32(33),
+                  n_records=np.int32(2))
+    assert int(st.bases) == 304
+
+
 def test_parser_padded_batches_roundtrip():
     buf = bytes(bt.generate_synthetic_fastq_buffer(100, 10, 50, 2, 40, "sanger"))
     p = bt.FastqParser(bt.MemoryReader(buf))
