@@ -65,6 +65,7 @@ class ParserConfig:
 
 
 _BLANK = frozenset(b"\n\r \t")
+_WS = frozenset(b" \t\n\v\f\r\x1c\x1d\x1e")
 
 
 class FastqParser:
@@ -91,6 +92,7 @@ class FastqParser:
         self._q: np.ndarray = np.empty((0, 5), dtype=np.int64)
         self._q_rows = None  # lazy tolist() mirror for O(1) per-view access
         self._q_pos = 0
+        self._mv = None  # cached buffer memoryview, refreshed per scan
         self._pending_exc_info = None  # (code, id_bytes, seq_bytes)
 
     # -- bookkeeping -----------------------------------------------------------
@@ -227,6 +229,7 @@ class FastqParser:
             self._q = offsets
             self._q_rows = None
             self._q_pos = 0
+            self._mv = None
             if len(offsets) == 0:
                 self._raise_parse_error(FastxErrorCode(code), res.err_offsets)
             # stash structure error info implicitly: it will be re-detected on
@@ -243,6 +246,7 @@ class FastqParser:
         self._q = offsets
         self._q_rows = None  # materialized lazily by the view path
         self._q_pos = 0
+        self._mv = None
         if len(offsets) == 0 and self._pending_exc_info is not None:
             self._raise_validation_error()
 
@@ -281,6 +285,7 @@ class FastqParser:
             self._q = off
             self._q_rows = None
             self._q_pos = 0
+            self._mv = None
             s.consume(len(tail))
             return
         raise ParseError(
@@ -304,17 +309,21 @@ class FastqParser:
 
     # -- record materialization --------------------------------------------------
     def _view_at(self, row) -> FastqView:
-        buf = self._stream.mview()
+        buf = self._mv
+        if buf is None:
+            buf = self._mv = self._stream.mview()
         h, sS, p, q, e = row
-        id_mv = buf[h + 1 : sS - 1]
-        # strip POSIX whitespace from id (reference: parser.mojo:368-371)
-        id_b = bytes(id_mv)
-        stripped = strip_spaces(id_b)
-        if len(stripped) != len(id_b):
-            lead = len(id_b) - len(id_b.lstrip(b" \t\n\v\f\r\x1c\x1d\x1e"))
-            id_mv = buf[h + 1 + lead : h + 1 + lead + len(stripped)]
+        # strip POSIX whitespace from id (reference: parser.mojo:368-371);
+        # fast path: boundary bytes are non-whitespace for typical ids
+        a, b = h + 1, sS - 1
+        if b > a and (buf[a] in _WS or buf[b - 1] in _WS):
+            stripped = strip_spaces(bytes(buf[a:b]))
+            lead = (b - a) - len(
+                bytes(buf[a:b]).lstrip(b" \t\n\v\f\r\x1c\x1d\x1e"))
+            a += lead
+            b = a + len(stripped)
         return FastqView(
-            id_mv, buf[sS : p - 1], buf[q:e], self.quality_schema.OFFSET
+            buf[a:b], buf[sS : p - 1], buf[q:e], self.quality_schema.OFFSET
         )
 
     # -- public: single-record modes ---------------------------------------------

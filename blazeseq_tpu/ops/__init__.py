@@ -7,6 +7,7 @@ from .scan import (
     count_records_device,
     gather_padded_device,
     newline_positions_device,
+    parse_fastq_device,
     record_offsets_device,
     structural_bitmaps,
 )

@@ -177,6 +177,24 @@ def gather_padded_device(chunk: jnp.ndarray, offsets: jnp.ndarray,
     return seq, qual, lengths.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("max_records", "max_len"))
+def parse_fastq_device(chunk: jnp.ndarray, max_records: int, max_len: int):
+    """Full FASTQ parse on device: raw byte chunk -> padded SoA batch.
+
+    Combines record_offsets_device (boundary extraction + structure codes)
+    and gather_padded_device into one jitted step: the entire parse happens
+    in HBM with no host byte-touching. Intended for pipelines whose bytes are
+    already device-resident; the host C++ scanner remains the default feed.
+
+    Returns (seq u8[max_records, max_len], qual u8[max_records, max_len],
+             lengths i32[max_records], n_records i32[], codes i32[max_records]).
+    """
+    offsets, n_rec, codes = record_offsets_device(chunk, max_records)
+    seq, qual, lengths = gather_padded_device(chunk, offsets, max_records,
+                                              max_len)
+    return seq, qual, lengths, n_rec, codes
+
+
 def count_records_device(chunk: jnp.ndarray):
     """reads/bases counting fully on device (views-mode equivalent)."""
     _, _, _, counts = structural_bitmaps(_pad_lane(chunk))

@@ -146,6 +146,22 @@ def test_gather_padded_device():
         assert bytes(np.asarray(qual)[i, :L]) == rec.quality_bytes()
 
 
+def test_parse_fastq_device_end_to_end():
+    """Raw bytes -> padded batch entirely on device, parity with host parse."""
+    buf = bytes(bt.generate_synthetic_fastq_buffer(15, 8, 25, 2, 40, "sanger"))
+    chunk = np.frombuffer(buf, dtype=np.uint8)
+    seq, qual, lengths, n_rec, codes = scan.parse_fastq_device(
+        chunk, max_records=16, max_len=32)
+    assert int(n_rec) == 15
+    assert int(np.asarray(codes).sum()) == 0
+    host = list(bt.FastqParser(bt.MemoryReader(buf)).records())
+    for i, r in enumerate(host):
+        L = int(np.asarray(lengths)[i])
+        assert L == len(r)
+        assert bytes(np.asarray(seq)[i, :L]) == r.sequence_bytes()
+        assert bytes(np.asarray(qual)[i, :L]) == r.quality_bytes()
+
+
 # ---------------------------------------------------------------------------
 # Needleman-Wunsch
 # ---------------------------------------------------------------------------
