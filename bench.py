@@ -99,7 +99,8 @@ def main():
         reads = 0
         bases = 0
         for pb in parser.padded_batches(batch_n, max_len=max_len,
-                                        pad_records_to=batch_n):
+                                        pad_records_to=batch_n,
+                                        reuse_buffers=True):
             reads += pb.n_records
             bases += int(np.asarray(pb.lengths[: pb.n_records],
                                     dtype=np.int64).sum())

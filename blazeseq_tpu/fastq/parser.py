@@ -389,19 +389,26 @@ class FastqParser:
             quality_offset=self.quality_schema.OFFSET)
 
     def next_padded(self, max_records: int = DEFAULT_BATCH_SIZE,
-                    max_len: int = 256, pad_records_to: Optional[int] = None):
+                    max_len: int = 256, pad_records_to: Optional[int] = None,
+                    _out=None):
         """Fill a padded [rows, max_len] device-layout batch straight from the
         byte window in one fused native pass (scan + structure/ASCII/quality
         validation + gather; reads longer than max_len are clamped). The
         host->HBM feed fast path. Error semantics match next_batch: non-EOF
-        errors propagate and discard the partial batch."""
+        errors propagate and discard the partial batch.
+
+        `_out=(seq, qual, lengths)` fills caller-provided buffers instead of
+        allocating (used by padded_batches(reuse_buffers=True))."""
         from .batch import PaddedFastqBatch
 
         limit = max_records or self._batch_size
         rows = max(limit, pad_records_to or 0)
-        seq = np.empty((rows, max_len), dtype=np.uint8)
-        qual = np.empty((rows, max_len), dtype=np.uint8)
-        lengths = np.zeros(rows, dtype=np.int32)
+        if _out is not None:
+            seq, qual, lengths = _out
+        else:
+            seq = native.aligned_empty((rows, max_len))
+            qual = native.aligned_empty((rows, max_len))
+            lengths = np.zeros(rows, dtype=np.int32)
         got = 0
         s = self._stream
         cfg = self.config
@@ -478,10 +485,30 @@ class FastqParser:
 
     def padded_batches(self, max_records: Optional[int] = None,
                        max_len: int = 256,
-                       pad_records_to: Optional[int] = None):
+                       pad_records_to: Optional[int] = None,
+                       reuse_buffers: bool = False):
+        """Stream padded device-layout batches.
+
+        With reuse_buffers=True, two buffer sets are rotated (double
+        buffering): each yielded batch is invalidated two iterations later —
+        the same contract as views mode (record.mojo:435-441). Use when every
+        batch is consumed (device_put) before the next+1 iteration, which is
+        the normal host->HBM feed pattern."""
         limit = max_records or self._batch_size
+        outs = None
+        if reuse_buffers:
+            rows = max(limit, pad_records_to or 0)
+            outs = [
+                (native.aligned_empty((rows, max_len)),
+                 native.aligned_empty((rows, max_len)),
+                 np.zeros(rows, dtype=np.int32))
+                for _ in range(2)
+            ]
+        i = 0
         while self.has_more():
-            pb = self.next_padded(limit, max_len, pad_records_to)
+            out = outs[i & 1] if outs is not None else None
+            i += 1
+            pb = self.next_padded(limit, max_len, pad_records_to, _out=out)
             if pb.n_records == 0:
                 return
             yield pb

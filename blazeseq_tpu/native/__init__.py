@@ -115,6 +115,18 @@ class ScanResult(NamedTuple):
     err_offsets: Optional[np.ndarray]  # partial offsets of a structure-error record
 
 
+def aligned_empty(shape, dtype=np.uint8, align: int = 64) -> np.ndarray:
+    """np.empty with the base pointer aligned to `align` bytes. 64-byte
+    alignment lets bs_scan_gather_padded use non-temporal row stores (the
+    padded rows are written once and consumed by the device transfer, so
+    bypassing the cache avoids read-for-ownership bus traffic)."""
+    dtype = np.dtype(dtype)
+    size = int(np.prod(shape)) * dtype.itemsize
+    raw = np.empty(size + align, dtype=np.uint8)
+    off = (-raw.ctypes.data) % align
+    return raw[off : off + size].view(dtype).reshape(shape)
+
+
 def _ptr_u8(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 

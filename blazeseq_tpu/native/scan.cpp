@@ -9,11 +9,27 @@
 // (reference behavior spec: blazeseq/utils.mojo:472-551 _scan_record,
 // blazeseq/fastq/record.mojo:77-148 Validator, blazeseq/fastq/parser.mojo:311-379).
 //
+// Two implementations per hot kernel:
+//   * AVX-512BW fast path: one pass over the window in 64-byte blocks; a
+//     single cmpeq produces the newline bitmask (the reference's
+//     pack_bits(v.eq('\n')) idea, utils.mojo:524-531), a tzcnt bit-loop
+//     drives the 4-phase record state machine, ASCII validation is a fused
+//     whole-window OR-reduce pre-filter, and the quality-range check is
+//     fused into the same vector loads as the padded-row gather.
+//   * scalar memchr path: exact per-record semantics; used on non-AVX512
+//     builds and as the precision fallback when the ASCII pre-filter trips
+//     (the pre-filter conservatively covers separator-line bytes, which the
+//     reference never ASCII-checks — record.mojo:107-116).
+//
 // Build: g++ -O3 -march=native -shared -fPIC scan.cpp -o libblazeseq_scan.so
-// No external dependencies. glibc memchr is AVX2/AVX512-optimized.
+// No external dependencies.
 
 #include <cstdint>
 #include <cstring>
+
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -56,51 +72,16 @@ inline bool all_in_range(const uint8_t* p, int64_t n, uint8_t lower,
   return !bad;
 }
 
-}  // namespace
+// ---------------------------------------------------------------------------
+// Scalar reference implementations (exact per-record semantics; also the
+// dispatch target on non-AVX512 builds and the ASCII-pre-filter fallback).
+// ---------------------------------------------------------------------------
 
-extern "C" {
-
-// Find all '\n' positions in [buf, buf+n); writes up to cap positions into out.
-// Returns the number written (callers size cap generously; a second call with
-// start offset can resume).
-int64_t bs_find_newlines(const uint8_t* buf, int64_t n, int64_t* out,
-                         int64_t cap) {
-  int64_t count = 0;
-  int64_t pos = 0;
-  while (count < cap) {
-    const void* p = std::memchr(buf + pos, '\n', (size_t)(n - pos));
-    if (!p) break;
-    pos = (const uint8_t*)p - buf;
-    out[count++] = pos;
-    ++pos;
-    if (pos >= n) break;
-  }
-  return count;
-}
-
-// Scan a window for complete FASTQ records with fused structure validation and
-// optional ASCII / quality-range validation.
-//
-//   out:        int64[max_records * 5]: header_start, seq_start, sep_start,
-//               qual_start, record_end per record (record_end = index of the
-//               record's final '\n' = one past the last quality byte).
-//   consumed:   offset one past the final newline of the last *returned*
-//               record (the next record's header_start).
-//   err_code:   BS_OK, a structure code (bad record NOT counted; its partial
-//               offsets are written at out[count*5] for snippet building), or
-//               a validation code (bad record IS counted & consumed, matching
-//               reference consume-then-validate ordering, fastq/parser.mojo:160-170).
-//   err_phase:  when the window ends mid-record: number of newlines already
-//               found for the partial record (0..3). Python uses this for
-//               EOF handling (reference _check_end_qual, utils.mojo:294-329).
-//
-// Returns the number of complete valid-structure records written to out
-// (including, for validation errors, the failing record as the last one).
-int64_t bs_scan_fastq(const uint8_t* buf, int64_t n, int64_t start,
-                      int64_t max_records, int32_t check_ascii,
-                      int32_t check_quality, uint8_t q_lower, uint8_t q_span,
-                      int64_t* out, int64_t* consumed, int32_t* err_code,
-                      int32_t* err_phase) {
+int64_t scan_fastq_scalar(const uint8_t* buf, int64_t n, int64_t start,
+                          int64_t max_records, int32_t check_ascii,
+                          int32_t check_quality, uint8_t q_lower,
+                          uint8_t q_span, int64_t* out, int64_t* consumed,
+                          int32_t* err_code, int32_t* err_phase) {
   int64_t pos = start;
   int64_t count = 0;
   *err_code = BS_OK;
@@ -172,6 +153,540 @@ int64_t bs_scan_fastq(const uint8_t* buf, int64_t n, int64_t start,
   return count;
 }
 
+int64_t scan_gather_padded_scalar(
+    const uint8_t* buf, int64_t n, int64_t start, int64_t max_records,
+    int64_t width, int32_t check_ascii, int32_t check_quality, uint8_t q_lower,
+    uint8_t q_span, int64_t max_rec_size, uint8_t* seq_out, uint8_t* qual_out,
+    int32_t* len_out, int64_t* consumed, int32_t* err_code,
+    int32_t* err_phase) {
+  int64_t pos = start;
+  int64_t count = 0;
+  *err_code = BS_OK;
+  *err_phase = 0;
+  *consumed = start;
+  while (count < max_records && pos < n) {
+    const int64_t h = pos;
+    const void* m1 = std::memchr(buf + pos, '\n', (size_t)(n - pos));
+    if (!m1) { *err_phase = 0; return count; }
+    const int64_t s = (const uint8_t*)m1 - buf + 1;
+    if (s >= n) { *err_phase = 1; return count; }
+    const void* m2 = std::memchr(buf + s, '\n', (size_t)(n - s));
+    if (!m2) { *err_phase = 1; return count; }
+    const int64_t p = (const uint8_t*)m2 - buf + 1;
+    if (p >= n) { *err_phase = 2; return count; }
+    const void* m3 = std::memchr(buf + p, '\n', (size_t)(n - p));
+    if (!m3) { *err_phase = 2; return count; }
+    const int64_t q = (const uint8_t*)m3 - buf + 1;
+    if (q >= n) { *err_phase = 3; return count; }
+    const void* m4 = std::memchr(buf + q, '\n', (size_t)(n - q));
+    if (!m4) { *err_phase = 3; return count; }
+    const int64_t e = (const uint8_t*)m4 - buf;
+
+    if (buf[h] != '@') { *err_code = BS_ID_NO_AT; return count; }
+    if (buf[p] != '+') { *err_code = BS_SEP_NO_PLUS; return count; }
+    const int64_t seq_len = p - s - 1;
+    if (seq_len != e - q) { *err_code = BS_SEQ_QUAL_LEN_MISMATCH; return count; }
+    if (e + 1 - h > max_rec_size) { *err_code = -9; return count; }
+    if (check_ascii &&
+        (!all_ascii(buf + h + 1, (p - 1) - (h + 1)) ||
+         !all_ascii(buf + q, seq_len))) {
+      *err_code = BS_ASCII_INVALID;
+      return count;
+    }
+    if (check_quality && !all_in_range(buf + q, seq_len, q_lower, q_span)) {
+      *err_code = BS_QUALITY_OUT_OF_RANGE;
+      return count;
+    }
+
+    // copy is clamped to the row width, but len_out records the TRUE read
+    // length so downstream counters (bases, read-length stats) stay exact;
+    // per-position kernels mask with min(len, width) implicitly
+    const int64_t len = seq_len > width ? width : seq_len;
+    uint8_t* srow = seq_out + count * width;
+    uint8_t* qrow = qual_out + count * width;
+    std::memcpy(srow, buf + s, (size_t)len);
+    std::memcpy(qrow, buf + q, (size_t)len);
+    std::memset(srow + len, 0, (size_t)(width - len));
+    std::memset(qrow + len, 0, (size_t)(width - len));
+    len_out[count] = (int32_t)seq_len;
+    ++count;
+    pos = e + 1;
+    *consumed = pos;
+  }
+  return count;
+}
+
+int64_t count_fastq_scalar(const uint8_t* buf, int64_t n, int64_t start,
+                           int32_t check_ascii, int32_t check_quality,
+                           uint8_t q_lower, uint8_t q_span, int64_t* bases_out,
+                           int64_t* consumed, int32_t* err_code,
+                           int32_t* err_phase) {
+  int64_t pos = start;
+  int64_t records = 0;
+  int64_t bases = 0;
+  *err_code = BS_OK;
+  *err_phase = 0;
+  *consumed = start;
+  while (pos < n) {
+    const int64_t h = pos;
+    const void* m1 = std::memchr(buf + pos, '\n', (size_t)(n - pos));
+    if (!m1) { *err_phase = 0; break; }
+    const int64_t s = (const uint8_t*)m1 - buf + 1;
+    if (s >= n) { *err_phase = 1; break; }
+    const void* m2 = std::memchr(buf + s, '\n', (size_t)(n - s));
+    if (!m2) { *err_phase = 1; break; }
+    const int64_t p = (const uint8_t*)m2 - buf + 1;
+    if (p >= n) { *err_phase = 2; break; }
+    const void* m3 = std::memchr(buf + p, '\n', (size_t)(n - p));
+    if (!m3) { *err_phase = 2; break; }
+    const int64_t q = (const uint8_t*)m3 - buf + 1;
+    if (q >= n) { *err_phase = 3; break; }
+    const void* m4 = std::memchr(buf + q, '\n', (size_t)(n - q));
+    if (!m4) { *err_phase = 3; break; }
+    const int64_t e = (const uint8_t*)m4 - buf;
+    if (buf[h] != '@') { *err_code = BS_ID_NO_AT; break; }
+    if (buf[p] != '+') { *err_code = BS_SEP_NO_PLUS; break; }
+    const int64_t seq_len = p - s - 1;
+    if (seq_len != e - q) { *err_code = BS_SEQ_QUAL_LEN_MISMATCH; break; }
+    if (check_ascii &&
+        (!all_ascii(buf + h + 1, (p - 1) - (h + 1)) ||
+         !all_ascii(buf + q, seq_len))) {
+      *err_code = BS_ASCII_INVALID;  // record left unconsumed for rescan
+      break;
+    }
+    if (check_quality && !all_in_range(buf + q, seq_len, q_lower, q_span)) {
+      *err_code = BS_QUALITY_OUT_OF_RANGE;
+      break;
+    }
+    ++records;
+    bases += seq_len;
+    pos = e + 1;
+    *consumed = pos;
+  }
+  *bases_out = bases;
+  return records;
+}
+
+// ---------------------------------------------------------------------------
+// AVX-512BW fast path
+// ---------------------------------------------------------------------------
+#if defined(__AVX512BW__)
+
+inline bool acc_nonascii(__m512i acc) {
+  return _mm512_test_epi8_mask(acc, _mm512_set1_epi8((char)0x80)) != 0;
+}
+
+// Quality-range check over [p, p+n): true when every byte is in
+// [lower, lower+span] (unsigned-wraparound trick, vectorized).
+inline bool range_ok_512(const uint8_t* p, int64_t n, uint8_t lower,
+                         uint8_t span) {
+  const __m512i vl = _mm512_set1_epi8((char)lower);
+  const __m512i vs = _mm512_set1_epi8((char)span);
+  int64_t i = 0;
+  __mmask64 bad = 0;
+  for (; i + 64 <= n; i += 64) {
+    __m512i v = _mm512_loadu_si512((const void*)(p + i));
+    bad |= _mm512_cmp_epu8_mask(_mm512_sub_epi8(v, vl), vs, _MM_CMPINT_NLE);
+  }
+  if (i < n) {
+    __mmask64 lm = ((uint64_t)1 << (n - i)) - 1;
+    __m512i v = _mm512_maskz_loadu_epi8(lm, p + i);
+    bad |= _mm512_mask_cmp_epu8_mask(lm, _mm512_sub_epi8(v, vl), vs,
+                                     _MM_CMPINT_NLE);
+  }
+  return bad == 0;
+}
+
+// Copy min(len, width) bytes src->dst, zero-pad dst to width, and (when
+// check) accumulate quality-range violations over the copied lanes using the
+// same vector loads. Returns the violation mask OR (0 = in range).
+//
+// STREAM selects non-temporal full-width stores: padded rows are written once
+// and consumed by the device transfer, never re-read by the host, so
+// bypassing the cache avoids the read-for-ownership traffic that would
+// otherwise add a full extra read of the output size to the memory bus.
+// STREAM requires dst 64-byte aligned and width % 64 == 0 (callers check the
+// batch base pointer once; rows then stay aligned).
+template <bool STREAM>
+inline __mmask64 copy_pad_check(uint8_t* dst, const uint8_t* src, int64_t len,
+                                int64_t width, bool check, __m512i vl,
+                                __m512i vs) {
+  __mmask64 bad = 0;
+  const int64_t copy = len < width ? len : width;
+  int64_t j = 0;
+  for (; j + 64 <= copy; j += 64) {
+    __m512i v = _mm512_loadu_si512((const void*)(src + j));
+    if (STREAM)
+      _mm512_stream_si512((__m512i*)(dst + j), v);
+    else
+      _mm512_storeu_si512((void*)(dst + j), v);
+    if (check)
+      bad |= _mm512_cmp_epu8_mask(_mm512_sub_epi8(v, vl), vs, _MM_CMPINT_NLE);
+  }
+  if (j < width) {
+    // boundary chunk: tail of the copy + start of the zero padding
+    __mmask64 lm = (copy > j) ? (((uint64_t)1 << (copy - j)) - 1) : 0;
+    __m512i v = _mm512_maskz_loadu_epi8(lm, src + j);
+    if (check && lm)
+      bad |= _mm512_mask_cmp_epu8_mask(lm, _mm512_sub_epi8(v, vl), vs,
+                                       _MM_CMPINT_NLE);
+    const int64_t chunk = width - j;
+    if (chunk >= 64) {
+      if (STREAM)
+        _mm512_stream_si512((__m512i*)(dst + j), v);
+      else
+        _mm512_storeu_si512((void*)(dst + j), v);
+      j += 64;
+    } else {
+      _mm512_mask_storeu_epi8(dst + j, (((uint64_t)1 << chunk) - 1), v);
+      j = width;
+    }
+    const __m512i z = _mm512_setzero_si512();
+    for (; j + 64 <= width; j += 64) {
+      if (STREAM)
+        _mm512_stream_si512((__m512i*)(dst + j), z);
+      else
+        _mm512_storeu_si512((void*)(dst + j), z);
+    }
+    if (j < width)
+      _mm512_mask_storeu_epi8(dst + j, (((uint64_t)1 << (width - j)) - 1), z);
+  }
+  return bad;
+}
+
+// Record-handler action codes for the shared scan loop.
+enum : int {
+  REC_GO = 0,        // record accepted; consume and continue
+  REC_STOP_TAKEN = 1,  // record accepted + consumed, then stop (e.g. quality
+                       // error in consume-then-validate mode)
+  REC_STOP_DROP = 2,   // record rejected: nothing of it consumed; stop
+};
+
+// Record-centric scan driver with speculative structural parsing.
+//
+// Records in real FASTQ are locally uniform (fixed read length, fixed header
+// width), so the newline layout of record k is an excellent predictor for
+// record k+1. The driver caches the last record's relative newline offsets;
+// for each new record it loads the predicted span (<= SPEC_BLOCKS 64-byte
+// vectors), cmpeq's against '\n', and accepts the record if the resulting
+// bitmasks EXACTLY equal the expected pattern (which simultaneously proves
+// the 4 newlines are where predicted AND that no other newline exists in the
+// record, so the parse is exact, not a guess). On mismatch it falls back to
+// a tzcnt bit-loop scan for that one record and re-learns the layout
+// (the reference's SearchPhase machine, utils.mojo:97-128, is the fallback).
+//
+// A whole-window byte OR-reduce (ASCII pre-filter) is fused into the same
+// loads. Handler sees every structurally-delimited record.
+template <class Handler>
+int64_t scan_loop_512(const uint8_t* buf, int64_t n, int64_t start,
+                      int64_t max_records, Handler& hd, int64_t* consumed,
+                      int32_t* err_code, int32_t* err_phase, bool* acc_bad) {
+  constexpr int SPEC_BLOCKS = 8;  // speculate on records up to 512 bytes
+  const __m512i nlv = _mm512_set1_epi8('\n');
+  __m512i acc = _mm512_setzero_si512();
+  int64_t pos = start;
+  int64_t count = 0;
+  int tail_phase = 0;  // newlines found in a trailing partial record
+  *consumed = start;
+  *err_code = BS_OK;
+
+  bool lay_valid = false;
+  int64_t o1 = 0, o2 = 0, o3 = 0, o4 = 0;  // newline offsets rel record start
+  int kblocks = 0;
+  uint64_t exp[SPEC_BLOCKS], vmask[SPEC_BLOCKS];
+
+  while (pos < n && count < max_records) {
+    // ---- fast path: verify the predicted layout ----
+    if (lay_valid && pos + kblocks * 64 <= n) {
+      __m512i accl = acc;
+      uint64_t ok = 1;
+      for (int j = 0; j < kblocks; ++j) {
+        const __m512i v =
+            _mm512_loadu_si512((const void*)(buf + pos + (int64_t)j * 64));
+        accl = _mm512_or_si512(accl, v);
+        const uint64_t m = (uint64_t)_mm512_cmpeq_epi8_mask(v, nlv);
+        ok &= ((m & vmask[j]) == exp[j]) ? 1u : 0u;
+      }
+      if (ok) {
+        acc = accl;
+        const int64_t h = pos, e = pos + o4;
+        const int action = hd.on_record(count, h, pos + o1 + 1, pos + o2 + 1,
+                                        pos + o3 + 1, e, err_code);
+        if (action == REC_GO) {
+          ++count;
+          pos = e + 1;
+          *consumed = pos;
+          continue;
+        }
+        if (action == REC_STOP_TAKEN) {
+          ++count;
+          *consumed = e + 1;
+        }
+        *err_phase = 0;
+        *acc_bad = acc_nonascii(acc);
+        return count;
+      }
+      // speculation miss: re-learn via the scan path below
+    }
+
+    // ---- slow path: scan one record's 4 newlines with the bit loop ----
+    int64_t nl[4];
+    int got = 0;
+    for (int64_t base = pos; base < n && got < 4; base += 64) {
+      const int64_t rem = n - base;
+      __m512i v;
+      uint64_t m;
+      if (rem >= 64) {
+        v = _mm512_loadu_si512((const void*)(buf + base));
+        m = (uint64_t)_mm512_cmpeq_epi8_mask(v, nlv);
+      } else {
+        const __mmask64 lm = (((uint64_t)1 << rem) - 1);
+        v = _mm512_maskz_loadu_epi8(lm, buf + base);
+        m = (uint64_t)_mm512_cmpeq_epi8_mask(v, nlv) & lm;
+      }
+      acc = _mm512_or_si512(acc, v);
+      while (m && got < 4) {
+        nl[got++] = base + (int64_t)_tzcnt_u64(m);
+        m &= m - 1;
+      }
+    }
+    if (got < 4) {  // window ends mid-record
+      tail_phase = got;
+      break;
+    }
+    const int64_t h = pos, e = nl[3];
+    const int action =
+        hd.on_record(count, h, nl[0] + 1, nl[1] + 1, nl[2] + 1, e, err_code);
+    if (action == REC_GO) {
+      ++count;
+      pos = e + 1;
+      *consumed = pos;
+      // learn the layout for speculation
+      o1 = nl[0] - h;
+      o2 = nl[1] - h;
+      o3 = nl[2] - h;
+      o4 = nl[3] - h;
+      if (o4 < SPEC_BLOCKS * 64) {
+        kblocks = (int)(o4 / 64) + 1;
+        for (int j = 0; j < kblocks; ++j) {
+          uint64_t ex = 0;
+          const int64_t lo = (int64_t)j * 64;
+          if (o1 >= lo && o1 < lo + 64) ex |= (uint64_t)1 << (o1 - lo);
+          if (o2 >= lo && o2 < lo + 64) ex |= (uint64_t)1 << (o2 - lo);
+          if (o3 >= lo && o3 < lo + 64) ex |= (uint64_t)1 << (o3 - lo);
+          if (o4 >= lo && o4 < lo + 64) ex |= (uint64_t)1 << (o4 - lo);
+          exp[j] = ex;
+          // compare only bytes belonging to this record (bits <= o4 - lo)
+          const int64_t valid = o4 - lo + 1;
+          vmask[j] = valid >= 64 ? ~(uint64_t)0 : (((uint64_t)1 << valid) - 1);
+        }
+        lay_valid = true;
+      } else {
+        lay_valid = false;
+      }
+      continue;
+    }
+    if (action == REC_STOP_TAKEN) {
+      ++count;
+      *consumed = e + 1;
+    }
+    *err_phase = 0;
+    *acc_bad = acc_nonascii(acc);
+    return count;
+  }
+  *err_phase = (pos < n && count < max_records) ? tail_phase : 0;
+  *acc_bad = acc_nonascii(acc);
+  return count;
+}
+
+struct OffsetsHandler {
+  const uint8_t* buf;
+  int64_t* out;
+  bool check_quality;
+  uint8_t q_lower, q_span;
+
+  inline int on_record(int64_t count, int64_t h, int64_t s, int64_t p,
+                       int64_t q, int64_t e, int32_t* err_code) {
+    int64_t* rec = out + count * 5;
+    rec[0] = h;
+    rec[1] = s;
+    rec[2] = p;
+    rec[3] = q;
+    rec[4] = e;
+    if (buf[h] != '@') { *err_code = BS_ID_NO_AT; return REC_STOP_DROP; }
+    if (buf[p] != '+') { *err_code = BS_SEP_NO_PLUS; return REC_STOP_DROP; }
+    const int64_t seq_len = p - s - 1;
+    if (seq_len != e - q) {
+      *err_code = BS_SEQ_QUAL_LEN_MISMATCH;
+      return REC_STOP_DROP;
+    }
+    if (check_quality && !range_ok_512(buf + q, e - q, q_lower, q_span)) {
+      // consume-then-validate order (reference fastq/parser.mojo:160-170)
+      *err_code = BS_QUALITY_OUT_OF_RANGE;
+      return REC_STOP_TAKEN;
+    }
+    return REC_GO;
+  }
+};
+
+struct CountHandler {
+  const uint8_t* buf;
+  int64_t bases = 0;
+  bool check_quality;
+  uint8_t q_lower, q_span;
+
+  inline int on_record(int64_t, int64_t h, int64_t s, int64_t p, int64_t q,
+                       int64_t e, int32_t* err_code) {
+    if (buf[h] != '@') { *err_code = BS_ID_NO_AT; return REC_STOP_DROP; }
+    if (buf[p] != '+') { *err_code = BS_SEP_NO_PLUS; return REC_STOP_DROP; }
+    const int64_t seq_len = p - s - 1;
+    if (seq_len != e - q) {
+      *err_code = BS_SEQ_QUAL_LEN_MISMATCH;
+      return REC_STOP_DROP;
+    }
+    if (check_quality && !range_ok_512(buf + q, e - q, q_lower, q_span)) {
+      *err_code = BS_QUALITY_OUT_OF_RANGE;  // record left unconsumed
+      return REC_STOP_DROP;
+    }
+    bases += seq_len;
+    return REC_GO;
+  }
+};
+
+template <bool STREAM>
+struct PaddedHandler {
+  const uint8_t* buf;
+  int64_t width;
+  int64_t max_rec_size;
+  uint8_t* seq_out;
+  uint8_t* qual_out;
+  int32_t* len_out;
+  bool check_quality;
+  __m512i vl, vs;
+  uint8_t q_lower, q_span;
+
+  inline int on_record(int64_t count, int64_t h, int64_t s, int64_t p,
+                       int64_t q, int64_t e, int32_t* err_code) {
+    if (buf[h] != '@') { *err_code = BS_ID_NO_AT; return REC_STOP_DROP; }
+    if (buf[p] != '+') { *err_code = BS_SEP_NO_PLUS; return REC_STOP_DROP; }
+    const int64_t seq_len = p - s - 1;
+    if (seq_len != e - q) {
+      *err_code = BS_SEQ_QUAL_LEN_MISMATCH;
+      return REC_STOP_DROP;
+    }
+    if (e + 1 - h > max_rec_size) { *err_code = -9; return REC_STOP_DROP; }
+    uint8_t* srow = seq_out + count * width;
+    uint8_t* qrow = qual_out + count * width;
+    copy_pad_check<STREAM>(srow, buf + s, seq_len, width, false, vl, vs);
+    __mmask64 bad = copy_pad_check<STREAM>(qrow, buf + q, seq_len, width,
+                                           check_quality, vl, vs);
+    if (check_quality) {
+      if (seq_len > width &&
+          !range_ok_512(buf + q + width, seq_len - width, q_lower, q_span))
+        bad = 1;
+      if (bad) {
+        // stop BEFORE the bad record (row bytes written but not counted)
+        *err_code = BS_QUALITY_OUT_OF_RANGE;
+        return REC_STOP_DROP;
+      }
+    }
+    len_out[count] = (int32_t)seq_len;
+    return REC_GO;
+  }
+};
+
+#endif  // __AVX512BW__
+
+}  // namespace
+
+extern "C" {
+
+// Find all '\n' positions in [buf, buf+n); writes up to cap positions into out.
+// Returns the number written (callers size cap generously; a second call with
+// start offset can resume).
+int64_t bs_find_newlines(const uint8_t* buf, int64_t n, int64_t* out,
+                         int64_t cap) {
+#if defined(__AVX512BW__)
+  const __m512i nlv = _mm512_set1_epi8('\n');
+  int64_t count = 0;
+  for (int64_t base = 0; base < n; base += 64) {
+    const int64_t rem = n - base;
+    __mmask64 m;
+    if (rem >= 64) {
+      m = _mm512_cmpeq_epi8_mask(
+          _mm512_loadu_si512((const void*)(buf + base)), nlv);
+    } else {
+      const __mmask64 lm = (((uint64_t)1 << rem) - 1);
+      m = _mm512_cmpeq_epi8_mask(_mm512_maskz_loadu_epi8(lm, buf + base),
+                                 nlv) &
+          lm;
+    }
+    while (m) {
+      if (count >= cap) return count;
+      out[count++] = base + (int64_t)_tzcnt_u64(m);
+      m &= m - 1;
+    }
+  }
+  return count;
+#else
+  int64_t count = 0;
+  int64_t pos = 0;
+  while (count < cap) {
+    const void* p = std::memchr(buf + pos, '\n', (size_t)(n - pos));
+    if (!p) break;
+    pos = (const uint8_t*)p - buf;
+    out[count++] = pos;
+    ++pos;
+    if (pos >= n) break;
+  }
+  return count;
+#endif
+}
+
+// Scan a window for complete FASTQ records with fused structure validation and
+// optional ASCII / quality-range validation.
+//
+//   out:        int64[max_records * 5]: header_start, seq_start, sep_start,
+//               qual_start, record_end per record (record_end = index of the
+//               record's final '\n' = one past the last quality byte).
+//   consumed:   offset one past the final newline of the last *returned*
+//               record (the next record's header_start).
+//   err_code:   BS_OK, a structure code (bad record NOT counted; its partial
+//               offsets are written at out[count*5] for snippet building), or
+//               a validation code (bad record IS counted & consumed, matching
+//               reference consume-then-validate ordering, fastq/parser.mojo:160-170).
+//   err_phase:  when the window ends mid-record: number of newlines already
+//               found for the partial record (0..3). Python uses this for
+//               EOF handling (reference _check_end_qual, utils.mojo:294-329).
+//
+// Returns the number of complete valid-structure records written to out
+// (including, for validation errors, the failing record as the last one).
+int64_t bs_scan_fastq(const uint8_t* buf, int64_t n, int64_t start,
+                      int64_t max_records, int32_t check_ascii,
+                      int32_t check_quality, uint8_t q_lower, uint8_t q_span,
+                      int64_t* out, int64_t* consumed, int32_t* err_code,
+                      int32_t* err_phase) {
+#if defined(__AVX512BW__)
+  OffsetsHandler hd{buf, out, check_quality != 0, q_lower, q_span};
+  bool acc_bad = false;
+  const int64_t count = scan_loop_512(buf, n, start, max_records, hd, consumed,
+                                      err_code, err_phase, &acc_bad);
+  if (check_ascii && acc_bad) {
+    // High bit seen somewhere in the scanned region: rerun the scalar path
+    // for exact per-record ASCII semantics (id/seq/qual spans only, ordered
+    // before the quality check).
+    return scan_fastq_scalar(buf, n, start, max_records, check_ascii,
+                             check_quality, q_lower, q_span, out, consumed,
+                             err_code, err_phase);
+  }
+  return count;
+#else
+  return scan_fastq_scalar(buf, n, start, max_records, check_ascii,
+                           check_quality, q_lower, q_span, out, consumed,
+                           err_code, err_phase);
+#endif
+}
+
 // Gather SoA arrays from a window + offset table in one pass:
 // copies sequence bytes and quality bytes into contiguous output buffers and
 // writes cumulative end offsets (int64). Returns total bases copied.
@@ -235,65 +750,59 @@ int64_t bs_scan_gather_padded(const uint8_t* buf, int64_t n, int64_t start,
                               uint8_t* qual_out, int32_t* len_out,
                               int64_t* consumed, int32_t* err_code,
                               int32_t* err_phase) {
-  int64_t pos = start;
-  int64_t count = 0;
-  *err_code = BS_OK;
-  *err_phase = 0;
-  *consumed = start;
-  while (count < max_records && pos < n) {
-    const int64_t h = pos;
-    const void* m1 = std::memchr(buf + pos, '\n', (size_t)(n - pos));
-    if (!m1) { *err_phase = 0; return count; }
-    const int64_t s = (const uint8_t*)m1 - buf + 1;
-    if (s >= n) { *err_phase = 1; return count; }
-    const void* m2 = std::memchr(buf + s, '\n', (size_t)(n - s));
-    if (!m2) { *err_phase = 1; return count; }
-    const int64_t p = (const uint8_t*)m2 - buf + 1;
-    if (p >= n) { *err_phase = 2; return count; }
-    const void* m3 = std::memchr(buf + p, '\n', (size_t)(n - p));
-    if (!m3) { *err_phase = 2; return count; }
-    const int64_t q = (const uint8_t*)m3 - buf + 1;
-    if (q >= n) { *err_phase = 3; return count; }
-    const void* m4 = std::memchr(buf + q, '\n', (size_t)(n - q));
-    if (!m4) { *err_phase = 3; return count; }
-    const int64_t e = (const uint8_t*)m4 - buf;
-
-    if (buf[h] != '@') { *err_code = BS_ID_NO_AT; return count; }
-    if (buf[p] != '+') { *err_code = BS_SEP_NO_PLUS; return count; }
-    const int64_t seq_len = p - s - 1;
-    if (seq_len != e - q) { *err_code = BS_SEQ_QUAL_LEN_MISMATCH; return count; }
-    if (e + 1 - h > max_rec_size) { *err_code = -9; return count; }
-    if (check_ascii &&
-        (!all_ascii(buf + h + 1, (p - 1) - (h + 1)) ||
-         !all_ascii(buf + q, seq_len))) {
-      *err_code = BS_ASCII_INVALID;
-      return count;
-    }
-    if (check_quality && !all_in_range(buf + q, seq_len, q_lower, q_span)) {
-      *err_code = BS_QUALITY_OUT_OF_RANGE;
-      return count;
-    }
-
-    // copy is clamped to the row width, but len_out records the TRUE read
-    // length so downstream counters (bases, read-length stats) stay exact;
-    // per-position kernels mask with min(len, width) implicitly
-    const int64_t len = seq_len > width ? width : seq_len;
-    uint8_t* srow = seq_out + count * width;
-    uint8_t* qrow = qual_out + count * width;
-    std::memcpy(srow, buf + s, (size_t)len);
-    std::memcpy(qrow, buf + q, (size_t)len);
-    std::memset(srow + len, 0, (size_t)(width - len));
-    std::memset(qrow + len, 0, (size_t)(width - len));
-    len_out[count] = (int32_t)seq_len;
-    ++count;
-    pos = e + 1;
-    *consumed = pos;
+#if defined(__AVX512BW__)
+  const bool can_stream =
+      ((reinterpret_cast<uintptr_t>(seq_out) & 63) == 0) &&
+      ((reinterpret_cast<uintptr_t>(qual_out) & 63) == 0) && (width % 64 == 0);
+  bool acc_bad = false;
+  int64_t count;
+  if (can_stream) {
+    PaddedHandler<true> hd{buf,
+                           width,
+                           max_rec_size,
+                           seq_out,
+                           qual_out,
+                           len_out,
+                           check_quality != 0,
+                           _mm512_set1_epi8((char)q_lower),
+                           _mm512_set1_epi8((char)q_span),
+                           q_lower,
+                           q_span};
+    count = scan_loop_512(buf, n, start, max_records, hd, consumed, err_code,
+                          err_phase, &acc_bad);
+    _mm_sfence();  // make the non-temporal row stores globally visible
+  } else {
+    PaddedHandler<false> hd{buf,
+                            width,
+                            max_rec_size,
+                            seq_out,
+                            qual_out,
+                            len_out,
+                            check_quality != 0,
+                            _mm512_set1_epi8((char)q_lower),
+                            _mm512_set1_epi8((char)q_span),
+                            q_lower,
+                            q_span};
+    count = scan_loop_512(buf, n, start, max_records, hd, consumed, err_code,
+                          err_phase, &acc_bad);
+  }
+  if (check_ascii && acc_bad) {
+    return scan_gather_padded_scalar(buf, n, start, max_records, width,
+                                     check_ascii, check_quality, q_lower,
+                                     q_span, max_rec_size, seq_out, qual_out,
+                                     len_out, consumed, err_code, err_phase);
   }
   return count;
+#else
+  return scan_gather_padded_scalar(buf, n, start, max_records, width,
+                                   check_ascii, check_quality, q_lower, q_span,
+                                   max_rec_size, seq_out, qual_out, len_out,
+                                   consumed, err_code, err_phase);
+#endif
 }
 
 // Gather directly into the padded [nrec, width] device layout (rows
-// zero-padded, reads clamped to width). Writes per-record lengths (clamped).
+// zero-padded, reads clamped to width). Writes per-record lengths (true).
 // This is the host->HBM feed fast path: one memcpy per line, no intermediate
 // flat SoA.
 void bs_gather_padded(const uint8_t* buf, const int64_t* offsets, int64_t nrec,
@@ -324,50 +833,23 @@ int64_t bs_count_fastq(const uint8_t* buf, int64_t n, int64_t start,
                        uint8_t q_lower, uint8_t q_span,
                        int64_t* bases_out, int64_t* consumed,
                        int32_t* err_code, int32_t* err_phase) {
-  int64_t pos = start;
-  int64_t records = 0;
-  int64_t bases = 0;
-  *err_code = BS_OK;
-  *err_phase = 0;
-  *consumed = start;
-  while (pos < n) {
-    const int64_t h = pos;
-    const void* m1 = std::memchr(buf + pos, '\n', (size_t)(n - pos));
-    if (!m1) { *err_phase = 0; break; }
-    const int64_t s = (const uint8_t*)m1 - buf + 1;
-    if (s >= n) { *err_phase = 1; break; }
-    const void* m2 = std::memchr(buf + s, '\n', (size_t)(n - s));
-    if (!m2) { *err_phase = 1; break; }
-    const int64_t p = (const uint8_t*)m2 - buf + 1;
-    if (p >= n) { *err_phase = 2; break; }
-    const void* m3 = std::memchr(buf + p, '\n', (size_t)(n - p));
-    if (!m3) { *err_phase = 2; break; }
-    const int64_t q = (const uint8_t*)m3 - buf + 1;
-    if (q >= n) { *err_phase = 3; break; }
-    const void* m4 = std::memchr(buf + q, '\n', (size_t)(n - q));
-    if (!m4) { *err_phase = 3; break; }
-    const int64_t e = (const uint8_t*)m4 - buf;
-    if (buf[h] != '@') { *err_code = BS_ID_NO_AT; break; }
-    if (buf[p] != '+') { *err_code = BS_SEP_NO_PLUS; break; }
-    const int64_t seq_len = p - s - 1;
-    if (seq_len != e - q) { *err_code = BS_SEQ_QUAL_LEN_MISMATCH; break; }
-    if (check_ascii &&
-        (!all_ascii(buf + h + 1, (p - 1) - (h + 1)) ||
-         !all_ascii(buf + q, seq_len))) {
-      *err_code = BS_ASCII_INVALID;  // record left unconsumed for rescan
-      break;
-    }
-    if (check_quality && !all_in_range(buf + q, seq_len, q_lower, q_span)) {
-      *err_code = BS_QUALITY_OUT_OF_RANGE;
-      break;
-    }
-    ++records;
-    bases += seq_len;
-    pos = e + 1;
-    *consumed = pos;
+#if defined(__AVX512BW__)
+  CountHandler hd{buf, 0, check_quality != 0, q_lower, q_span};
+  bool acc_bad = false;
+  const int64_t count =
+      scan_loop_512(buf, n, start, (int64_t)1 << 62, hd, consumed, err_code,
+                    err_phase, &acc_bad);
+  if (check_ascii && acc_bad) {
+    return count_fastq_scalar(buf, n, start, check_ascii, check_quality,
+                              q_lower, q_span, bases_out, consumed, err_code,
+                              err_phase);
   }
-  *bases_out = bases;
-  return records;
+  *bases_out = hd.bases;
+  return count;
+#else
+  return count_fastq_scalar(buf, n, start, check_ascii, check_quality, q_lower,
+                            q_span, bases_out, consumed, err_code, err_phase);
+#endif
 }
 
 // Deterministic synthetic FASTQ generator (exact model of the reference
