@@ -24,7 +24,7 @@ vs_baseline: reference single-core views-mode throughput with full
 assets/throughput_validation_gbps.png).
 
 Env knobs: BENCH_SIZE_MB (default 1024), BENCH_BATCH (default 4096),
-BENCH_READ_LEN (default 100), BENCH_REPS (default 3), BENCH_CACHE (default 1).
+BENCH_READ_LEN (default 100), BENCH_REPS (default 5), BENCH_CACHE (default 1).
 """
 
 import json
@@ -81,7 +81,9 @@ def main():
     size_mb = int(os.environ.get("BENCH_SIZE_MB", "1024"))
     batch_n = int(os.environ.get("BENCH_BATCH", "4096"))
     read_len = int(os.environ.get("BENCH_READ_LEN", "100"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    # best-of-N: this VM shows 2x run-to-run noise (shared host + device
+    # tunnel), so more reps tightens the floor estimate, not the mean
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     max_len = ((read_len + 127) // 128) * 128
 
     buf = _get_corpus(size_mb, read_len)

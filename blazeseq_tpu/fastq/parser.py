@@ -68,6 +68,41 @@ _BLANK = frozenset(b"\n\r \t")
 _WS = frozenset(b" \t\n\v\f\r\x1c\x1d\x1e")
 
 
+class _BoundIterableMethod:
+    """Callable that is also directly iterable: `p.records()` and
+    `for r in p.records` both work (method style mirrors the reference core
+    library, bare-iterable style mirrors its Python binding wrappers,
+    python/blazeseq/__init__.py:188-230)."""
+
+    __slots__ = ("_fn", "_obj")
+
+    def __init__(self, fn, obj):
+        self._fn = fn
+        self._obj = obj
+
+    def __call__(self, *args, **kwargs):
+        return self._fn(self._obj, *args, **kwargs)
+
+    def __iter__(self):
+        return iter(self._fn(self._obj))
+
+
+class _iterable_method:
+    """Descriptor form of _BoundIterableMethod."""
+
+    def __init__(self, fn):
+        self._fn = fn
+        self.__doc__ = fn.__doc__
+
+    def __set_name__(self, owner, name):
+        self.__name__ = name
+
+    def __get__(self, obj, objtype=None):
+        if obj is None:
+            return self._fn
+        return _BoundIterableMethod(self._fn, obj)
+
+
 class FastqParser:
     """Unified FASTQ parser over a Reader (reference: parser.mojo:77-145)."""
 
@@ -514,6 +549,11 @@ class FastqParser:
             yield pb
 
     # -- public: iterators ---------------------------------------------------------
+    # Each mode works both as a method (core-library style, `parser.views()`,
+    # reference fastq/parser.mojo:628-735) and as a bare iterable
+    # (Python-binding style, `for r in parser.records`, reference
+    # python/blazeseq/__init__.py:188-230).
+    @_iterable_method
     def views(self) -> Iterator[FastqView]:
         while True:
             try:
@@ -521,6 +561,7 @@ class FastqParser:
             except FastxEOFError:
                 return
 
+    @_iterable_method
     def records(self) -> Iterator[FastqRecord]:
         while True:
             try:
@@ -528,6 +569,7 @@ class FastqParser:
             except FastxEOFError:
                 return
 
+    @_iterable_method
     def batches(self, max_records: Optional[int] = None) -> Iterator[FastqBatch]:
         limit = max_records or self._batch_size
         while self.has_more():
