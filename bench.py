@@ -79,7 +79,9 @@ def main():
         pass
 
     size_mb = int(os.environ.get("BENCH_SIZE_MB", "1024"))
-    batch_n = int(os.environ.get("BENCH_BATCH", "4096"))
+    # 16K-record batches amortize both the Python feed loop and the device
+    # dispatch (2MB seq/qual arrays per step keep the VPU busy)
+    batch_n = int(os.environ.get("BENCH_BATCH", "16384"))
     read_len = int(os.environ.get("BENCH_READ_LEN", "100"))
     # best-of-N: this VM shows 2x run-to-run noise (shared host + device
     # tunnel), so more reps tightens the floor estimate, not the mean

@@ -26,6 +26,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <type_traits>
 
 #if defined(__AVX512BW__)
 #include <immintrin.h>
@@ -395,17 +396,39 @@ int64_t scan_loop_512(const uint8_t* buf, int64_t n, int64_t start,
   int kblocks = 0;
   uint64_t exp[SPEC_BLOCKS], vmask[SPEC_BLOCKS];
 
+  // Fixed-trip speculation verifier: K known at compile time lets the
+  // compiler software-pipeline the K loads/compares instead of a serial
+  // runtime-count loop.
+  auto verify = [&](auto kc, int64_t at, __m512i* accl_out) -> bool {
+    constexpr int K = decltype(kc)::value;
+    __m512i accl = acc;
+    uint64_t ok = 1;
+#pragma GCC unroll 8
+    for (int j = 0; j < K; ++j) {
+      const __m512i v =
+          _mm512_loadu_si512((const void*)(buf + at + (int64_t)j * 64));
+      accl = _mm512_or_si512(accl, v);
+      const uint64_t m = (uint64_t)_mm512_cmpeq_epi8_mask(v, nlv);
+      ok &= ((m & vmask[j]) == exp[j]) ? 1u : 0u;
+    }
+    *accl_out = accl;
+    return ok != 0;
+  };
+
   while (pos < n && count < max_records) {
     // ---- fast path: verify the predicted layout ----
     if (lay_valid && pos + kblocks * 64 <= n) {
-      __m512i accl = acc;
-      uint64_t ok = 1;
-      for (int j = 0; j < kblocks; ++j) {
-        const __m512i v =
-            _mm512_loadu_si512((const void*)(buf + pos + (int64_t)j * 64));
-        accl = _mm512_or_si512(accl, v);
-        const uint64_t m = (uint64_t)_mm512_cmpeq_epi8_mask(v, nlv);
-        ok &= ((m & vmask[j]) == exp[j]) ? 1u : 0u;
+      __m512i accl;
+      bool ok;
+      switch (kblocks) {
+        case 1: ok = verify(std::integral_constant<int, 1>{}, pos, &accl); break;
+        case 2: ok = verify(std::integral_constant<int, 2>{}, pos, &accl); break;
+        case 3: ok = verify(std::integral_constant<int, 3>{}, pos, &accl); break;
+        case 4: ok = verify(std::integral_constant<int, 4>{}, pos, &accl); break;
+        case 5: ok = verify(std::integral_constant<int, 5>{}, pos, &accl); break;
+        case 6: ok = verify(std::integral_constant<int, 6>{}, pos, &accl); break;
+        case 7: ok = verify(std::integral_constant<int, 7>{}, pos, &accl); break;
+        default: ok = verify(std::integral_constant<int, 8>{}, pos, &accl); break;
       }
       if (ok) {
         acc = accl;
