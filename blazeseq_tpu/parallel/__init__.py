@@ -1,5 +1,6 @@
 """Multi-device scale-out: meshes, shardings, and the SPMD analysis pipeline."""
 
+from .feed import parallel_count, parallel_padded_batches
 from .mesh import DP_AXIS, batch_sharding, make_mesh, replicated, shard_batch
 from .pipeline import QCAlignResult, build_qc_align_step, run_qc_align
 from .sharding import RangeReader, find_record_boundary, open_shard, shard_file
