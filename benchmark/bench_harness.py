@@ -32,10 +32,22 @@ sys.path.insert(0, REPO)
 RESULTS_DIR = os.path.join(REPO, "benchmark", "results")
 
 
+def _corpus_dir() -> str:
+    """RAM-backed corpus dir (reference methodology: corpora on ramfs/tmpfs,
+    benchmark/README.md:185-194). BENCH_DIR overrides."""
+    d = os.environ.get("BENCH_DIR")
+    if d:
+        return d
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm"
+    return "/tmp"
+
+
 def _gen_fastq(size_mb: int, read_len: int = 100) -> str:
     import blazeseq_tpu as bt
 
-    path = "/tmp/bench_corpus_%dmb_%dbp.fastq" % (size_mb, read_len)
+    path = os.path.join(_corpus_dir(),
+                        "bench_corpus_%dmb_%dbp.fastq" % (size_mb, read_len))
     if not os.path.exists(path):
         n = bt.compute_num_reads_for_size(size_mb << 20, read_len, read_len)
         buf = bt.generate_synthetic_fastq_buffer(n, read_len, read_len, 2, 40,
@@ -65,7 +77,7 @@ def _gen_fastq_gz(size_mb: int) -> str:
 def _gen_fasta(size_mb: int) -> str:
     import blazeseq_tpu as bt
 
-    path = "/tmp/bench_corpus_%dmb.fasta" % size_mb
+    path = os.path.join(_corpus_dir(), "bench_corpus_%dmb.fasta" % size_mb)
     if not os.path.exists(path):
         n = bt.compute_num_fasta_reads_for_size(size_mb << 20, 1000, 3000)
         buf = bt.generate_synthetic_fasta_buffer(n, 1000, 3000)
@@ -80,16 +92,29 @@ def _pin_prefix():
     return []
 
 
+def _runner_env():
+    """Environment for host-only runner subprocesses: drop device-tunnel
+    autoregistration triggers (some dev hosts hook sitecustomize to register
+    an accelerator backend on EVERY interpreter start, adding seconds of
+    startup the runner never uses)."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
+
+
 def _time_subprocess(cmd, warmup=1, reps=3):
     """hyperfine-style: warmup runs then reps, return (times, stdout)."""
     out = None
+    env = _runner_env()
     for _ in range(warmup):
-        r = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        r = subprocess.run(cmd, capture_output=True, text=True, check=True,
+                           env=env)
         out = r.stdout.strip()
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        r = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        r = subprocess.run(cmd, capture_output=True, text=True, check=True,
+                           env=env)
         times.append(time.perf_counter() - t0)
         assert r.stdout.strip() == out, "nondeterministic runner output"
     return times, out
@@ -158,7 +183,7 @@ def workload_throughput(size_mb, reps):
     r = subprocess.run(
         _pin_prefix() + [sys.executable, runner, corpus,
                          "--reps", str(reps)],
-        capture_output=True, text=True, check=True)
+        capture_output=True, text=True, check=True, env=_runner_env())
     rows = []
     for line in r.stdout.strip().splitlines():
         mode, val, secs, gbps, records, bases = line.split()

@@ -43,8 +43,10 @@ def run_mode(buf, mode, check_ascii, check_quality, schema):
             records += len(b)
             bases += b.seq_len()
     elif mode == "padded":
-        for pb in parser.padded_batches(4096, max_len=256,
-                                        pad_records_to=4096):
+        # device-feed configuration: 16K rows, double-buffered reuse
+        for pb in parser.padded_batches(16384, max_len=256,
+                                        pad_records_to=16384,
+                                        reuse_buffers=True):
             records += pb.n_records
             bases += int(pb.lengths[: pb.n_records].sum())
     dt = time.perf_counter() - t0
@@ -54,7 +56,7 @@ def run_mode(buf, mode, check_ascii, check_quality, schema):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("file")
-    ap.add_argument("--modes", default="count,padded,batch,records")
+    ap.add_argument("--modes", default="count,views,padded,batch,records")
     ap.add_argument("--validations", default="none,ascii,ascii_quality")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--schema", default="sanger")

@@ -66,6 +66,7 @@ class ParserConfig:
 
 _BLANK = frozenset(b"\n\r \t")
 _WS = frozenset(b" \t\n\v\f\r\x1c\x1d\x1e")
+_POSIX_WS_BYTES = b" \t\n\v\f\r\x1c\x1d\x1e"
 
 
 class _BoundIterableMethod:
@@ -553,21 +554,90 @@ class FastqParser:
     # reference fastq/parser.mojo:628-735) and as a bare iterable
     # (Python-binding style, `for r in parser.records`, reference
     # python/blazeseq/__init__.py:188-230).
+    #
+    # The iterator bodies bulk-drain each scanned offset queue instead of
+    # going through next_view()/next_record() per record: objects are built
+    # with __new__ + direct slot writes and byte slices come off one window
+    # reference, so the per-record Python work is a few C-level operations.
     @_iterable_method
     def views(self) -> Iterator[FastqView]:
+        off = self.quality_schema.OFFSET
+        ws = _WS
+        new = FastqView.__new__
         while True:
+            if self._q_pos >= len(self._q):
+                try:
+                    self._scan_more()
+                except FastxEOFError:
+                    return
+            buf = self._mv
+            if buf is None:
+                buf = self._mv = self._stream.mview()
+            rows = self._q_rows
+            if rows is None:
+                rows = self._q_rows = self._q.tolist()
+            qlen = len(rows)
+            qpos = self._q_pos
             try:
-                yield self.next_view()
-            except FastxEOFError:
-                return
+                while qpos < qlen:
+                    h, s, p, q, e = rows[qpos]
+                    qpos += 1
+                    a = h + 1
+                    b = s - 1
+                    if b > a and (buf[a] in ws or buf[b - 1] in ws):
+                        stripped = bytes(buf[a:b]).strip(
+                            b" \t\n\v\f\r\x1c\x1d\x1e")
+                        lead = (b - a) - len(
+                            bytes(buf[a:b]).lstrip(b" \t\n\v\f\r\x1c\x1d\x1e"))
+                        a += lead
+                        b = a + len(stripped)
+                    v = new(FastqView)
+                    v._id = buf[a:b]
+                    v._sequence = buf[s : p - 1]
+                    v._quality = buf[q:e]
+                    v._phred_offset = off
+                    yield v
+            finally:
+                # write the cursor back even if the consumer abandons the
+                # generator mid-queue
+                self._served += qpos - self._q_pos
+                self._q_pos = qpos
 
     @_iterable_method
     def records(self) -> Iterator[FastqRecord]:
+        off = self.quality_schema.OFFSET
+        strip = _POSIX_WS_BYTES
+        new = FastqRecord.__new__
         while True:
+            if self._q_pos >= len(self._q):
+                try:
+                    self._scan_more()
+                except FastxEOFError:
+                    return
+            # one bytes copy of the consumed window region per scan; slices
+            # below are then C-level bytes ops
+            mv = self._mv
+            if mv is None:
+                mv = self._mv = self._stream.mview()
+            buf = bytes(mv)
+            rows = self._q_rows
+            if rows is None:
+                rows = self._q_rows = self._q.tolist()
+            qlen = len(rows)
+            qpos = self._q_pos
             try:
-                yield self.next_record()
-            except FastxEOFError:
-                return
+                while qpos < qlen:
+                    h, s, p, q, e = rows[qpos]
+                    qpos += 1
+                    r = new(FastqRecord)
+                    r._id = buf[h + 1 : s - 1].strip(strip)
+                    r._sequence = buf[s : p - 1]
+                    r._quality = buf[q:e]
+                    r._phred_offset = off
+                    yield r
+            finally:
+                self._served += qpos - self._q_pos
+                self._q_pos = qpos
 
     @_iterable_method
     def batches(self, max_records: Optional[int] = None) -> Iterator[FastqBatch]:
