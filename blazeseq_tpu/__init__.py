@@ -42,6 +42,7 @@ from .gff.parser import Gff3Parser
 from .gff.record import Gff3Record, Gff3Strand, SequenceRegion
 from .gtf.attributes import GtfAttributes, parse_gtf_attributes
 from .gtf.parser import GtfParser, GtfRecord
+from .io.buffered import ByteStream, LineIterator, LineIteratorError
 from .io.delimited import (
     DefaultLinePolicy,
     DelimitedReader,

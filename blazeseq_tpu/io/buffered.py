@@ -116,6 +116,21 @@ class ByteStream:
         self._reader.close()
 
 
+class LineIteratorError(Exception):
+    """Typed non-raising-path errors of LineIterator
+    (reference: blazeseq/io/buffered.mojo:61-99). `code` is one of the
+    class attributes EOF / EMPTY_BUFFER / INCOMPLETE_LINE / OTHER."""
+
+    EOF = "EOF"
+    EMPTY_BUFFER = "EMPTY_BUFFER"
+    INCOMPLETE_LINE = "INCOMPLETE_LINE"
+    OTHER = "OTHER"
+
+    def __init__(self, code: str):
+        super().__init__(code)
+        self.code = code
+
+
 class LineIterator:
     """Newline-delimited line iterator with bulk scanning
     (reference: blazeseq/io/buffered.mojo:507-823).
@@ -229,6 +244,76 @@ class LineIterator:
                     )
             if self._fill() == 0 and s.available() == 0:
                 raise FastxEOFError()
+
+    def next_complete_line(self) -> memoryview:
+        """Return the next line only if a complete line (ending with '\\n')
+        is already in the buffer; refill once only to distinguish EOF from an
+        empty buffer (reference: buffered.mojo:641-678). Raises
+        LineIteratorError with code EOF / EMPTY_BUFFER / INCOMPLETE_LINE.
+        Callers fall back to next_line() to force a refill."""
+        s = self._stream
+        if s.available() == 0:
+            if s.is_eof():
+                raise LineIteratorError(LineIteratorError.EOF)
+            try:
+                self._fill()
+            except Exception:
+                raise LineIteratorError(LineIteratorError.OTHER)
+            if s.available() == 0:
+                if s.is_eof():
+                    raise LineIteratorError(LineIteratorError.EOF)
+                raise LineIteratorError(LineIteratorError.EMPTY_BUFFER)
+        if self._nl_cursor < len(self._nl):
+            nl = self._nl[self._nl_cursor]
+            self._nl_cursor += 1
+            start = s._head
+            end = nl
+            if end > start and s._arr[end - 1] == 13:
+                end -= 1
+            line = memoryview(s._arr.data)[start:end]
+            s.consume(nl + 1 - start)
+            self._line_number += 1
+            return line
+        if s.is_eof():
+            # final unterminated line
+            start = s._head
+            end = s._end
+            if end > start and s._arr[end - 1] == 13:
+                end -= 1
+            line = memoryview(s._arr.data)[start:end]
+            s.consume(s._end - start)
+            self._line_number += 1
+            return line
+        raise LineIteratorError(LineIteratorError.INCOMPLETE_LINE)
+
+    def peek(self, amt: int) -> memoryview:
+        """The next `amt` buffered bytes without consuming
+        (reference: buffered.mojo:682-686)."""
+        s = self._stream
+        while s.available() < amt:
+            if s.is_eof() or self._fill() == 0:
+                raise FastxEOFError()
+        return memoryview(s._arr.data)[s._head : s._head + amt]
+
+    def read_exact(self, size: int) -> memoryview:
+        """Read exactly `size` bytes, refilling as needed; FastxEOFError if
+        the stream ends short (reference: buffered.mojo:688-705). The view is
+        valid until the next mutating call."""
+        s = self._stream
+        while s.available() < size:
+            if s.is_eof():
+                raise FastxEOFError()
+            if self._fill() == 0 and s.available() < size:
+                raise FastxEOFError()
+        start = s._head
+        out = memoryview(s._arr.data)[start : start + size]
+        s.consume(size)
+        # newline bookkeeping: drop cached newline positions now consumed
+        while (self._nl_cursor < len(self._nl)
+               and self._nl[self._nl_cursor] < s._head):
+            self._nl_cursor += 1
+            self._line_number += 1
+        return out
 
     def __iter__(self):
         return self
