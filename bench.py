@@ -165,22 +165,33 @@ def main():
     args = (seq, qual, lengths, jnp.int32(pb.n_records), ref,
             jnp.int32(SANGER_SCHEMA.LOWER), jnp.int32(SANGER_SCHEMA.UPPER),
             jnp.int32(SANGER_SCHEMA.OFFSET))
-    jax.block_until_ready(step(*args))  # compile
-    iters = max(int(total_bytes / raw_bytes_per_batch), 1)
-    iters = min(iters, 2000)
-    b_best = None
-    for _ in range(reps):
+    int(step(*args).stats.reads)  # compile + drain
+
+    # Slope timing: on remote-attached devices block_until_ready can return
+    # before execution finishes (dispatch pipelining), so raw loop timing
+    # overstates the kernel rate wildly. Dispatch N steps + fetch one scalar
+    # from the LAST result (executions drain FIFO), at two N values; the
+    # difference isolates true per-execution time from RTT/queue effects.
+    def drain(n):
         t0 = time.perf_counter()
         last = None
-        for _ in range(iters):
+        for _ in range(n):
             last = step(*args)
-        jax.block_until_ready(last)
-        dt = time.perf_counter() - t0
-        b_best = dt if b_best is None else min(b_best, dt)
-        print("# stage B: %d iters in %.3fs = %.2f GB/s"
-              % (iters, dt, iters * raw_bytes_per_batch / dt / 1e9),
+        _ = int(last.stats.reads)
+        return time.perf_counter() - t0
+
+    n1 = 50
+    n2 = n1 + max(min(int(total_bytes / raw_bytes_per_batch), 1200), 100)
+    b_per = None
+    for _ in range(reps):
+        t1 = drain(n1)
+        t2 = drain(n2)
+        per = (t2 - t1) / (n2 - n1)
+        b_per = per if b_per is None else min(b_per, per)
+        print("# stage B: %.3fms/step = %.2f GB/s (slope over %d steps)"
+              % (per * 1e3, raw_bytes_per_batch / per / 1e9, n2 - n1),
               file=sys.stderr)
-    b_gbps = iters * raw_bytes_per_batch / b_best / 1e9
+    b_gbps = raw_bytes_per_batch / b_per / 1e9
 
     gbps = min(a_gbps, b_gbps)
     print("# pipeline: host feed %.2f GB/s, device kernel %.2f GB/s -> %.2f"
