@@ -190,11 +190,12 @@ def nw_scores_pallas(seq, lengths, ref, block_records: int = 256):
 
 
 def nw_scores(seq, lengths, ref, prefer_pallas=None):
-    """Dispatching wrapper. The lax.scan formulation is the default: on v5e
-    the XLA-fused wavefront runs ~100x faster than the current Pallas kernel
-    (whose per-diagonal dynamic-slice row read serializes poorly); the Pallas
-    version is retained as an opt-in and as the basis for a future
-    VMEM-pipelined implementation."""
+    """Dispatching wrapper. The lax.scan formulation is the default: it
+    composes under outer jits and shard_map on every backend. The Pallas
+    kernel (DP diagonals resident in VMEM) is opt-in; standalone it
+    slope-times ~1.7x faster on v5e (6.2M vs 3.7M alignments/s at 40bp,
+    16K-record batches), but it does not currently compose as well inside
+    larger jitted steps."""
     if prefer_pallas is None:
         prefer_pallas = False
     fn = nw_scores_pallas if prefer_pallas else nw_scores_xla
