@@ -65,21 +65,10 @@ def _get_corpus(size_mb: int, read_len: int):
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
     import numpy as np
 
     import blazeseq_tpu as bt
     from blazeseq_tpu.fastq.quality import SANGER_SCHEMA
-    from blazeseq_tpu.parallel.pipeline import build_qc_align_step
-
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/jax_cache_blazeseq"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
 
     size_mb = int(os.environ.get("BENCH_SIZE_MB", "1024"))
     # 16K-record batches amortize both the Python feed loop and the device
@@ -93,10 +82,12 @@ def main():
 
     buf, corpus_path = _get_corpus(size_mb, read_len)
     total_bytes = len(buf)
-    dev = jax.devices()[0]
     workers = int(os.environ.get("BENCH_WORKERS", "0")) or (os.cpu_count() or 1)
-    print("# device: %s | corpus %.1f MB | host cores %d"
-          % (dev, total_bytes / 1e6, workers), file=sys.stderr)
+    # NOTE: device-client initialization (jax.devices()) is deferred until
+    # after stage A — the runtime's background threads compete with the
+    # single-core host feed being measured.
+    print("# corpus %.1f MB | host cores %d"
+          % (total_bytes / 1e6, workers), file=sys.stderr)
 
     cfg = bt.ParserConfig(check_ascii=True, check_quality=True,
                           quality_schema="sanger")
@@ -110,7 +101,7 @@ def main():
         reads = 0
         bases = 0
         if parallel:
-            from blazeseq_tpu.parallel import parallel_padded_batches
+            from blazeseq_tpu.parallel.feed import parallel_padded_batches
             for _sid, pb in parallel_padded_batches(
                     corpus_path, workers=workers, max_records=batch_n,
                     max_len=max_len, pad_records_to=batch_n, config=cfg,
@@ -153,6 +144,21 @@ def main():
     a_gbps = total_bytes / a_best / 1e9
 
     # ---- stage B: device fused validate+decode+QC over resident batches ----
+    import jax
+    import jax.numpy as jnp
+
+    from blazeseq_tpu.parallel.pipeline import build_qc_align_step
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/jax_cache_blazeseq"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+    dev = jax.devices()[0]
+    print("# device: %s" % (dev,), file=sys.stderr)
+
     parser = bt.FastqParser(bt.MemoryReader(buf), config=cfg)
     pb = parser.next_padded(batch_n, max_len=max_len, pad_records_to=batch_n)
     raw_bytes_per_batch = parser._stream.stream_position()
