@@ -1,0 +1,138 @@
+"""Multi-host ingest + globally-merged analysis (SPMD over processes).
+
+The reference is strictly single-process (SURVEY §2.5: no distributed layer);
+the TPU-native scale-out design is: each host parses its own record-boundary
+file shard with the native host engine, feeds per-host padded batches into a
+global `jax.sharding.Mesh` via `jax.make_array_from_process_local_data`, and
+the fused QC step runs under shard_map with `psum`-merged statistics — so
+every host ends with identical global counts, exactly equal to a single-host
+run over the whole file (record-boundary sharding guarantees no record is
+split or double-counted).
+
+Entry points:
+  init_distributed()      — jax.distributed.initialize from env/args
+  run_multihost_qc(path)  — shard -> parse -> global QC stats (merged)
+
+Single-process (num_processes == 1) degenerates to the local pipeline, so the
+same code path runs on a laptop, one TPU host, or an N-host slice.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..fastq.parser import FastqParser, ParserConfig
+from ..fastq.quality import parse_schema
+from .sharding import open_shard, shard_file
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize with env-var defaults
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+    No-op when num_processes resolves to 1."""
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
+    if num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def run_multihost_qc(path, batch_records: int = 16384, max_len: int = 256,
+                     check_ascii: bool = True, check_quality: bool = True,
+                     quality_schema: str = "sanger"):
+    """Parse this process's file shard and compute globally merged QC stats.
+
+    Design: per-batch work stays process-local (no cross-host barrier per
+    batch, so hosts whose shards hold different batch counts never deadlock
+    in lockstep collectives and the ingest pipelines run free); the small
+    additive QCStats pytree is merged ONCE at the end with a single
+    cross-process all-reduce over DCN/ICI. Every process returns identical
+    global stats, exactly equal to a single-host run over the whole file
+    (record-boundary sharding means no record is split or double-counted).
+
+    Returns (stats, local_reads, local_bases): `stats` is the merged global
+    QCStats pytree; local_* are this host's shard contribution (feed-rate
+    accounting).
+    """
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from .pipeline import build_qc_align_step
+
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    schema = parse_schema(quality_schema)
+    cfg = ParserConfig(check_ascii=check_ascii, check_quality=check_quality,
+                       quality_schema=quality_schema)
+    parser = FastqParser(open_shard(path, n_proc, pid), config=cfg)
+
+    step = build_qc_align_step(None, check_ascii=check_ascii,
+                               check_quality=check_quality,
+                               with_alignment=False)
+
+    local = None
+    local_reads = 0
+    local_bases = 0
+    ref = jnp.zeros(128, jnp.uint8)
+    for pb in parser.padded_batches(batch_records, max_len=max_len,
+                                    pad_records_to=batch_records,
+                                    reuse_buffers=True):
+        local_reads += pb.n_records
+        local_bases += int(np.asarray(
+            pb.lengths[: pb.n_records], dtype=np.int64).sum())
+        res = step(jnp.asarray(pb.seq), jnp.asarray(pb.qual),
+                   jnp.asarray(pb.lengths, dtype=jnp.int32),
+                   jnp.int32(pb.n_records), ref,
+                   jnp.int32(schema.LOWER), jnp.int32(schema.UPPER),
+                   jnp.int32(schema.OFFSET))
+        stats = jtu.tree_map(np.asarray, jax.device_get(res.stats))
+        local = stats if local is None else jtu.tree_map(np.add, local, stats)
+    if local is None:  # empty shard
+        from ..ops.stats import zero_stats
+        local = jtu.tree_map(np.asarray, zero_stats(max_len))
+    if n_proc == 1:
+        return local, local_reads, local_bases
+    return _allreduce_stats(local), local_reads, local_bases
+
+
+def _allreduce_stats(local_stats):
+    """Sum an additive stats pytree across processes: each process
+    contributes its values on its first local device (zeros on the rest of a
+    device-sharded leading dim), and a jitted global sum inserts the
+    cross-host reduce."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = np.asarray(jax.devices())
+    mesh = Mesh(devices, ("dp",))
+    sharding = NamedSharding(mesh, P("dp"))
+    n_local = len(jax.local_devices())
+
+    def lift(leaf):
+        leaf = np.asarray(leaf)
+        block = np.zeros((n_local,) + leaf.shape, dtype=leaf.dtype)
+        block[0] = leaf
+        return jax.make_array_from_process_local_data(sharding, block)
+
+    glob = jtu.tree_map(lift, local_stats)
+    reduce = jax.jit(
+        lambda t: jax.tree.map(lambda a: jnp.sum(a, axis=0), t),
+        out_shardings=jtu.tree_map(lambda _: NamedSharding(
+            Mesh(np.asarray(jax.devices()), ("dp",)), P()), local_stats))
+    return jtu.tree_map(np.asarray, jax.device_get(reduce(glob)))

@@ -1,0 +1,103 @@
+"""True multi-process (multi-host-shaped) QC: two jax.distributed CPU
+processes parse disjoint record-boundary file shards and must both arrive at
+identical merged global stats, equal to a single-process run over the whole
+file (SURVEY §2.5 TPU-native equivalent: per-host input shards + cross-host
+stat merge)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json, os, sys
+sys.path.insert(0, %(repo)r)
+from blazeseq_tpu.parallel.multihost import init_distributed, run_multihost_qc
+init_distributed()
+stats, reads, bases = run_multihost_qc(%(path)r, batch_records=512,
+                                       max_len=192)
+print("RESULT " + json.dumps({
+    "pid": int(os.environ["JAX_PROCESS_ID"]),
+    "local_reads": reads, "local_bases": bases,
+    "g_reads": int(stats.reads), "g_bases": int(stats.bases),
+    "g_base_counts": [int(x) for x in stats.base_counts],
+}))
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def _env(pid, nproc, port):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:%d" % port
+    env["JAX_NUM_PROCESSES"] = str(nproc)
+    env["JAX_PROCESS_ID"] = str(pid)
+    return env
+
+
+@pytest.fixture(scope="module")
+def corpus_file(tmp_path_factory):
+    import blazeseq_tpu as bt
+
+    buf = bytes(bt.generate_synthetic_fastq_buffer(3000, 40, 160, 2, 40,
+                                                   "sanger"))
+    p = tmp_path_factory.mktemp("mh") / "mh.fastq"
+    p.write_bytes(buf)
+    return str(p), buf
+
+
+def _single_process_golden(path):
+    code = _WORKER % {"repo": REPO, "path": path}
+    r = subprocess.run([sys.executable, "-c", code],
+                       env=_env(0, 1, _free_port()), capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("RESULT ")][0]
+    return json.loads(line[len("RESULT "):])
+
+
+def test_two_process_merge_equals_single(corpus_file):
+    path, buf = corpus_file
+    golden = _single_process_golden(path)
+    assert golden["g_reads"] == 3000
+
+    port = _free_port()
+    code = _WORKER % {"repo": REPO, "path": path}
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code],
+                         env=_env(pid, 2, port), stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+        for pid in range(2)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-2000:]
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][0]
+        results.append(json.loads(line[len("RESULT "):]))
+
+    # both processes see the same merged global stats
+    for r in results:
+        assert r["g_reads"] == golden["g_reads"]
+        assert r["g_bases"] == golden["g_bases"]
+        assert r["g_base_counts"] == golden["g_base_counts"]
+    # shards are disjoint and complete
+    assert results[0]["local_reads"] + results[1]["local_reads"] == 3000
+    assert (results[0]["local_bases"] + results[1]["local_bases"]
+            == golden["g_bases"])
+    assert results[0]["local_reads"] > 0 and results[1]["local_reads"] > 0
