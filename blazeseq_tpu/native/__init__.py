@@ -329,11 +329,19 @@ def count_fastq(window: np.ndarray, start: int = 0,
         return records, bases.value, consumed.value, err_code.value, err_phase.value
     res = _scan_fastq_np(window, start, 2**62, check_ascii, check_quality,
                          q_lower, q_upper)
-    if len(res.offsets):
-        bases = int((res.offsets[:, 2] - res.offsets[:, 1] - 1).sum())
+    offsets = res.offsets
+    consumed = res.consumed
+    if res.err_code in (4, 5) and len(offsets):
+        # count mode leaves the validation-failed record UNCONSUMED so the
+        # caller can rescan it for exact error context (bs_count_fastq
+        # semantics), unlike scan mode's consume-then-validate ordering
+        consumed = int(offsets[-1, 0])
+        offsets = offsets[:-1]
+    if len(offsets):
+        bases = int((offsets[:, 2] - offsets[:, 1] - 1).sum())
     else:
         bases = 0
-    return len(res.offsets), bases, res.consumed, res.err_code, res.err_phase
+    return len(offsets), bases, consumed, res.err_code, res.err_phase
 
 
 def gather_soa(window: np.ndarray, offsets: np.ndarray):
