@@ -608,6 +608,7 @@ class FastqParser:
         off = self.quality_schema.OFFSET
         strip = _POSIX_WS_BYTES
         new = FastqRecord.__new__
+        ext = native.records_ext()
         while True:
             if self._q_pos >= len(self._q):
                 try:
@@ -619,6 +620,20 @@ class FastqParser:
             mv = self._mv
             if mv is None:
                 mv = self._mv = self._stream.mview()
+            if ext is not None:
+                # C fast path: materialize FastqRecord objects straight from
+                # the offset table (native/records_ext.c)
+                n_left = len(self._q) - self._q_pos
+                rows_np = np.ascontiguousarray(self._q[self._q_pos :])
+                it = ext.make_record_iter(mv, rows_np, n_left, off,
+                                          FastqRecord)
+                try:
+                    yield from it
+                finally:
+                    served = it.cursor
+                    self._served += served
+                    self._q_pos += served
+                continue
             buf = bytes(mv)
             rows = self._q_rows
             if rows is None:

@@ -107,6 +107,48 @@ def has_native() -> bool:
     return _load() is not None
 
 
+_rec_mod = None
+_rec_tried = False
+
+
+def records_ext():
+    """Load (building on first use) the CPython fast-path extension for
+    owned-record iteration (records_ext.c). Returns the module or None."""
+    global _rec_mod, _rec_tried
+    if _rec_tried:
+        return _rec_mod
+    _rec_tried = True
+    if os.environ.get("BLAZESEQ_NATIVE", "1") == "0":
+        return None
+    import importlib.util
+    import sysconfig
+
+    src = os.path.join(_HERE, "records_ext.c")
+    inc = sysconfig.get_paths()["include"]
+    suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+    for outdir in (_HERE, tempfile.gettempdir()):
+        out = os.path.join(outdir, "_records" + suffix)
+        if not (os.path.exists(out)
+                and os.path.getmtime(out) >= os.path.getmtime(src)):
+            try:
+                cmd = ["g++", "-O2", "-shared", "-fPIC", "-I", inc, src,
+                       "-o", out]
+                r = subprocess.run(cmd, capture_output=True, timeout=120)
+                if r.returncode != 0:
+                    continue
+            except (OSError, subprocess.SubprocessError):
+                continue
+        try:
+            spec = importlib.util.spec_from_file_location("_records", out)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            _rec_mod = mod
+            return _rec_mod
+        except Exception:
+            continue
+    return None
+
+
 class ScanResult(NamedTuple):
     offsets: np.ndarray  # int64[count, 5]
     consumed: int  # bytes consumed (next record start)

@@ -1,0 +1,219 @@
+/* CPython extension: bulk FASTQ record materialization.
+ *
+ * records()-mode throughput is bounded by per-record CPython work (object
+ * allocation + byte slicing in bytecode). This module moves that inner loop
+ * to C: `RecordIter` walks a scanned offset table and materializes instances
+ * of the *Python* FastqRecord class directly — tp_alloc + direct slot writes
+ * (slot offsets discovered from the class's member descriptors), three
+ * PyBytes slices, and a POSIX-whitespace id strip. Semantics are identical
+ * to the Python loop; only the constant factor changes (~5x).
+ *
+ * Reference behavior spec: blazeseq/fastq/record.mojo:230-428 (owned
+ * records), utils.mojo:223-242 (id whitespace strip).
+ *
+ * Build (no libpython link needed on Linux; symbols resolve at import):
+ *   g++ -O3 -shared -fPIC -I<python-include> records_ext.c -o _records.so
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <structmember.h>
+
+#include <stdint.h>
+#include <string.h>
+
+/* POSIX whitespace per the reference strip set (utils.mojo:223-242) */
+static unsigned char WS[256];
+
+static void init_ws(void) {
+    memset(WS, 0, sizeof(WS));
+    WS[' '] = WS['\t'] = WS['\n'] = WS['\v'] = WS['\f'] = WS['\r'] = 1;
+    WS[0x1c] = WS[0x1d] = WS[0x1e] = 1;
+}
+
+typedef struct {
+    PyObject_HEAD
+    PyObject *buf_obj;        /* owns the byte buffer (bytes or buffer) */
+    const uint8_t *buf;
+    Py_ssize_t buf_len;
+    PyObject *offsets_obj;    /* owns the int64 offsets memory */
+    const int64_t *offsets;   /* [count, 5] */
+    Py_ssize_t count;
+    Py_ssize_t cursor;
+    long phred_offset;
+    PyTypeObject *rec_type;   /* the Python FastqRecord class */
+    Py_ssize_t off_id, off_seq, off_qual, off_phred; /* slot offsets */
+    Py_buffer buf_view;
+    Py_buffer off_view;
+    int views_held;
+} RecordIter;
+
+static Py_ssize_t slot_offset(PyTypeObject *tp, const char *name) {
+    PyObject *d = PyObject_GetAttrString((PyObject *)tp, name);
+    if (d == NULL) return -1;
+    Py_ssize_t off = -1;
+    if (Py_TYPE(d) == &PyMemberDescr_Type) {
+        off = ((PyMemberDescrObject *)d)->d_member->offset;
+    } else {
+        PyErr_Format(PyExc_TypeError, "%s is not a slot descriptor", name);
+    }
+    Py_DECREF(d);
+    return off;
+}
+
+static void RecordIter_dealloc(RecordIter *self) {
+    if (self->views_held) {
+        PyBuffer_Release(&self->buf_view);
+        PyBuffer_Release(&self->off_view);
+    }
+    Py_XDECREF(self->buf_obj);
+    Py_XDECREF(self->offsets_obj);
+    Py_XDECREF((PyObject *)self->rec_type);
+    Py_TYPE(self)->tp_free((PyObject *)self);
+}
+
+static PyObject *RecordIter_iter(PyObject *self) {
+    Py_INCREF(self);
+    return self;
+}
+
+static PyObject *RecordIter_next(RecordIter *self) {
+    if (self->cursor >= self->count) {
+        PyErr_SetNone(PyExc_StopIteration);
+        return NULL;
+    }
+    const int64_t *rec = self->offsets + self->cursor * 5;
+    const int64_t h = rec[0], s = rec[1], p = rec[2], q = rec[3], e = rec[4];
+    if (h < 0 || e > self->buf_len || s <= h || p < s || q < p || e < q) {
+        PyErr_SetString(PyExc_ValueError, "corrupt offset row");
+        return NULL;
+    }
+    /* id: header content after '@', POSIX-whitespace-stripped both ends */
+    int64_t a = h + 1, b = s - 1;
+    while (a < b && WS[self->buf[a]]) ++a;
+    while (b > a && WS[self->buf[b - 1]]) --b;
+
+    PyObject *id_b = PyBytes_FromStringAndSize((const char *)self->buf + a,
+                                               (Py_ssize_t)(b - a));
+    PyObject *seq_b = PyBytes_FromStringAndSize((const char *)self->buf + s,
+                                                (Py_ssize_t)(p - 1 - s));
+    PyObject *qual_b = PyBytes_FromStringAndSize((const char *)self->buf + q,
+                                                 (Py_ssize_t)(e - q));
+    PyObject *phred = PyLong_FromLong(self->phred_offset);
+    PyObject *obj = NULL;
+    if (!id_b || !seq_b || !qual_b || !phred) goto fail;
+
+    obj = self->rec_type->tp_alloc(self->rec_type, 0);
+    if (!obj) goto fail;
+    /* direct slot writes (slots are NULL after tp_alloc; no decref needed) */
+    *(PyObject **)((char *)obj + self->off_id) = id_b;
+    *(PyObject **)((char *)obj + self->off_seq) = seq_b;
+    *(PyObject **)((char *)obj + self->off_qual) = qual_b;
+    *(PyObject **)((char *)obj + self->off_phred) = phred;
+    self->cursor++;
+    return obj;
+
+fail:
+    Py_XDECREF(id_b);
+    Py_XDECREF(seq_b);
+    Py_XDECREF(qual_b);
+    Py_XDECREF(phred);
+    Py_XDECREF(obj);
+    return NULL;
+}
+
+static PyMemberDef RecordIter_members[] = {
+    {"cursor", T_PYSSIZET, offsetof(RecordIter, cursor), READONLY,
+     "records served so far (for consumer-abandon bookkeeping)"},
+    {NULL},
+};
+
+static PyTypeObject RecordIterType = {
+    PyVarObject_HEAD_INIT(NULL, 0)
+    .tp_name = "blazeseq_tpu.native._records.RecordIter",
+    .tp_basicsize = sizeof(RecordIter),
+    .tp_dealloc = (destructor)RecordIter_dealloc,
+    .tp_flags = Py_TPFLAGS_DEFAULT,
+    .tp_iter = RecordIter_iter,
+    .tp_iternext = (iternextfunc)RecordIter_next,
+    .tp_members = RecordIter_members,
+};
+
+/* make_record_iter(buffer, offsets, count, phred_offset, record_type)
+ *   buffer:  any object exporting a contiguous byte buffer (bytes, numpy u8)
+ *   offsets: contiguous int64 buffer of shape [count, 5]
+ */
+static PyObject *make_record_iter(PyObject *mod, PyObject *args) {
+    PyObject *buf_obj, *off_obj, *type_obj;
+    Py_ssize_t count;
+    long phred;
+    if (!PyArg_ParseTuple(args, "OOnlO", &buf_obj, &off_obj, &count, &phred,
+                          &type_obj))
+        return NULL;
+    if (!PyType_Check(type_obj)) {
+        PyErr_SetString(PyExc_TypeError, "record_type must be a class");
+        return NULL;
+    }
+    PyTypeObject *tp = (PyTypeObject *)type_obj;
+    Py_ssize_t o_id = slot_offset(tp, "_id");
+    Py_ssize_t o_seq = slot_offset(tp, "_sequence");
+    Py_ssize_t o_qual = slot_offset(tp, "_quality");
+    Py_ssize_t o_ph = slot_offset(tp, "_phred_offset");
+    if (o_id < 0 || o_seq < 0 || o_qual < 0 || o_ph < 0) return NULL;
+
+    RecordIter *it = PyObject_New(RecordIter, &RecordIterType);
+    if (!it) return NULL;
+    it->views_held = 0;
+    it->buf_obj = NULL;
+    it->offsets_obj = NULL;
+    it->rec_type = NULL;
+
+    if (PyObject_GetBuffer(buf_obj, &it->buf_view, PyBUF_SIMPLE) < 0) {
+        Py_DECREF(it);
+        return NULL;
+    }
+    if (PyObject_GetBuffer(off_obj, &it->off_view, PyBUF_SIMPLE) < 0) {
+        PyBuffer_Release(&it->buf_view);
+        Py_DECREF(it);
+        return NULL;
+    }
+    it->views_held = 1;
+    if ((Py_ssize_t)(count * 5 * sizeof(int64_t)) > it->off_view.len) {
+        PyErr_SetString(PyExc_ValueError, "offsets buffer too small");
+        Py_DECREF(it);
+        return NULL;
+    }
+    it->buf = (const uint8_t *)it->buf_view.buf;
+    it->buf_len = it->buf_view.len;
+    it->offsets = (const int64_t *)it->off_view.buf;
+    it->count = count;
+    it->cursor = 0;
+    it->phred_offset = phred;
+    Py_INCREF(buf_obj);
+    it->buf_obj = buf_obj;
+    Py_INCREF(off_obj);
+    it->offsets_obj = off_obj;
+    Py_INCREF(type_obj);
+    it->rec_type = tp;
+    it->off_id = o_id;
+    it->off_seq = o_seq;
+    it->off_qual = o_qual;
+    it->off_phred = o_ph;
+    return (PyObject *)it;
+}
+
+static PyMethodDef module_methods[] = {
+    {"make_record_iter", make_record_iter, METH_VARARGS,
+     "Iterator materializing FastqRecord objects from an offset table."},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef records_module = {
+    PyModuleDef_HEAD_INIT, "_records",
+    "C fast path for owned-record iteration", -1, module_methods,
+};
+
+PyMODINIT_FUNC PyInit__records(void) {
+    init_ws();
+    if (PyType_Ready(&RecordIterType) < 0) return NULL;
+    return PyModule_Create(&records_module);
+}
