@@ -949,6 +949,56 @@ inline bool is_posix_space(uint8_t c) {
   return c == ' ' || c == '\t' || c == '\n' || c == '\v' || c == '\f' ||
          c == '\r' || c == 0x1c || c == 0x1d || c == 0x1e;
 }
+
+// Stateful newline finder: consecutive next() calls with non-decreasing
+// `from` walk the window with 64-byte cmpeq masks instead of one memchr call
+// per line (per-call setup dominates for ~60-byte FASTA lines). Falls back
+// to memchr on non-AVX512 builds.
+struct NlCursor {
+  const uint8_t* buf;
+  int64_t n;
+#if defined(__AVX512BW__)
+  int64_t base = -64;   // block start of the cached mask
+  uint64_t m = 0;       // newline mask of the cached block
+
+  // First '\n' at or after `from`; -1 when none before window end.
+  inline int64_t next(int64_t from) {
+    if (from >= n) return -1;
+    const __m512i nlv = _mm512_set1_epi8('\n');
+    if (from >= base && from < base + 64) {
+      uint64_t mm = m & (~(uint64_t)0 << (from - base));
+      if (mm) return base + (int64_t)_tzcnt_u64(mm);
+      base += 64;
+    } else {
+      base = from & ~(int64_t)63;
+    }
+    for (; base < n; base += 64) {
+      const int64_t rem = n - base;
+      if (rem >= 64) {
+        m = (uint64_t)_mm512_cmpeq_epi8_mask(
+            _mm512_loadu_si512((const void*)(buf + base)), nlv);
+      } else {
+        const __mmask64 lm = (((uint64_t)1 << rem) - 1);
+        m = (uint64_t)_mm512_cmpeq_epi8_mask(
+                _mm512_maskz_loadu_epi8(lm, buf + base), nlv) &
+            lm;
+      }
+      uint64_t mm = m;
+      if (base < from) mm &= (~(uint64_t)0 << (from - base));
+      if (mm) return base + (int64_t)_tzcnt_u64(mm);
+    }
+    base = n;
+    m = 0;
+    return -1;
+  }
+#else
+  inline int64_t next(int64_t from) {
+    if (from >= n) return -1;
+    const void* p = std::memchr(buf + from, '\n', (size_t)(n - from));
+    return p ? (const uint8_t*)p - buf : -1;
+  }
+#endif
+};
 }  // namespace
 
 // Scan a window for complete FASTA records (behavior spec:
@@ -1010,12 +1060,13 @@ int64_t bs_scan_fasta(const uint8_t* buf, int64_t n, int64_t start,
     return true;
   };
 
+  NlCursor nlc{buf, n};
   while (pos < n && count < max_records) {
-    const void* m = std::memchr(buf + pos, '\n', (size_t)(n - pos));
+    const int64_t found = nlc.next(pos);
     int64_t eol;
     bool had_newline = true;
-    if (m) {
-      eol = (const uint8_t*)m - buf;
+    if (found >= 0) {
+      eol = found;
     } else if (at_eof) {
       eol = n;
       had_newline = false;
@@ -1080,7 +1131,7 @@ int64_t bs_scan_fasta(const uint8_t* buf, int64_t n, int64_t start,
     }
     pos = eol + 1;
     ++line_idx;
-    if (!m) break;  // consumed the unterminated final line
+    if (found < 0) break;  // consumed the unterminated final line
   }
 
   if (at_eof && have_header && count < max_records && pos >= n) {
