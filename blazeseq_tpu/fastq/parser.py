@@ -577,31 +577,30 @@ class FastqParser:
             if rows is None:
                 rows = self._q_rows = self._q.tolist()
             qlen = len(rows)
-            qpos = self._q_pos
-            try:
-                while qpos < qlen:
-                    h, s, p, q, e = rows[qpos]
-                    qpos += 1
-                    a = h + 1
-                    b = s - 1
-                    if b > a and (buf[a] in ws or buf[b - 1] in ws):
-                        stripped = bytes(buf[a:b]).strip(
-                            b" \t\n\v\f\r\x1c\x1d\x1e")
-                        lead = (b - a) - len(
-                            bytes(buf[a:b]).lstrip(b" \t\n\v\f\r\x1c\x1d\x1e"))
-                        a += lead
-                        b = a + len(stripped)
-                    v = new(FastqView)
-                    v._id = buf[a:b]
-                    v._sequence = buf[s : p - 1]
-                    v._quality = buf[q:e]
-                    v._phred_offset = off
-                    yield v
-            finally:
-                # write the cursor back even if the consumer abandons the
-                # generator mid-queue
-                self._served += qpos - self._q_pos
-                self._q_pos = qpos
+            qid = self._q
+            # cursor writes happen BEFORE each yield, and the loop re-syncs
+            # when an interleaved parser call (next_batch etc.) replaced the
+            # scan queue — so mixed iterator/direct usage never re-serves or
+            # mis-serves a record
+            while self._q_pos < qlen and self._q is qid:
+                h, s, p, q, e = rows[self._q_pos]
+                self._q_pos += 1
+                self._served += 1
+                a = h + 1
+                b = s - 1
+                if b > a and (buf[a] in ws or buf[b - 1] in ws):
+                    stripped = bytes(buf[a:b]).strip(
+                        b" \t\n\v\f\r\x1c\x1d\x1e")
+                    lead = (b - a) - len(
+                        bytes(buf[a:b]).lstrip(b" \t\n\v\f\r\x1c\x1d\x1e"))
+                    a += lead
+                    b = a + len(stripped)
+                v = new(FastqView)
+                v._id = buf[a:b]
+                v._sequence = buf[s : p - 1]
+                v._quality = buf[q:e]
+                v._phred_offset = off
+                yield v
 
     @_iterable_method
     def records(self) -> Iterator[FastqRecord]:
@@ -622,37 +621,46 @@ class FastqParser:
                 mv = self._mv = self._stream.mview()
             if ext is not None:
                 # C fast path: materialize FastqRecord objects straight from
-                # the offset table (native/records_ext.c)
-                n_left = len(self._q) - self._q_pos
-                rows_np = np.ascontiguousarray(self._q[self._q_pos :])
+                # the offset table (native/records_ext.c). Cursor writes
+                # happen before each yield so mixed iterator/batch usage
+                # stays exact.
+                qid = self._q
+                q_pos0 = self._q_pos
+                n_left = len(qid) - q_pos0
+                rows_np = np.ascontiguousarray(qid[q_pos0:])
                 it = ext.make_record_iter(mv, rows_np, n_left, off,
                                           FastqRecord)
-                try:
-                    yield from it
-                finally:
-                    served = it.cursor
-                    self._served += served
-                    self._q_pos += served
+                while True:
+                    # re-sync when an interleaved parser call replaced the
+                    # queue or moved the cursor (the C iterator snapshot
+                    # would otherwise serve stale rows)
+                    if (self._q is not qid
+                            or self._q_pos != q_pos0 + it.cursor):
+                        break
+                    try:
+                        r = next(it)
+                    except StopIteration:
+                        break
+                    self._q_pos += 1
+                    self._served += 1
+                    yield r
                 continue
             buf = bytes(mv)
             rows = self._q_rows
             if rows is None:
                 rows = self._q_rows = self._q.tolist()
             qlen = len(rows)
-            qpos = self._q_pos
-            try:
-                while qpos < qlen:
-                    h, s, p, q, e = rows[qpos]
-                    qpos += 1
-                    r = new(FastqRecord)
-                    r._id = buf[h + 1 : s - 1].strip(strip)
-                    r._sequence = buf[s : p - 1]
-                    r._quality = buf[q:e]
-                    r._phred_offset = off
-                    yield r
-            finally:
-                self._served += qpos - self._q_pos
-                self._q_pos = qpos
+            qid = self._q
+            while self._q_pos < qlen and self._q is qid:
+                h, s, p, q, e = rows[self._q_pos]
+                self._q_pos += 1
+                self._served += 1
+                r = new(FastqRecord)
+                r._id = buf[h + 1 : s - 1].strip(strip)
+                r._sequence = buf[s : p - 1]
+                r._quality = buf[q:e]
+                r._phred_offset = off
+                yield r
 
     @_iterable_method
     def batches(self, max_records: Optional[int] = None) -> Iterator[FastqBatch]:

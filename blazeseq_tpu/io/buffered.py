@@ -252,6 +252,7 @@ class LineIterator:
         LineIteratorError with code EOF / EMPTY_BUFFER / INCOMPLETE_LINE.
         Callers fall back to next_line() to force a refill."""
         s = self._stream
+        self._file_position = s.stream_position()
         if s.available() == 0:
             if s.is_eof():
                 raise LineIteratorError(LineIteratorError.EOF)
@@ -286,9 +287,21 @@ class LineIterator:
             return line
         raise LineIteratorError(LineIteratorError.INCOMPLETE_LINE)
 
+    def _check_span_capacity(self, size: int) -> None:
+        """Enforce the same capacity/growth contract as next_line for APIs
+        that must hold `size` contiguous bytes in the buffer."""
+        if size > self._capacity and not self._growth_enabled:
+            raise ParseError(
+                buffer_capacity_error(self._capacity, growth_hint=True))
+        if size > self._max_capacity:
+            raise ParseError(
+                buffer_capacity_error(self._capacity, self._max_capacity,
+                                      True, at_max=True))
+
     def peek(self, amt: int) -> memoryview:
         """The next `amt` buffered bytes without consuming
         (reference: buffered.mojo:682-686)."""
+        self._check_span_capacity(amt)
         s = self._stream
         while s.available() < amt:
             if s.is_eof() or self._fill() == 0:
@@ -299,7 +312,9 @@ class LineIterator:
         """Read exactly `size` bytes, refilling as needed; FastxEOFError if
         the stream ends short (reference: buffered.mojo:688-705). The view is
         valid until the next mutating call."""
+        self._check_span_capacity(size)
         s = self._stream
+        self._file_position = s.stream_position()
         while s.available() < size:
             if s.is_eof():
                 raise FastxEOFError()

@@ -32,31 +32,26 @@ class NWAligner:
         self._ref = jnp.asarray(np.frombuffer(self.reference, dtype=np.uint8))
         self.max_query_len = max_query_len
         self.prefer_pallas = prefer_pallas
-        # One compiled executable per input shape: the whole step (clamp +
-        # slice + wavefront DP) must be a single jit so per-batch scoring is
-        # one device dispatch, not a chain of eager ops (each eager op is a
-        # host round trip — catastrophic on remote-attached devices).
-        self._compiled = {}
+        # The whole step (clamp + slice + wavefront DP) is one jit so
+        # per-batch scoring is one device dispatch, not a chain of eager ops
+        # (each eager op is a host round trip — catastrophic on
+        # remote-attached devices). jax.jit caches one executable per input
+        # shape; the Python-level slice branch resolves at trace time.
+        mql = max_query_len
 
-    def _step_for(self, shape):
-        fn = self._compiled.get(shape)
-        if fn is None:
-            mql = self.max_query_len
+        @jax.jit
+        def _step(seq, lengths, ref):
+            lengths = jnp.minimum(lengths.astype(jnp.int32), mql)
+            if seq.shape[1] > mql:
+                seq = seq[:, :mql]
+            return nw_ops.nw_scores(seq, lengths, ref,
+                                    prefer_pallas=self.prefer_pallas)
 
-            @jax.jit
-            def step(seq, lengths, ref):
-                lengths = jnp.minimum(lengths.astype(jnp.int32), mql)
-                if seq.shape[1] > mql:
-                    seq = seq[:, :mql]
-                return nw_ops.nw_scores(seq, lengths, ref,
-                                        prefer_pallas=self.prefer_pallas)
-
-            fn = self._compiled[shape] = step
-        return fn
+        self._step = _step
 
     def score_padded(self, pb: PaddedFastqBatch) -> np.ndarray:
-        step = self._step_for(pb.seq.shape)
-        scores = step(jnp.asarray(pb.seq), jnp.asarray(pb.lengths), self._ref)
+        scores = self._step(jnp.asarray(pb.seq), jnp.asarray(pb.lengths),
+                            self._ref)
         return np.asarray(scores)[: pb.n_records]
 
     def score_batch(self, batch: FastqBatch) -> np.ndarray:

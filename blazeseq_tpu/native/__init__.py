@@ -650,6 +650,10 @@ def gather_padded(window: np.ndarray, offsets: np.ndarray, width: int,
         s, q, L = int(offsets[i, 1]), int(offsets[i, 3]), int(lens[i])
         seq[i, :L] = window[s : s + L]
         qual[i, :L] = window[q : q + L]
+        # zero the row padding explicitly: `out=` buffers (reuse pools) carry
+        # stale bytes from the previous batch
+        seq[i, L:] = 0
+        qual[i, L:] = 0
     lengths[:nrec] = true_lens
     return seq, qual, lengths
 

@@ -83,7 +83,10 @@ static PyObject *RecordIter_next(RecordIter *self) {
     }
     const int64_t *rec = self->offsets + self->cursor * 5;
     const int64_t h = rec[0], s = rec[1], p = rec[2], q = rec[3], e = rec[4];
-    if (h < 0 || e > self->buf_len || s <= h || p < s || q < p || e < q) {
+    /* minimal legal spacing: s >= h+2 (header '@'+'\n'), p >= s+1 (seq
+       newline), q >= p+1; e == q (empty quality) is legal */
+    if (h < 0 || e > self->buf_len || s < h + 2 || p < s + 1 || q < p + 1 ||
+        e < q) {
         PyErr_SetString(PyExc_ValueError, "corrupt offset row");
         return NULL;
     }

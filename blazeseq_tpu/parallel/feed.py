@@ -52,9 +52,9 @@ def parallel_padded_batches(
 
     With reuse_buffers=True each worker rotates a small pool of padded
     buffers; a yielded batch is recycled to its worker when the consumer
-    advances to the NEXT batch — the serial reuse_buffers / views-mode
-    invalidation contract. Consume (device_put / reduce) each batch before
-    requesting the next.
+    advances PAST the following batch — i.e. batch k stays valid while batch
+    k+1 is being processed, the serial double-buffered padded_batches
+    contract. Hold batches longer than that only with reuse_buffers=False.
 
     A parse/validation error in any shard is re-raised on the consumer side
     after in-flight batches drain; its message already carries the record
@@ -117,6 +117,7 @@ def parallel_padded_batches(
         t.start()
     done = 0
     err: Optional[_ShardError] = None
+    pending = None  # previously yielded (shard_id, buf_set), recycled late
     try:
         while done < workers:
             item = out.get()
@@ -127,21 +128,30 @@ def parallel_padded_batches(
             else:
                 shard_id, pb, buf_set = item
                 yield shard_id, pb
-                if buf_set is not None:  # consumer advanced: recycle
-                    free_qs[shard_id].put(buf_set)
+                # consumer advanced past the PREVIOUS batch: recycle it now
+                # (one-batch delay = serial double-buffered contract)
+                if pending is not None:
+                    free_qs[pending[0]].put(pending[1])
+                pending = (shard_id, buf_set) if buf_set is not None else None
         if err is not None:
             raise err.exc
     finally:
         stop.set()
-        # unblock producers stuck on a full queue or an empty pool
+        if reuse_buffers:
+            for fq in free_qs:
+                fq.put(None)  # wake any worker blocked on acquire
+        # drain until every producer exits: a single drain can miss in-flight
+        # puts (each worker may still push one batch + its None sentinel)
+        while any(t.is_alive() for t in threads):
+            try:
+                out.get(timeout=0.05)
+            except queue.Empty:
+                pass
         try:
             while True:
                 out.get_nowait()
         except queue.Empty:
             pass
-        if reuse_buffers:
-            for fq in free_qs:
-                fq.put(None)  # wake any worker blocked on acquire
 
 
 

@@ -1,0 +1,100 @@
+"""Regression tests for review findings: mixed iterator/direct usage,
+reuse-buffer padding hygiene on the numpy fallback, and LineIterator
+capacity enforcement in the parity APIs."""
+
+import numpy as np
+import pytest
+
+import blazeseq_tpu as bt
+from blazeseq_tpu import LineIterator
+from blazeseq_tpu.errors import ParseError
+
+
+def _corpus(n=6, L=4):
+    return b"".join(
+        b"@r%d\n%s\n+\n%s\n" % (i, bytes([65 + i % 4]) * L, b"I" * L)
+        for i in range(n))
+
+
+def test_mixed_views_iterator_and_next_batch_no_duplicates():
+    buf = _corpus(6)
+    p = bt.FastqParser(bt.MemoryReader(buf))
+    it = p.views()
+    first = bytes(next(it).id_bytes())
+    batch = p.next_batch(2)  # consumes r1, r2
+    batch_ids = [batch.get_record(i).id_bytes() for i in range(len(batch))]
+    rest = [bytes(v.id_bytes()) for v in it]
+    assert first == b"r0"
+    assert batch_ids == [b"r1", b"r2"]
+    assert rest == [b"r3", b"r4", b"r5"]
+
+
+def test_mixed_records_iterator_and_next_view_no_duplicates():
+    buf = _corpus(6)
+    p = bt.FastqParser(bt.MemoryReader(buf))
+    it = p.records()
+    assert next(it).id() == "r0"
+    assert bytes(p.next_view().id_bytes()) == b"r1"
+    assert [r.id() for r in it] == ["r2", "r3", "r4", "r5"]
+
+
+def test_mixed_usage_without_native(monkeypatch):
+    from blazeseq_tpu import native
+    monkeypatch.setattr(native, "records_ext", lambda: None)
+    buf = _corpus(5)
+    p = bt.FastqParser(bt.MemoryReader(buf))
+    it = p.records()
+    assert next(it).id() == "r0"
+    p.next_batch(2)
+    assert [r.id() for r in it] == ["r3", "r4"]
+
+
+def test_reused_padded_buffers_zero_padding_numpy_fallback(monkeypatch):
+    """Second batch's rows must not leak bytes from a longer first batch."""
+    from blazeseq_tpu import native
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    long_then_short = (b"@a\n" + b"A" * 12 + b"\n+\n" + b"J" * 12 + b"\n"
+                       + b"@b\nACGT\n+\nIIII\n")
+    p = bt.FastqParser(bt.MemoryReader(long_then_short))
+    batches = list(p.padded_batches(1, max_len=16, reuse_buffers=True))
+    assert len(batches) == 2
+    pb = batches[-1]  # only the LAST batch is valid after iteration
+    assert bytes(pb.seq[0, :4].tobytes()) == b"ACGT"
+    assert bytes(pb.seq[0, 4:].tobytes()) == b"\x00" * 12
+    assert bytes(pb.qual[0, 4:].tobytes()) == b"\x00" * 12
+
+
+def test_read_exact_and_peek_respect_capacity():
+    data = b"x" * 1000
+    it = LineIterator(bt.MemoryReader(data), capacity=64)
+    with pytest.raises(ParseError):
+        it.read_exact(500)
+    with pytest.raises(ParseError):
+        it.peek(500)
+    # growth enabled: allowed up to max_capacity
+    it2 = LineIterator(bt.MemoryReader(data), capacity=64,
+                       growth_enabled=True, max_capacity=2048)
+    assert len(it2.read_exact(500)) == 500
+
+
+def test_file_position_updates_in_parity_apis():
+    it = LineIterator(bt.MemoryReader(b"aa\nbb\ncc\n"))
+    it.next_complete_line()
+    it.next_complete_line()
+    assert it.get_file_position() == 3  # position of the line just served
+    it.read_exact(3)  # consumes "cc\n"
+    assert it.get_file_position() == 6
+
+
+def test_records_ext_rejects_corrupt_offsets():
+    from blazeseq_tpu import native
+    ext = native.records_ext()
+    if ext is None:
+        pytest.skip("no C extension")
+    from blazeseq_tpu.fastq.record import FastqRecord
+    buf = b"@a\nAC\n+\nII\n"
+    bad = np.array([[0, 1, 1, 1, 1]], dtype=np.int64)  # p == s etc.
+    it = ext.make_record_iter(buf, bad, 1, 33, FastqRecord)
+    with pytest.raises(ValueError):
+        next(it)
