@@ -519,6 +519,77 @@ class FastqParser:
                                 n_records=got,
                                 quality_offset=self.quality_schema.OFFSET)
 
+    def bucketed_padded_batches(self, buckets=(128, 256, 512, 1024),
+                                max_records: Optional[int] = None):
+        """Length-bucketed padded batches: each record goes to the smallest
+        bucket width >= its read length, and a full [max_records, width]
+        PaddedFastqBatch is yielded per bucket as it fills (partials flush at
+        EOF). Yields (bucket_width, PaddedFastqBatch).
+
+        This is the TPU-native mixed-length layout (SURVEY §5: long reads via
+        padded/bucketed SoA): padding waste stays bounded per bucket instead
+        of every batch paying for its longest read, while shapes remain
+        static per bucket (one XLA compilation each). Records keep stream
+        order within a bucket; ordering across buckets interleaves (QC
+        statistics and counters are order-invariant). Reads longer than the
+        largest bucket are clamped to it (lengths stay true)."""
+        from .batch import PaddedFastqBatch
+
+        buckets = sorted(set(int(b) for b in buckets))
+        limit = max_records or self._batch_size
+        acc = {
+            w: (np.zeros((limit, w), dtype=np.uint8),
+                np.zeros((limit, w), dtype=np.uint8),
+                np.zeros(limit, dtype=np.int32))
+            for w in buckets
+        }
+        fill = {w: 0 for w in buckets}
+        widths = np.asarray(buckets, dtype=np.int64)
+
+        def emit(w):
+            seq, qual, lengths = acc[w]
+            pb = PaddedFastqBatch(seq=seq, qual=qual, lengths=lengths,
+                                  n_records=fill[w],
+                                  quality_offset=self.quality_schema.OFFSET)
+            acc[w] = (np.zeros((limit, w), dtype=np.uint8),
+                      np.zeros((limit, w), dtype=np.uint8),
+                      np.zeros(limit, dtype=np.int32))
+            fill[w] = 0
+            return pb
+
+        while True:
+            if self._q_pos >= len(self._q):
+                try:
+                    self._scan_more()
+                except FastxEOFError:
+                    break
+            rows = self._q[self._q_pos :]
+            window = self._stream.window()
+            lens = rows[:, 2] - rows[:, 1] - 1
+            which = np.searchsorted(widths, lens, side="left")
+            which = np.minimum(which, len(buckets) - 1)  # clamp long reads
+            for bi in np.unique(which):
+                w = buckets[int(bi)]
+                sub = rows[which == bi]
+                i = 0
+                while i < len(sub):
+                    take = min(limit - fill[w], len(sub) - i)
+                    seq, qual, lengths = acc[w]
+                    native.gather_padded(
+                        window, sub[i : i + take], w,
+                        out=(seq[fill[w] : fill[w] + take],
+                             qual[fill[w] : fill[w] + take],
+                             lengths[fill[w] : fill[w] + take]))
+                    fill[w] += take
+                    i += take
+                    if fill[w] >= limit:
+                        yield w, emit(w)
+            self._served += len(rows)
+            self._q_pos = len(self._q)
+        for w in buckets:
+            if fill[w]:
+                yield w, emit(w)
+
     def padded_batches(self, max_records: Optional[int] = None,
                        max_len: int = 256,
                        pad_records_to: Optional[int] = None,

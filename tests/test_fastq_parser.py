@@ -260,3 +260,61 @@ def test_empty_record_zero_length():
     p = _parser(b"@r1\n\n+\n\n")
     r = p.next_record()
     assert len(r) == 0 and r.id() == "r1"
+
+
+# ---------------------------------------------------------------------------
+# bucketed padded batches (mixed-length TPU layout)
+# ---------------------------------------------------------------------------
+
+def test_bucketed_padded_batches_content_and_buckets():
+    import numpy as np
+    import random
+    rng = random.Random(7)
+    recs = []
+    for i in range(500):
+        L = rng.choice([30, 100, 180, 400])
+        seq = bytes(rng.choice(b"ACGT") for _ in range(L))
+        recs.append((b"r%d" % i, seq))
+    buf = b"".join(b"@%s\n%s\n+\n%s\n" % (i, s, b"I" * len(s))
+                   for i, s in recs)
+    golden = {s: True for _, s in recs}
+    p = bt.FastqParser(bt.MemoryReader(buf))
+    seen = 0
+    for width, pb in p.bucketed_padded_batches(buckets=(64, 128, 256),
+                                               max_records=64):
+        assert width in (64, 128, 256)
+        lens = np.asarray(pb.lengths[: pb.n_records])
+        # every record landed in the smallest bucket that fits (long reads
+        # clamp to the largest bucket)
+        if width == 64:
+            assert (lens <= 64).all()
+        elif width == 128:
+            assert ((lens > 64) & (lens <= 128)).all()
+        else:
+            assert (lens > 128).all()
+        for i in range(pb.n_records):
+            L = min(int(lens[i]), width)
+            s = bytes(np.asarray(pb.seq[i, :L]).tobytes())
+            # clamped rows: compare the stored prefix
+            assert any(g.startswith(s) for g in golden if len(g) == lens[i])
+            # padding is zero
+            assert not np.asarray(pb.seq[i, L:]).any()
+        seen += pb.n_records
+    assert seen == 500
+
+
+def test_bucketed_padding_waste_below_uniform():
+    import numpy as np
+    buf = bytes(bt.generate_synthetic_fastq_buffer(2000, 30, 400, 2, 40,
+                                                   "sanger"))
+    p = bt.FastqParser(bt.MemoryReader(buf))
+    padded_cells = 0
+    used_cells = 0
+    for width, pb in p.bucketed_padded_batches(buckets=(64, 128, 256, 512),
+                                               max_records=256):
+        padded_cells += pb.n_records * width
+        used_cells += int(np.asarray(pb.lengths[: pb.n_records]).sum())
+    uniform_cells = 2000 * 512  # single 512-wide layout
+    assert padded_cells < uniform_cells * 0.7
+    assert used_cells == sum(
+        len(r) for r in bt.FastqParser(bt.MemoryReader(buf)).records())
