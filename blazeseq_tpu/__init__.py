@@ -28,7 +28,7 @@ from .errors import (
 )
 from .bed.parser import BedParser, BedWriter
 from .bed.record import BedRecord, BedView, ItemRgb, Strand
-from .fai.parser import FaiParser, build_fai, write_fai
+from .fai.parser import FaiParser, IndexedFasta, build_fai, write_fai
 from .fai.record import FaiRecord, FaiView
 from .fasta.parser import FastaBatch, FastaParser, FastaParserConfig
 from .fasta.record import FastaRecord

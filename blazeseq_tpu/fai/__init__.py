@@ -1,2 +1,2 @@
-from .parser import FaiParser, build_fai, write_fai
+from .parser import FaiParser, IndexedFasta, build_fai, write_fai
 from .record import FaiRecord, FaiView

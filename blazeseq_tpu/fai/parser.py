@@ -168,3 +168,69 @@ def build_fai(reader, chunk_size: int = 1024 * 1024) -> List[FaiRecord]:
 def write_fai(records: List[FaiRecord], writer) -> None:
     for r in records:
         writer.write_bytes(r.to_bytes())
+
+
+class IndexedFasta:
+    """Random access to a FASTA file through its .fai index — the
+    ecosystem's (samtools faidx) answer to the reference's "no random seek"
+    limitation (reference README.md:133; the reference parses/builds .fai
+    but stops short of fetch).
+
+    Coordinates are 0-based half-open ([start, end), python-slice style).
+    """
+
+    def __init__(self, path, fai_path=None):
+        import os
+
+        self._path = str(path)
+        fai_path = str(fai_path) if fai_path else self._path + ".fai"
+        if os.path.exists(fai_path):
+            from ..io.readers import FileReader
+
+            self._index = {r.Name: r
+                           for r in FaiParser(FileReader(fai_path)).collect()}
+        else:
+            from ..io.readers import FileReader
+
+            self._index = {r.Name: r
+                           for r in build_fai(FileReader(self._path))}
+        self._f = open(self._path, "rb")
+
+    def names(self):
+        return [n.decode("utf-8", "replace") for n in self._index]
+
+    def length(self, name) -> int:
+        return self._record(name).Length
+
+    def _record(self, name) -> FaiRecord:
+        key = name.encode() if isinstance(name, str) else bytes(name)
+        try:
+            return self._index[key]
+        except KeyError:
+            raise KeyError("sequence %r not in index" % (name,))
+
+    def fetch(self, name, start: int = 0, end: int = None) -> bytes:
+        """Sequence bytes for [start, end) of `name` (newlines removed)."""
+        rec = self._record(name)
+        if end is None or end > rec.Length:
+            end = rec.Length
+        start = max(0, start)
+        if start >= end:
+            return b""
+        lb, lw = rec.LineBases, rec.LineWidth
+        # byte offset of base `start`: full lines before it + remainder
+        first = rec.Offset + (start // lb) * lw + (start % lb)
+        last = rec.Offset + ((end - 1) // lb) * lw + ((end - 1) % lb)
+        self._f.seek(first)
+        raw = self._f.read(last - first + 1)
+        # strip line terminators (LineWidth - LineBases bytes per wrap)
+        return bytes(raw.translate(None, b"\r\n"))
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

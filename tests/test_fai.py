@@ -163,3 +163,37 @@ def test_delimited_policy_stop():
 def test_delimited_blank_lines_skipped():
     dr = DelimitedReader(bt.MemoryReader(b"\n\na\tb\n\nc\td\n"))
     assert [v.get_bytes(0) for v in dr.views()] == [b"a", b"c"]
+
+
+def test_indexed_fasta_fetch(tmp_path):
+    """faidx-style random access: wrapped lines, CRLF, multi-record."""
+    fa = (b">chr1 desc\n" + b"ACGTACGTAC\n" * 5  # 50 bases, width 10
+          + b">chr2\n" + b"GG\r\nTT\r\n")         # CRLF wrapping, 4 bases
+    p = tmp_path / "ref.fa"
+    p.write_bytes(fa)
+    ix = bt.IndexedFasta(str(p))
+    assert sorted(ix.names()) == ["chr1", "chr2"]
+    assert ix.length("chr1") == 50
+    assert ix.fetch("chr1") == b"ACGTACGTAC" * 5
+    assert ix.fetch("chr1", 8, 12) == b"ACAC"      # crosses a line wrap
+    assert ix.fetch("chr1", 49, 50) == b"C"
+    assert ix.fetch("chr1", 10, 10) == b""
+    assert ix.fetch("chr2") == b"GGTT"
+    assert ix.fetch("chr2", 1, 3) == b"GT"
+    with pytest.raises(KeyError):
+        ix.fetch("nope")
+    ix.close()
+
+
+def test_indexed_fasta_uses_existing_fai(tmp_path):
+    fa = b">s\nAAACCC\nGGGTTT\n"
+    p = tmp_path / "r.fa"
+    p.write_bytes(fa)
+    # build + persist the index, then reopen (parses the .fai instead)
+    from blazeseq_tpu.io.writers import BufferedWriter, FileWriter
+    recs = bt.build_fai(bt.FileReader(str(p)))
+    w = BufferedWriter(FileWriter(str(p) + ".fai"))
+    bt.write_fai(recs, w)
+    w.close()
+    ix = bt.IndexedFasta(str(p))
+    assert ix.fetch("s", 3, 9) == b"CCCGGG"
