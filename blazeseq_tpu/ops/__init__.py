@@ -11,5 +11,6 @@ from .scan import (
     record_offsets_device,
     structural_bitmaps,
 )
+from .raw_stats import RawStreamQC, raw_stream_qc
 from .stats import MAX_PHRED, QCAccumulator, QCStats, qc_stats, zero_stats
 from .validate import validate_decode, validate_decode_pallas, validate_decode_xla
