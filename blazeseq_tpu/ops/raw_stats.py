@@ -84,12 +84,18 @@ def raw_stream_qc(chunk: jnp.ndarray, q_lower, q_upper, offset,
     base_counts = jnp.stack(counts + [bases - sum(counts)])
 
     # quality histogram + mean, offset-decoded and clamped into max_phred.
-    phred = jnp.clip(chunk.astype(jnp.int32) - offset, 0, max_phred - 1)
+    # All byte math stays uint8 — i32 expansion would 4x the memory traffic
+    # of every pass (offset/bounds are < 256 by schema construction).
+    off_u8 = offset.astype(jnp.uint8)
+    phred = jnp.minimum(
+        jnp.where(chunk < off_u8, jnp.uint8(0), chunk - off_u8),
+        jnp.uint8(max_phred - 1))
     qual_hist = jnp.stack([
-        jnp.sum(qual_m & (phred == k), dtype=jnp.int32)
+        jnp.sum(qual_m & (phred == jnp.uint8(k)), dtype=jnp.int32)
         for k in range(max_phred)
     ])
-    mean_q_sum = jnp.sum(jnp.where(qual_m, phred, 0), dtype=jnp.int32)
+    mean_q_sum = jnp.sum(jnp.where(qual_m, phred, jnp.uint8(0)),
+                         dtype=jnp.int32)
 
     # structure: a line START is position 0 or any position after a newline;
     # phase-0 starts must be '@', phase-2 starts must be '+'
@@ -101,8 +107,9 @@ def raw_stream_qc(chunk: jnp.ndarray, q_lower, q_upper, offset,
     seq_qual_mismatch = bases != jnp.sum(qual_m, dtype=jnp.int32)
 
     bad_ascii = jnp.any((chunk & jnp.uint8(0x80)) > 0)
-    qv = chunk.astype(jnp.int32)
-    bad_quality = jnp.any(qual_m & ((qv < q_lower) | (qv > q_upper)))
+    lo_u8 = q_lower.astype(jnp.uint8)
+    hi_u8 = q_upper.astype(jnp.uint8)
+    bad_quality = jnp.any(qual_m & ((chunk < lo_u8) | (chunk > hi_u8)))
 
     return RawStreamQC(reads, bases, base_counts, qual_hist, mean_q_sum,
                        bad_structure, seq_qual_mismatch, bad_ascii,
