@@ -130,6 +130,10 @@ class FastqParser:
         self._q_pos = 0
         self._mv = None  # cached buffer memoryview, refreshed per scan
         self._pending_exc_info = None  # (code, id_bytes, seq_bytes)
+        # reusable offsets scratch (native.scan_fastq): the queue is always
+        # drained before the next scan, so overwriting it is safe; 64K rows
+        # per scan keeps allocations and page-fault churn off the hot path
+        self._scan_scratch = None
 
     # -- bookkeeping -----------------------------------------------------------
     def has_more(self) -> bool:
@@ -187,6 +191,8 @@ class FastqParser:
             s.fill()
         if not s.has_more():
             raise FastxEOFError()
+        if self._scan_scratch is None and native.has_native():
+            self._scan_scratch = np.empty(((1 << 16) + 1, 5), dtype=np.int64)
         while True:
             buf_np = s.window()
             res = native.scan_fastq(
@@ -196,6 +202,7 @@ class FastqParser:
                 check_quality=cfg.check_quality,
                 q_lower=self.quality_schema.LOWER,
                 q_upper=self.quality_schema.UPPER,
+                scratch=self._scan_scratch,
             )
             if len(res.offsets) or res.err_code:
                 self._ingest(res)

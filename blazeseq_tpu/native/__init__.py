@@ -185,21 +185,33 @@ def scan_fastq(
     check_quality: bool = False,
     q_lower: int = 33,
     q_upper: int = 126,
+    scratch: Optional[np.ndarray] = None,
 ) -> ScanResult:
     """Scan `window[start:]` for complete FASTQ records with fused validation.
 
     Mirrors bs_scan_fastq (scan.cpp): structure errors leave the bad record
     uncounted (its partial offsets returned in err_offsets); validation errors
     count & consume the bad record as the last row.
+
+    `scratch` (int64[(cap+1), 5]) reuses an offsets buffer across scans —
+    the returned offsets VIEW it, so callers must drain the result before
+    the next scan with the same scratch (the parser's queue contract). A
+    scan that fills the scratch simply stops early; the caller's refill loop
+    continues from `consumed`.
     """
     lib = _load()
     n = len(window)
     if lib is not None:
-        # Upper bound for record count in this window: each record needs >= 4
-        # bytes ("@\n" is invalid; minimal "@\n\n+\n\n" is 6); use n//4 + 1.
-        cap = min(max_records, (n - start) // 4 + 1) if n > start else 0
-        cap = max(cap, 1)
-        out = np.empty((cap + 1, 5), dtype=np.int64)
+        if scratch is not None:
+            cap = min(max_records, len(scratch) - 1)
+            out = scratch
+        else:
+            # Upper bound for record count in this window: each record needs
+            # >= 4 bytes; cap the allocation — a full scratch just means the
+            # caller scans again from `consumed`.
+            cap = min(max_records, (n - start) // 4 + 1) if n > start else 0
+            cap = max(min(cap, 1 << 20), 1)
+            out = np.empty((cap + 1, 5), dtype=np.int64)
         consumed = ctypes.c_int64(0)
         err_code = ctypes.c_int32(0)
         err_phase = ctypes.c_int32(0)
