@@ -75,7 +75,7 @@ from .utils import (
     generate_synthetic_fastq_to_writer,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def parser(path, quality_schema: str = "generic", parallelism: int = 4,

@@ -207,12 +207,42 @@ class ParallelGzipReader:
         try:
             if self._bgzf and self._parallelism > 1:
                 self._produce_bgzf()
+            elif self._parallelism >= 4 and self._try_pugz():
+                pass  # parallel arbitrary-gzip inflate handled everything
             else:
                 self._produce_stream()
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:
             self._queue.put(None)
+
+    def _try_pugz(self) -> bool:
+        """Parallel inflate of arbitrary single-stream gzip (pugz/rapidgzip
+        design, io/pugz.py). The marker-decode costs ~3x zlib per core, so
+        it only wins with >= ~4 workers; results are CRC32-verified and any
+        failure falls back to the pipelined sequential path. Returns True
+        when the output was fully produced."""
+        import os as _os
+
+        from .pugz import parallel_inflate
+
+        try:
+            size = _os.path.getsize(self._path)
+            if size > 2 << 30:  # whole-output-in-memory path; cap input size
+                return False
+            with open(self._path, "rb") as f:
+                comp = f.read()
+            data = parallel_inflate(comp, self._parallelism)
+        except Exception:
+            return False
+        if data is None:
+            return False
+        mb = 1 << 20
+        for i in range(0, len(data), mb):
+            if self._stop.is_set():
+                return True
+            self._queue.put(data[i : i + mb])
+        return True
 
     def _produce_stream(self):
         with open(self._path, "rb", buffering=0) as f:

@@ -107,6 +107,54 @@ def has_native() -> bool:
     return _load() is not None
 
 
+_pz_lib: Optional[ctypes.CDLL] = None
+_pz_tried = False
+
+
+def pinflate_lib():
+    """Load (building on first use) the parallel-inflate core
+    (pinflate.cpp). Returns the CDLL or None."""
+    global _pz_lib, _pz_tried
+    if _pz_tried:
+        return _pz_lib
+    _pz_tried = True
+    if os.environ.get("BLAZESEQ_NATIVE", "1") == "0":
+        return None
+    src = os.path.join(_HERE, "pinflate.cpp")
+    for outdir in (_HERE, tempfile.gettempdir()):
+        out = os.path.join(outdir, "libblazeseq_pinflate.so")
+        if not (os.path.exists(out)
+                and os.path.getmtime(out) >= os.path.getmtime(src)):
+            try:
+                r = subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
+                     "-o", out],
+                    capture_output=True, timeout=120)
+                if r.returncode != 0:
+                    continue
+            except (OSError, subprocess.SubprocessError):
+                continue
+        try:
+            lib = ctypes.CDLL(out)
+        except OSError:
+            continue
+        i64, i32 = ctypes.c_int64, ctypes.c_int32
+        p_u8 = ctypes.POINTER(ctypes.c_uint8)
+        p_u16 = ctypes.POINTER(ctypes.c_uint16)
+        p_i64 = ctypes.POINTER(ctypes.c_int64)
+        p_i32 = ctypes.POINTER(ctypes.c_int32)
+        lib.pz_decode_chunk.restype = i64
+        lib.pz_decode_chunk.argtypes = [p_u8, i64, i64, i64, p_u16, i64,
+                                        p_i64, p_i32, p_i32]
+        lib.pz_find_block.restype = i64
+        lib.pz_find_block.argtypes = [p_u8, i64, i64, i64, i64, p_u16, i64]
+        lib.pz_resolve.restype = i32
+        lib.pz_resolve.argtypes = [p_u16, i64, p_u8, p_u8]
+        _pz_lib = lib
+        return _pz_lib
+    return None
+
+
 _rec_mod = None
 _rec_tried = False
 

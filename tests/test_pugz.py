@@ -1,0 +1,104 @@
+"""Parallel arbitrary-gzip inflate (io/pugz.py + native/pinflate.cpp).
+
+Correctness contract: parallel_inflate either returns bytes identical to
+zlib's output (CRC32-verified internally) or None (caller falls back) —
+never wrong data. The cases sweep compression levels, payload shapes,
+chunk sizes, and malformed inputs."""
+
+import gzip
+import random
+import zlib
+
+import pytest
+
+import blazeseq_tpu as bt
+from blazeseq_tpu.io.pugz import parallel_inflate
+
+pytestmark = pytest.mark.skipif(
+    __import__("blazeseq_tpu.native", fromlist=["x"]).pinflate_lib() is None,
+    reason="no native pinflate library")
+
+
+def roundtrip(payload: bytes, level=6, chunk=256 * 1024, workers=3):
+    comp = gzip.compress(payload, level)
+    got = parallel_inflate(comp, parallelism=workers, chunk_bytes=chunk)
+    assert got is not None, "unexpected fallback"
+    assert got == payload
+
+
+@pytest.mark.parametrize("level", [1, 6, 9])
+def test_fastq_payload_levels(level):
+    data = bytes(bt.generate_synthetic_fastq_buffer(8000, 50, 150, 2, 40,
+                                                    "sanger"))
+    roundtrip(data, level=level)
+
+
+def test_small_chunks_many_boundaries():
+    data = bytes(bt.generate_synthetic_fastq_buffer(20000, 80, 80, 2, 40,
+                                                    "sanger"))
+    roundtrip(data, chunk=64 * 1024, workers=5)
+
+
+def test_incompressible_and_repetitive():
+    rng = random.Random(3)
+    roundtrip(bytes(rng.randrange(256) for _ in range(400_000)))
+    roundtrip(b"ACGT" * 500_000)
+    roundtrip(b"\x00" * 1_000_000)
+
+
+def test_tiny_and_empty():
+    roundtrip(b"")
+    roundtrip(b"x")
+
+
+def test_multimember():
+    a = bytes(bt.generate_synthetic_fastq_buffer(500, 60, 60, 2, 40,
+                                                 "sanger"))
+    b = bytes(bt.generate_synthetic_fastq_buffer(700, 40, 90, 2, 40,
+                                                 "sanger"))
+    comp = gzip.compress(a) + gzip.compress(b)
+    got = parallel_inflate(comp, parallelism=3, chunk_bytes=128 * 1024)
+    assert got == a + b
+
+
+def test_corrupt_input_falls_back_not_crashes():
+    data = bytes(bt.generate_synthetic_fastq_buffer(3000, 60, 60, 2, 40,
+                                                    "sanger"))
+    comp = bytearray(gzip.compress(data))
+    comp[len(comp) // 2] ^= 0xFF  # corrupt mid-stream
+    got = parallel_inflate(bytes(comp), parallelism=3, chunk_bytes=64 * 1024)
+    assert got is None  # CRC/stitch detects; caller falls back
+    assert parallel_inflate(b"not gzip at all", 3) is None
+    assert parallel_inflate(b"", 3) is None
+
+
+def test_reader_integration_parses_identically(tmp_path):
+    data = bytes(bt.generate_synthetic_fastq_buffer(5000, 50, 150, 2, 40,
+                                                    "sanger"))
+    p = tmp_path / "c.fastq.gz"
+    p.write_bytes(gzip.compress(data))
+    # force the pugz path (parallelism >= 4)
+    r = bt.ParallelGzipReader(str(p), parallelism=4)
+    got = bt.FastqParser(r).count()
+    want = bt.FastqParser(bt.MemoryReader(data)).count()
+    assert got == want
+
+
+def test_fuzz_roundtrip_random_structures():
+    rng = random.Random(11)
+    for trial in range(6):
+        parts = []
+        for _ in range(rng.randint(1, 5)):
+            kind = rng.randrange(3)
+            size = rng.randint(1, 200_000)
+            if kind == 0:
+                parts.append(bytes(rng.randrange(256) for _ in range(size)))
+            elif kind == 1:
+                parts.append(bytes(rng.choice(b"ACGTN\n@+I") for _ in
+                                   range(size)))
+            else:
+                parts.append(parts[-1][:size] if parts else b"z" * size)
+        payload = b"".join(parts)
+        roundtrip(payload, level=rng.choice([1, 6, 9]),
+                  chunk=rng.choice([32 * 1024, 128 * 1024]),
+                  workers=rng.choice([2, 3, 5]))
