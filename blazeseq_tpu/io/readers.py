@@ -207,7 +207,12 @@ class ParallelGzipReader:
         try:
             if self._bgzf and self._parallelism > 1:
                 self._produce_bgzf()
-            elif self._parallelism >= 4 and self._try_pugz():
+            elif ((self._parallelism >= 4
+                   and (os.cpu_count() or 1) >= 4
+                   or os.environ.get("BLAZESEQ_FORCE_PUGZ") == "1")
+                  and self._try_pugz()):
+                # parallel marker-inflate is ~0.5x zlib per core: only a win
+                # when enough REAL cores back the threads
                 pass  # parallel arbitrary-gzip inflate handled everything
             else:
                 self._produce_stream()

@@ -72,12 +72,13 @@ def test_corrupt_input_falls_back_not_crashes():
     assert parallel_inflate(b"", 3) is None
 
 
-def test_reader_integration_parses_identically(tmp_path):
+def test_reader_integration_parses_identically(tmp_path, monkeypatch):
     data = bytes(bt.generate_synthetic_fastq_buffer(5000, 50, 150, 2, 40,
                                                     "sanger"))
     p = tmp_path / "c.fastq.gz"
     p.write_bytes(gzip.compress(data))
-    # force the pugz path (parallelism >= 4)
+    # force the pugz path regardless of host core count
+    monkeypatch.setenv("BLAZESEQ_FORCE_PUGZ", "1")
     r = bt.ParallelGzipReader(str(p), parallelism=4)
     got = bt.FastqParser(r).count()
     want = bt.FastqParser(bt.MemoryReader(data)).count()
