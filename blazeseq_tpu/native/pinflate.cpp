@@ -65,11 +65,15 @@ struct BitReader {
   }
 };
 
-// Canonical Huffman decoder: lengths[] -> (counts, symbols sorted by code).
-// Decode one symbol by walking code lengths (RFC1951 §3.2.2), max 15 bits.
+// Canonical Huffman decoder: lengths[] -> (counts, symbols sorted by code)
+// plus a 10-bit primary lookup table (covers virtually all symbols in real
+// streams); codes longer than 10 bits fall back to the canonical walk.
 struct Huffman {
+  static constexpr int TBITS = 10;
   uint16_t count[16];   // codes per length
   uint16_t sym[288];    // symbols ordered by code
+  uint16_t fast_sym[1 << TBITS];
+  uint8_t fast_len[1 << TBITS];  // 0 = not in table (long code)
   int valid;
 
   void build(const uint8_t* lengths, int n) {
@@ -89,14 +93,40 @@ struct Huffman {
     for (int len = 1; len < 15; ++len) offs[len + 1] = offs[len] + count[len];
     for (int i = 0; i < n; ++i)
       if (lengths[i]) sym[offs[lengths[i]]++] = (uint16_t)i;
+
+    // primary table: for each code of length L <= TBITS, fill every table
+    // slot whose low L bits equal the bit-reversed code (deflate codes are
+    // packed MSB-first into an LSB-first bit stream)
+    std::memset(fast_len, 0, sizeof(fast_len));
+    uint32_t code = 0;
+    int index = 0;
+    for (int len = 1; len <= 15; ++len) {
+      for (int k = 0; k < count[len]; ++k, ++index, ++code) {
+        if (len <= TBITS) {
+          uint32_t rev = 0;
+          for (int b = 0; b < len; ++b) rev |= ((code >> b) & 1) << (len - 1 - b);
+          for (uint32_t idx = rev; idx < (1u << TBITS); idx += 1u << len) {
+            fast_sym[idx] = sym[index];
+            fast_len[idx] = (uint8_t)len;
+          }
+        }
+      }
+      code <<= 1;
+    }
     valid = 1;
   }
 
-  // returns symbol or -1. One 64-bit peek feeds the whole (<=15 level)
-  // canonical walk; per-bit memory reads would dominate otherwise.
+  // returns symbol or -1.
   inline int decode(BitReader* br) const {
     const uint64_t w = br->peek56();
     const int64_t avail = br->nbits - br->pos;
+    const uint32_t probe = (uint32_t)(w & ((1u << TBITS) - 1));
+    const int fl = fast_len[probe];
+    if (fl && fl <= avail) {
+      br->pos += fl;
+      return fast_sym[probe];
+    }
+    // canonical walk for long codes / near stream end
     int code = 0, first = 0, index = 0;
     for (int len = 1; len <= 15; ++len) {
       if (len > avail) return -1;
@@ -200,18 +230,12 @@ constexpr int WSIZE = 32768;
 
 struct Decoder {
   BitReader br;
-  uint16_t win[WSIZE];  // ring of output symbols (literal or marker)
-  int64_t total = 0;    // symbols output so far
-  uint16_t* out;
+  uint16_t* out;  // output symbols; doubles as the LZ77 history window
   int64_t out_cap;
   int64_t n_out = 0;
   int saw_final = 0;
 
-  inline void emit(uint16_t v) {
-    out[n_out++] = v;
-    win[total & (WSIZE - 1)] = v;
-    ++total;
-  }
+  inline void emit(uint16_t v) { out[n_out++] = v; }
 
   // decode blocks until final block, bit limit, or capacity. exact_start=0
   // seeds the window with markers (unknown 32KB history).
@@ -260,18 +284,27 @@ struct Decoder {
             int64_t distance = DIST_BASE[d] + (int64_t)extra;
             if (distance > WSIZE) return PZ_ERR_SYMBOL;
             if (n_out + len > out_cap) return PZ_ERR_OUTCAP;
-            for (int i = 0; i < len; ++i) {
-              uint16_t v;
-              if (distance > total) {
-                // reference into the unknown pre-chunk window:
-                // marker 256 + (k) == byte k+1 positions before chunk start
-                int64_t k = distance - total - 1;
-                if (k >= WSIZE) return PZ_ERR_SYMBOL;
-                v = (uint16_t)(256 + k);
-              } else {
-                v = win[(total - distance) & (WSIZE - 1)];
+            if (distance <= n_out) {
+              // in-chunk history: overlapping copy (RFC1951 allows
+              // len > distance, which repeats the copied region)
+              const uint16_t* src = out + (n_out - distance);
+              uint16_t* dst = out + n_out;
+              for (int i = 0; i < len; ++i) dst[i] = src[i];
+              n_out += len;
+            } else {
+              for (int i = 0; i < len; ++i) {
+                uint16_t v;
+                if (distance > n_out) {
+                  // reference into the unknown pre-chunk window:
+                  // marker 256 + k == byte k+1 positions before chunk start
+                  int64_t k = distance - n_out - 1;
+                  if (k >= WSIZE) return PZ_ERR_SYMBOL;
+                  v = (uint16_t)(256 + k);
+                } else {
+                  v = out[n_out - distance];
+                }
+                emit(v);
               }
-              emit(v);
             }
           }
         }
