@@ -103,3 +103,13 @@ def test_fuzz_roundtrip_random_structures():
         roundtrip(payload, level=rng.choice([1, 6, 9]),
                   chunk=rng.choice([32 * 1024, 128 * 1024]),
                   workers=rng.choice([2, 3, 5]))
+
+
+def test_stored_blocks_level0():
+    """level-0 gzip = stored deflate blocks: the dynamic-only boundary
+    finder finds nothing, chain repair decodes sequentially — still exact."""
+    data = bytes(bt.generate_synthetic_fastq_buffer(5000, 60, 120, 2, 40,
+                                                    "sanger"))
+    comp = gzip.compress(data, 0)
+    got = parallel_inflate(comp, parallelism=3, chunk_bytes=128 * 1024)
+    assert got == data
