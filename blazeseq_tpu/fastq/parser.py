@@ -572,9 +572,18 @@ class FastqParser:
                     break
             rows = self._q[self._q_pos :]
             window = self._stream.window()
+            # cursor advances BEFORE any gather/yield (parser invariant: a
+            # record is consumed exactly once even when the consumer
+            # interleaves other parser calls or abandons the generator)
+            self._served += len(rows)
+            self._q_pos = len(self._q)
             lens = rows[:, 2] - rows[:, 1] - 1
             which = np.searchsorted(widths, lens, side="left")
             which = np.minimum(which, len(buckets) - 1)  # clamp long reads
+            # gather the WHOLE queue into accumulators first; yields happen
+            # only afterwards (a consumer may call back into the parser
+            # during a yield, which can shift the window under us)
+            full: list = []
             for bi in np.unique(which):
                 w = buckets[int(bi)]
                 sub = rows[which == bi]
@@ -590,9 +599,9 @@ class FastqParser:
                     fill[w] += take
                     i += take
                     if fill[w] >= limit:
-                        yield w, emit(w)
-            self._served += len(rows)
-            self._q_pos = len(self._q)
+                        full.append((w, emit(w)))
+            for item in full:
+                yield item
         for w in buckets:
             if fill[w]:
                 yield w, emit(w)

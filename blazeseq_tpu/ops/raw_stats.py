@@ -44,12 +44,20 @@ class RawStreamQC(NamedTuple):
     bases: jnp.ndarray          # i32[] sequence bytes in complete records
     base_counts: jnp.ndarray    # i32[5] A C G T other (complete records)
     qual_hist: jnp.ndarray      # i32[max_phred] Phred histogram
-    mean_q_sum: jnp.ndarray     # i32[] sum of Phred scores
     bad_structure: jnp.ndarray  # bool[] any '@'/'+' line-start violation
     seq_qual_mismatch: jnp.ndarray  # bool[] total seq != total qual bytes
     bad_ascii: jnp.ndarray      # bool[] high bit anywhere in the chunk
     bad_quality: jnp.ndarray    # bool[] quality byte out of schema range
     tail_start: jnp.ndarray     # i32[] offset of the trailing partial record
+
+    def mean_q_sum(self) -> int:
+        """Exact sum of decoded Phred scores, derived host-side from the
+        histogram (an in-graph int32 sum would overflow at ~60 MB of quality
+        data; the per-bin counts themselves stay < 2^31 for < 2 GB chunks)."""
+        import numpy as np
+
+        hist = np.asarray(self.qual_hist, dtype=np.int64)
+        return int((np.arange(len(hist), dtype=np.int64) * hist).sum())
 
 
 @functools.partial(jax.jit, static_argnames=("max_phred",))
@@ -58,6 +66,11 @@ def raw_stream_qc(chunk: jnp.ndarray, q_lower, q_upper, offset,
     """chunk: uint8[n] starting at a record boundary. Scalars: quality
     schema LOWER/UPPER/OFFSET (i32)."""
     n = chunk.shape[0]
+    if n == 0:  # static-shape branch: empty shard/chunk -> zero stats
+        z = jnp.int32(0)
+        f = jnp.asarray(False)
+        return RawStreamQC(z, z, jnp.zeros(5, jnp.int32),
+                           jnp.zeros(max_phred, jnp.int32), f, f, f, f, z)
     nl = chunk == NEWLINE
     nl_u8 = nl.astype(jnp.uint8)
     incl = jnp.cumsum(nl_u8, dtype=jnp.uint8)  # inclusive newline count & 0xFF
@@ -69,7 +82,7 @@ def raw_stream_qc(chunk: jnp.ndarray, q_lower, q_upper, offset,
     # a newline whose inclusive count ≡ 0 (mod 4) ends a record; the tail
     # starts one past the last of them (no i32 cumsum / search needed)
     rec_end = nl & ((incl & jnp.uint8(3)) == 0)
-    tail_start = jnp.max(jnp.where(rec_end, idx + 1, 0))
+    tail_start = jnp.max(jnp.where(rec_end, idx + 1, 0), initial=0)
     reads = jnp.sum(rec_end, dtype=jnp.int32)
     complete = idx < tail_start
 
@@ -94,8 +107,6 @@ def raw_stream_qc(chunk: jnp.ndarray, q_lower, q_upper, offset,
         jnp.sum(qual_m & (phred == jnp.uint8(k)), dtype=jnp.int32)
         for k in range(max_phred)
     ])
-    mean_q_sum = jnp.sum(jnp.where(qual_m, phred, jnp.uint8(0)),
-                         dtype=jnp.int32)
 
     # structure: a line START is position 0 or any position after a newline;
     # phase-0 starts must be '@', phase-2 starts must be '+'
@@ -111,6 +122,6 @@ def raw_stream_qc(chunk: jnp.ndarray, q_lower, q_upper, offset,
     hi_u8 = q_upper.astype(jnp.uint8)
     bad_quality = jnp.any(qual_m & ((chunk < lo_u8) | (chunk > hi_u8)))
 
-    return RawStreamQC(reads, bases, base_counts, qual_hist, mean_q_sum,
+    return RawStreamQC(reads, bases, base_counts, qual_hist,
                        bad_structure, seq_qual_mismatch, bad_ascii,
                        bad_quality, tail_start)

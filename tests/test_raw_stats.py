@@ -54,7 +54,7 @@ def test_raw_stream_qc_matches_host(kind):
     assert got[0] == comp["A"] and got[1] == comp["C"]
     assert got[2] == comp["G"] and got[3] == comp["T"]
     assert got[4] == comp["other"]  # CR bytes in DOS files land here
-    assert int(r.mean_q_sum) == qsum
+    assert r.mean_q_sum() == qsum
     assert int(np.asarray(r.qual_hist).sum()) == bases
     assert not bool(r.bad_structure)
     assert not bool(r.seq_qual_mismatch)
@@ -89,3 +89,23 @@ def test_raw_stream_qc_flags():
     assert bool(r.bad_quality)
     r = run(b"@a\nACG\n+\nII\n")
     assert bool(r.seq_qual_mismatch)
+
+
+def test_mean_q_sum_no_overflow():
+    """Phred sums exceed int32 at ~60 MB of quality data; the histogram
+    route (int64 host-side) must stay exact."""
+    from blazeseq_tpu.ops.raw_stats import RawStreamQC
+    hist = np.zeros(64, dtype=np.int32)
+    hist[40] = 2_000_000_000  # 40 * 2e9 = 8e10 >> 2^31
+    qc = RawStreamQC(np.int32(0), np.int32(0), np.zeros(5, np.int32), hist,
+                     False, False, False, False, np.int32(0))
+    assert qc.mean_q_sum() == 40 * 2_000_000_000
+
+
+def test_empty_chunk_returns_zero_stats():
+    import jax.numpy as jnp
+    from blazeseq_tpu.ops.raw_stats import raw_stream_qc
+    r = raw_stream_qc(jnp.zeros(0, jnp.uint8), jnp.int32(33), jnp.int32(126),
+                      jnp.int32(33))
+    assert int(r.reads) == 0 and int(r.bases) == 0
+    assert int(r.tail_start) == 0 and not bool(r.bad_structure)
