@@ -1,26 +1,31 @@
 """Parallel inflate for arbitrary single-stream gzip (driver side).
 
-rapidgzip/pugz design over the native core (native/pinflate.cpp): speculative
-deflate-block boundary discovery splits the compressed stream into chunks
-that decode CONCURRENTLY with 16-bit marker outputs for references into the
-unknown 32 KB pre-chunk window; a sequential resolution pass patches markers
-with each predecessor's final window; the gzip trailer CRC32 verifies the
-assembled output. Any failure — no boundary found, decode error, chunk ends
-not meeting the next boundary, CRC mismatch — returns None and the caller
-falls back to sequential zlib, so this path can only be faster, never wrong.
+rapidgzip/pugz design over the native core (native/pinflate.cpp):
+speculative deflate-block boundary discovery splits the compressed stream
+into chunks that decode CONCURRENTLY with 16-bit marker outputs for
+references into the unknown 32 KB pre-chunk window; a sequential chain walk
+resolves markers with each predecessor's final window and yields output as
+it goes. The walk only ever continues from a position the TRUE decode
+reached (chunk 0 starts at the member's real deflate start, and every later
+chunk starts at the previous chunk's exact end bit), so speculative results
+are used only when the true chain confirms them — false boundaries are
+healed by re-decoding that link ("chain repair"). The gzip trailer CRC32 is
+verified per member.
 
-Reference capability parity: C4 RapidgzipReader (readers.mojo:380-443),
-"up to 5x speedup" (reference CHANGELOG.md:40) from the same design.
+Memory is bounded: at most `parallelism + 2` chunk decodes are in flight,
+probes are submitted lazily just ahead of the chain, and nothing is
+submitted past a decoded BFINAL — so concatenated multi-member files do not
+pay O(members x file size) (reference capability parity: C4 RapidgzipReader,
+readers.mojo:380-443; "up to 5x speedup", reference CHANGELOG.md:40).
 """
 
 from __future__ import annotations
 
 import ctypes
-import os
 import struct
 import zlib
 from concurrent.futures import ThreadPoolExecutor
-from typing import List, Optional
+from typing import Iterator, Optional
 
 import numpy as np
 
@@ -28,100 +33,68 @@ from .. import native
 
 _WSIZE = 32768
 _PZ_OUTCAP = 4
+_CONFIRM_SYMS = 1 << 18
 
 
-def _parse_gzip_header(buf: bytes) -> Optional[int]:
-    """Byte offset where the deflate stream starts, or None if not gzip."""
-    if len(buf) < 18 or buf[0] != 0x1F or buf[1] != 0x8B or buf[2] != 8:
+class GzipIntegrityError(Exception):
+    """Trailer CRC32/ISIZE mismatch or malformed stream mid-decode."""
+
+
+def _parse_gzip_header_at(buf: bytes, pos: int) -> Optional[int]:
+    """Byte offset (absolute) where the member's deflate stream starts, or
+    None if buf[pos:] is not a gzip member. Offset-based: no tail copies."""
+    if pos + 18 > len(buf) or buf[pos] != 0x1F or buf[pos + 1] != 0x8B \
+            or buf[pos + 2] != 8:
         return None
-    flg = buf[3]
-    pos = 10
+    flg = buf[pos + 3]
+    p = pos + 10
     if flg & 4:  # FEXTRA
-        if pos + 2 > len(buf):
+        if p + 2 > len(buf):
             return None
-        xlen = struct.unpack_from("<H", buf, pos)[0]
-        pos += 2 + xlen
+        xlen = struct.unpack_from("<H", buf, p)[0]
+        p += 2 + xlen
     if flg & 8:  # FNAME
-        end = buf.find(b"\x00", pos)
+        end = buf.find(b"\x00", p)
         if end < 0:
             return None
-        pos = end + 1
+        p = end + 1
     if flg & 16:  # FCOMMENT
-        end = buf.find(b"\x00", pos)
+        end = buf.find(b"\x00", p)
         if end < 0:
             return None
-        pos = end + 1
+        p = end + 1
     if flg & 2:  # FHCRC
-        pos += 2
-    return pos if pos < len(buf) else None
+        p += 2
+    return p if p < len(buf) else None
 
 
-def parallel_inflate(comp: bytes, parallelism: int,
-                     chunk_bytes: int = 4 * 1024 * 1024) -> Optional[bytes]:
-    """Decompress a (possibly multi-member) gzip buffer using `parallelism`
-    threads. Returns the decompressed bytes, or None when the parallel path
-    cannot be used safely (caller falls back to sequential zlib)."""
+def parallel_inflate_stream(comp: bytes, parallelism: int,
+                            chunk_bytes: int = 4 * 1024 * 1024
+                            ) -> Iterator[bytes]:
+    """Yield decompressed parts of a (possibly multi-member) gzip buffer.
+
+    Raises GzipIntegrityError when the stream is malformed or a member's
+    trailer CRC32/ISIZE does not match the produced output (detected at the
+    member end, like any streaming gzip consumer)."""
     lib = native.pinflate_lib()
-    if lib is None or parallelism < 2 or not comp:
-        return None
-    out_parts: List[bytes] = []
-    pos = 0
-    while pos < len(comp):
-        hdr = _parse_gzip_header(comp[pos:])
-        if hdr is None:
-            return None
-        member = _inflate_member(lib, comp, pos + hdr, parallelism,
-                                 chunk_bytes)
-        if member is None:
-            return None
-        data, end_byte = member
-        # trailer: CRC32 + ISIZE
-        if end_byte + 8 > len(comp):
-            return None
-        crc, isize = struct.unpack_from("<II", comp, end_byte)
-        if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
-            return None
-        if (len(data) & 0xFFFFFFFF) != isize:
-            return None
-        out_parts.append(data)
-        pos = end_byte + 8
-    return b"".join(out_parts)
-
-
-def _inflate_member(lib, comp: bytes, deflate_start: int, parallelism: int,
-                    chunk_bytes: int):
-    """Inflate one member whose deflate stream starts at byte deflate_start.
-    Returns (bytes, end_byte_offset) or None."""
+    if lib is None:
+        raise GzipIntegrityError("no native pinflate library")
+    if parallelism < 1:
+        parallelism = 1
     comp_arr = np.frombuffer(comp, dtype=np.uint8)
     p_comp = comp_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     nbits = 8 * len(comp)
 
-    # --- phase 1: boundary discovery (parallel) -----------------------------
-    targets = list(range(deflate_start + chunk_bytes, len(comp), chunk_bytes))
-    # cap the chunk count: more chunks than threads x4 only adds overhead
-    max_chunks = max(parallelism * 4, 1)
-    if len(targets) + 1 > max_chunks:
-        stride = (len(comp) - deflate_start) // max_chunks + 1
-        targets = list(range(deflate_start + stride, len(comp), stride))
-
-    def find(byte_off: int) -> int:
-        scratch = np.empty(1 << 18, dtype=np.uint16)
-        return lib.pz_find_block(
-            p_comp, nbits, 8 * byte_off, 8 * chunk_bytes, 1 << 18,
+    def find(bit_off: int) -> int:
+        scratch = np.empty(_CONFIRM_SYMS, dtype=np.uint16)
+        return int(lib.pz_find_block(
+            p_comp, nbits, bit_off, 8 * chunk_bytes, _CONFIRM_SYMS,
             scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-            len(scratch))
-
-    with ThreadPoolExecutor(max_workers=parallelism) as pool:
-        found = list(pool.map(find, targets))
-    starts = [8 * deflate_start]
-    for f in found:
-        if f > starts[-1]:
-            starts.append(int(f))
-    bounds = starts + [nbits]
+            len(scratch)))
 
     def decode_range(bit_start: int, bit_limit: int):
         cap = max((bit_limit - bit_start) // 8 * _PZ_OUTCAP, 1 << 16)
-        for _ in range(8):  # grow on OUTCAP
+        for _ in range(10):  # grow on OUTCAP
             out = np.empty(int(cap), dtype=np.uint16)
             end_bit = ctypes.c_int64(0)
             saw_final = ctypes.c_int32(0)
@@ -131,7 +104,7 @@ def _inflate_member(lib, comp: bytes, deflate_start: int, parallelism: int,
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
                 len(out), ctypes.byref(end_bit), ctypes.byref(saw_final),
                 ctypes.byref(err))
-            if err.value == 4:  # OUTCAP
+            if err.value == 4:  # OUTCAP: retry bigger
                 cap *= 2
                 continue
             if err.value != 0:
@@ -139,56 +112,129 @@ def _inflate_member(lib, comp: bytes, deflate_start: int, parallelism: int,
             return out[:n], end_bit.value, bool(saw_final.value)
         return None
 
-    # --- phase 2: optimistic parallel decode of [bound_i, bound_i+1) --------
+    pos = 0
     with ThreadPoolExecutor(max_workers=parallelism) as pool:
-        optimistic = list(pool.map(
-            lambda i: decode_range(bounds[i], bounds[i + 1]),
-            range(len(bounds) - 1)))
-    by_start = {bounds[i]: optimistic[i] for i in range(len(bounds) - 1)
-                if optimistic[i] is not None}
+        while pos < len(comp):
+            hdr = _parse_gzip_header_at(comp, pos)
+            if hdr is None:
+                raise GzipIntegrityError("bad gzip header at %d" % pos)
+            for part, end_byte in _member_stream(
+                    lib, comp, hdr, nbits, chunk_bytes, parallelism, pool,
+                    find, decode_range):
+                if part is not None:
+                    yield part
+            pos = end_byte + 8
 
-    # --- phase 3: chain walk with repair ------------------------------------
-    # A speculative boundary can be a false positive (a mid-block bit offset
-    # that happens to decode plausibly); then the predecessor overshoots it
-    # and its true end bit is not a known start. Repair that link by decoding
-    # from the true end to the next optimistic bound — later links usually
-    # rejoin the precomputed chain, so repairs stay local.
-    chain: List[np.ndarray] = []
-    cur = 8 * deflate_start
-    end_bit_final = None
-    for _ in range(4 * len(bounds) + 4):  # hard bound on chain length
-        res = by_start.get(cur)
-        if res is None:
-            nxt = next((b for b in bounds if b > cur), nbits)
-            res = decode_range(cur, nxt)
-            if res is None:
-                return None
-        syms, end_bit, saw_final = res
-        chain.append(syms)
-        if saw_final:
-            end_bit_final = end_bit
-            break
-        if end_bit <= cur or end_bit >= nbits:
-            return None
-        cur = end_bit
-    if end_bit_final is None:
-        return None
 
-    # --- phase 4: sequential marker resolution ------------------------------
-    datas: List[bytes] = []
+def _member_stream(lib, comp, deflate_start, nbits, chunk_bytes, parallelism,
+                   pool, find, decode_range):
+    """Yield (resolved_part_bytes, None) for one member, then (None,
+    end_byte). Bounded lookahead: probes and decodes stay <= W links ahead
+    of the sequential chain walk."""
+    W = parallelism + 2
+    start_bit = 8 * deflate_start
+
+    probe_futs = {}    # target_bit -> future(found_bit or -1)
+    decode_futs = {}   # bit_start -> future(decode result)
+    next_probe = deflate_start + chunk_bytes  # byte offset of next probe
+
+    bounds = []        # found boundaries (sorted, ahead of the chain)
+
+    def top_up(cur_bit):
+        nonlocal next_probe
+        # keep ~W probes ahead of the chain position
+        while (len(probe_futs) + len(bounds) < W
+               and 8 * next_probe < nbits):
+            t = 8 * next_probe
+            probe_futs[t] = pool.submit(find, t)
+            next_probe += chunk_bytes
+        # harvest completed probes in order
+        for t in sorted(probe_futs):
+            f = probe_futs[t]
+            if f.done():
+                b = f.result()
+                del probe_futs[t]
+                if b > cur_bit and (not bounds or b > bounds[-1]):
+                    bounds.append(b)
+            else:
+                break
+        # speculative decodes for consecutive bound pairs (the last known
+        # bound decodes at most ~2 chunks ahead, not to EOF — the chain adds
+        # further links as more probes land)
+        starts = [b for b in bounds if b > cur_bit]
+        for i, s in enumerate(starts[:W]):
+            if s not in decode_futs:
+                limit = (starts[i + 1] if i + 1 < len(starts)
+                         else min(nbits, s + 16 * 8 * chunk_bytes))
+                decode_futs[s] = pool.submit(decode_range, s, limit)
+
+    crc = 0
+    isize = 0
     prev_win = np.zeros(_WSIZE, dtype=np.uint8)
-    for syms in chain:
+    cur = start_bit
+    guard = 0
+    while True:
+        guard += 1
+        if guard > (nbits // max(8 * chunk_bytes, 1) + 8) * 4:
+            raise GzipIntegrityError("chain did not terminate")
+        top_up(cur)
+        fut = decode_futs.pop(cur, None)
+        if fut is not None:
+            res = fut.result()
+        else:
+            # sequential link (start of member, or repair after a false
+            # boundary): decode to the next known-or-guessed limit
+            nxt = next((b for b in bounds if b > cur),
+                       min(cur + 8 * chunk_bytes, nbits))
+            res = decode_range(cur, nxt)
+        if res is None:
+            raise GzipIntegrityError("deflate decode error at bit %d" % cur)
+        syms, end_bit, saw_final = res
+        # drop stale speculative state behind the chain
+        for s in [s for s in decode_futs if s < end_bit]:
+            decode_futs.pop(s).cancel()
+        while bounds and bounds[0] <= end_bit:
+            bounds.pop(0)
+
         dst = np.empty(len(syms), dtype=np.uint8)
         rc = lib.pz_resolve(
             syms.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), len(syms),
             prev_win.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         if rc != 0:
-            return None
+            raise GzipIntegrityError("marker outside window at bit %d" % cur)
         if len(dst) >= _WSIZE:
             prev_win = dst[-_WSIZE:].copy()
         else:
             prev_win = np.concatenate([prev_win[len(dst):], dst])
-        datas.append(dst.tobytes())
-    end_byte = (end_bit_final + 7) // 8
-    return b"".join(datas), end_byte
+        part = dst.tobytes()
+        crc = zlib.crc32(part, crc)
+        isize = (isize + len(part)) & 0xFFFFFFFF
+        yield part, None
+
+        if saw_final:
+            end_byte = (end_bit + 7) // 8
+            if end_byte + 8 > len(comp):
+                raise GzipIntegrityError("truncated gzip trailer")
+            want_crc, want_isize = struct.unpack_from("<II", comp, end_byte)
+            if (crc & 0xFFFFFFFF) != want_crc or isize != want_isize:
+                raise GzipIntegrityError("gzip CRC32/ISIZE mismatch")
+            yield None, end_byte
+            return
+        if end_bit <= cur or end_bit >= nbits:
+            raise GzipIntegrityError("no progress at bit %d" % cur)
+        cur = end_bit
+
+
+def parallel_inflate(comp: bytes, parallelism: int,
+                     chunk_bytes: int = 4 * 1024 * 1024) -> Optional[bytes]:
+    """Materializing wrapper: full decompressed bytes, or None when the
+    parallel path cannot be used / the stream is bad (caller falls back to
+    sequential zlib, which reproduces the proper error for corrupt input)."""
+    if native.pinflate_lib() is None or parallelism < 2 or not comp:
+        return None
+    try:
+        return b"".join(parallel_inflate_stream(comp, parallelism,
+                                                chunk_bytes))
+    except Exception:
+        return None

@@ -223,31 +223,32 @@ class ParallelGzipReader:
 
     def _try_pugz(self) -> bool:
         """Parallel inflate of arbitrary single-stream gzip (pugz/rapidgzip
-        design, io/pugz.py). The marker-decode costs ~3x zlib per core, so
-        it only wins with >= ~4 workers; results are CRC32-verified and any
-        failure falls back to the pipelined sequential path. Returns True
-        when the output was fully produced."""
-        import os as _os
+        design, io/pugz.py). Streams resolved parts into the bounded queue
+        (so memory stays ~parallelism x chunk and decompression overlaps
+        parsing). Failures BEFORE the first part fall back to the pipelined
+        sequential path; later integrity failures raise, exactly like a
+        streaming zlib consumer detecting corruption at the trailer.
+        Returns True when output was (or is being) produced here."""
+        from .pugz import parallel_inflate_stream
 
-        from .pugz import parallel_inflate
-
+        emitted = False
         try:
-            size = _os.path.getsize(self._path)
-            if size > 2 << 30:  # whole-output-in-memory path; cap input size
-                return False
-            with open(self._path, "rb") as f:
-                comp = f.read()
-            data = parallel_inflate(comp, self._parallelism)
+            for part in parallel_inflate_stream(
+                    self._load_compressed(), self._parallelism):
+                if self._stop.is_set():
+                    return True
+                if part:
+                    self._queue.put(part)
+                    emitted = True
         except Exception:
-            return False
-        if data is None:
-            return False
-        mb = 1 << 20
-        for i in range(0, len(data), mb):
-            if self._stop.is_set():
-                return True
-            self._queue.put(data[i : i + mb])
+            if not emitted:
+                return False
+            raise
         return True
+
+    def _load_compressed(self) -> bytes:
+        with open(self._path, "rb") as f:
+            return f.read()
 
     def _produce_stream(self):
         with open(self._path, "rb", buffering=0) as f:

@@ -29,26 +29,31 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build_lib() -> Optional[str]:
+def _build_shared(src: str, lib_name: str,
+                  extra_flags=()) -> Optional[str]:
+    """Compile `src` to a shared library (cached by mtime) in the package
+    dir, falling back to the tempdir; returns the path or None."""
     out_candidates = [
-        os.path.join(_HERE, _LIB_NAME),
-        os.path.join(tempfile.gettempdir(), "blazeseq_tpu_" + _LIB_NAME),
+        os.path.join(_HERE, lib_name),
+        os.path.join(tempfile.gettempdir(), "blazeseq_tpu_" + lib_name),
     ]
     for out in out_candidates:
-        if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(_SRC):
+        if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
             return out
     for out in out_candidates:
         try:
-            cmd = [
-                "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                _SRC, "-o", out,
-            ]
+            cmd = (["g++", "-O3", "-march=native", "-shared", "-fPIC"]
+                   + list(extra_flags) + [src, "-o", out])
             r = subprocess.run(cmd, capture_output=True, timeout=120)
             if r.returncode == 0:
                 return out
         except (OSError, subprocess.SubprocessError):
             continue
     return None
+
+
+def _build_lib() -> Optional[str]:
+    return _build_shared(_SRC, _LIB_NAME)
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -120,24 +125,13 @@ def pinflate_lib():
     _pz_tried = True
     if os.environ.get("BLAZESEQ_NATIVE", "1") == "0":
         return None
-    src = os.path.join(_HERE, "pinflate.cpp")
-    for outdir in (_HERE, tempfile.gettempdir()):
-        out = os.path.join(outdir, "libblazeseq_pinflate.so")
-        if not (os.path.exists(out)
-                and os.path.getmtime(out) >= os.path.getmtime(src)):
-            try:
-                r = subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
-                     "-o", out],
-                    capture_output=True, timeout=120)
-                if r.returncode != 0:
-                    continue
-            except (OSError, subprocess.SubprocessError):
-                continue
+    path = _build_shared(os.path.join(_HERE, "pinflate.cpp"),
+                         "libblazeseq_pinflate.so")
+    if path is not None:
         try:
-            lib = ctypes.CDLL(out)
+            lib = ctypes.CDLL(path)
         except OSError:
-            continue
+            return None
         i64, i32 = ctypes.c_int64, ctypes.c_int32
         p_u8 = ctypes.POINTER(ctypes.c_uint8)
         p_u16 = ctypes.POINTER(ctypes.c_uint16)
@@ -171,30 +165,20 @@ def records_ext():
     import importlib.util
     import sysconfig
 
-    src = os.path.join(_HERE, "records_ext.c")
-    inc = sysconfig.get_paths()["include"]
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    for outdir in (_HERE, tempfile.gettempdir()):
-        out = os.path.join(outdir, "_records" + suffix)
-        if not (os.path.exists(out)
-                and os.path.getmtime(out) >= os.path.getmtime(src)):
-            try:
-                cmd = ["g++", "-O2", "-shared", "-fPIC", "-I", inc, src,
-                       "-o", out]
-                r = subprocess.run(cmd, capture_output=True, timeout=120)
-                if r.returncode != 0:
-                    continue
-            except (OSError, subprocess.SubprocessError):
-                continue
-        try:
-            spec = importlib.util.spec_from_file_location("_records", out)
-            mod = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(mod)
-            _rec_mod = mod
-            return _rec_mod
-        except Exception:
-            continue
-    return None
+    path = _build_shared(
+        os.path.join(_HERE, "records_ext.c"), "_records" + suffix,
+        extra_flags=("-I", sysconfig.get_paths()["include"]))
+    if path is None:
+        return None
+    try:
+        spec = importlib.util.spec_from_file_location("_records", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _rec_mod = mod
+    except Exception:
+        return None
+    return _rec_mod
 
 
 class ScanResult(NamedTuple):
