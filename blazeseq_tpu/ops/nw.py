@@ -191,11 +191,12 @@ def nw_scores_pallas(seq, lengths, ref, block_records: int = 256):
 
 def nw_scores(seq, lengths, ref, prefer_pallas=None):
     """Dispatching wrapper. The lax.scan formulation is the default: it
-    composes under outer jits and shard_map on every backend. The Pallas
-    kernel (DP diagonals resident in VMEM) is opt-in; standalone it
-    slope-times ~1.7x faster on v5e (6.2M vs 3.7M alignments/s at 40bp,
-    16K-record batches), but it does not currently compose as well inside
-    larger jitted steps."""
+    runs on every backend (CPU tests included) and composes under shard_map.
+    The Pallas kernel (DP diagonals resident in VMEM) is opt-in on TPU:
+    slope-timed it is 1.7-3.3x faster (6.2M vs 1.9-3.7M alignments/s at
+    40bp, 16-64K batches) and compiles ~10x faster at large batch sizes
+    (1s vs 11s at 64K); composed end-to-end both are transfer-bound and
+    roughly equal."""
     if prefer_pallas is None:
         prefer_pallas = False
     fn = nw_scores_pallas if prefer_pallas else nw_scores_xla
