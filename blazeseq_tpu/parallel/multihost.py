@@ -52,7 +52,8 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
 def run_multihost_qc(path, batch_records: int = 16384, max_len: int = 256,
                      check_ascii: bool = True, check_quality: bool = True,
-                     quality_schema: str = "sanger"):
+                     quality_schema: str = "sanger",
+                     reference: Optional[bytes] = None):
     """Parse this process's file shard and compute globally merged QC stats.
 
     Design: per-batch work stays process-local (no cross-host barrier per
@@ -63,9 +64,16 @@ def run_multihost_qc(path, batch_records: int = 16384, max_len: int = 256,
     global stats, exactly equal to a single-host run over the whole file
     (record-boundary sharding means no record is split or double-counted).
 
+    With `reference` (a read to align against), each host also runs the
+    batched Needleman-Wunsch wavefront on its shard (SURVEY §7.2 step 8:
+    NW across >= 2 hosts) and the returned stats gain a global
+    (nw_sum, nw_count) for the mean alignment score — additive, so the
+    same single merge covers it. The merge rides int32 device collectives:
+    exact while |sum of scores| < 2^31 (~8M 258bp-clamped reads per run).
+
     Returns (stats, local_reads, local_bases): `stats` is the merged global
-    QCStats pytree; local_* are this host's shard contribution (feed-rate
-    accounting).
+    QCStats pytree (+ nw fields when aligning); local_* are this host's
+    shard contribution (feed-rate accounting).
     """
     import jax
     import jax.numpy as jnp
@@ -80,14 +88,16 @@ def run_multihost_qc(path, batch_records: int = 16384, max_len: int = 256,
                        quality_schema=quality_schema)
     parser = FastqParser(open_shard(path, n_proc, pid), config=cfg)
 
+    align = reference is not None
     step = build_qc_align_step(None, check_ascii=check_ascii,
                                check_quality=check_quality,
-                               with_alignment=False)
+                               with_alignment=align)
 
     local = None
     local_reads = 0
     local_bases = 0
-    ref = jnp.zeros(128, jnp.uint8)
+    ref = (jnp.asarray(np.frombuffer(bytes(reference), dtype=np.uint8))
+           if align else jnp.zeros(128, jnp.uint8))
     for pb in parser.padded_batches(batch_records, max_len=max_len,
                                     pad_records_to=batch_records,
                                     reuse_buffers=True):
@@ -100,10 +110,17 @@ def run_multihost_qc(path, batch_records: int = 16384, max_len: int = 256,
                    jnp.int32(schema.LOWER), jnp.int32(schema.UPPER),
                    jnp.int32(schema.OFFSET))
         stats = jtu.tree_map(np.asarray, jax.device_get(res.stats))
+        if align:
+            scores = np.asarray(res.nw_scores)[: pb.n_records]
+            stats = dict(qc=stats,
+                         nw_sum=np.int32(scores.astype(np.int64).sum()),
+                         nw_count=np.int32(len(scores)))
         local = stats if local is None else jtu.tree_map(np.add, local, stats)
     if local is None:  # empty shard
         from ..ops.stats import zero_stats
         local = jtu.tree_map(np.asarray, zero_stats(max_len))
+        if align:
+            local = dict(qc=local, nw_sum=np.int32(0), nw_count=np.int32(0))
     if n_proc == 1:
         return local, local_reads, local_bases
     return _allreduce_stats(local), local_reads, local_bases

@@ -20,12 +20,15 @@ sys.path.insert(0, %(repo)r)
 from blazeseq_tpu.parallel.multihost import init_distributed, run_multihost_qc
 init_distributed()
 stats, reads, bases = run_multihost_qc(%(path)r, batch_records=512,
-                                       max_len=192)
+                                       max_len=192,
+                                       reference=b"GATTACAGATTACAGATTACA")
+qc = stats["qc"]
 print("RESULT " + json.dumps({
     "pid": int(os.environ["JAX_PROCESS_ID"]),
     "local_reads": reads, "local_bases": bases,
-    "g_reads": int(stats.reads), "g_bases": int(stats.bases),
-    "g_base_counts": [int(x) for x in stats.base_counts],
+    "g_reads": int(qc.reads), "g_bases": int(qc.bases),
+    "g_base_counts": [int(x) for x in qc.base_counts],
+    "g_nw_sum": int(stats["nw_sum"]), "g_nw_count": int(stats["nw_count"]),
 }))
 """
 
@@ -91,11 +94,13 @@ def test_two_process_merge_equals_single(corpus_file):
         line = [l for l in out.splitlines() if l.startswith("RESULT ")][0]
         results.append(json.loads(line[len("RESULT "):]))
 
-    # both processes see the same merged global stats
+    # both processes see the same merged global stats (incl. NW alignment)
     for r in results:
         assert r["g_reads"] == golden["g_reads"]
         assert r["g_bases"] == golden["g_bases"]
         assert r["g_base_counts"] == golden["g_base_counts"]
+        assert r["g_nw_sum"] == golden["g_nw_sum"]
+        assert r["g_nw_count"] == golden["g_nw_count"] == 3000
     # shards are disjoint and complete
     assert results[0]["local_reads"] + results[1]["local_reads"] == 3000
     assert (results[0]["local_bases"] + results[1]["local_bases"]
