@@ -1,0 +1,62 @@
+"""Smoke tests: the examples/ entry points run end-to-end (CPU mesh env,
+tunnel-free subprocesses like tests/test_multichip.py)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+import blazeseq_tpu as bt
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    return env
+
+
+def _run(args, timeout=420):
+    r = subprocess.run([sys.executable] + args, capture_output=True,
+                       text=True, timeout=timeout, env=_env(), cwd=REPO)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    return r.stdout
+
+
+def test_example_parser(tmp_path):
+    buf = bytes(bt.generate_synthetic_fastq_buffer(50, 40, 90, 2, 40,
+                                                   "sanger"))
+    p = tmp_path / "t.fastq"
+    p.write_bytes(buf)
+    out = _run([os.path.join(REPO, "examples", "example_parser.py"), str(p)])
+    assert "50 records" in out
+
+
+def test_example_qc_report(tmp_path):
+    buf = bytes(bt.generate_synthetic_fastq_buffer(200, 60, 60, 2, 40,
+                                                   "sanger"))
+    p = tmp_path / "t.fastq"
+    p.write_bytes(buf)
+    out = _run([os.path.join(REPO, "examples", "qc_report.py"), str(p)])
+    assert "reads=200" in out
+    assert "bases=12000" in out
+
+
+def test_example_nw_small():
+    out = _run([os.path.join(REPO, "examples", "nw_tpu.py"),
+                "2000", "40", "1024"])
+    assert "Scores match" in out
+
+
+def test_multihost_runner(tmp_path):
+    buf = bytes(bt.generate_synthetic_fastq_buffer(300, 50, 50, 2, 40,
+                                                   "sanger"))
+    p = tmp_path / "t.fastq"
+    p.write_bytes(buf)
+    out = _run([os.path.join(REPO, "benchmark", "run_multihost.py"), str(p)])
+    assert "GLOBAL: 300 15000" in out
