@@ -40,6 +40,46 @@ class GzipIntegrityError(Exception):
     """Trailer CRC32/ISIZE mismatch or malformed stream mid-decode."""
 
 
+def _gf2_times(mat, vec):
+    s = 0
+    i = 0
+    while vec:
+        if vec & 1:
+            s ^= mat[i]
+        vec >>= 1
+        i += 1
+    return s
+
+
+def _gf2_square(mat):
+    return [_gf2_times(mat, mat[n]) for n in range(32)]
+
+
+def _crc32_combine(crc1: int, crc2: int, len2: int) -> int:
+    """zlib's crc32_combine: CRC of A+B from crc(A), crc(B), len(B) — lets
+    workers CRC their own chunks off the sequential chain (O(log len2))."""
+    if len2 <= 0:
+        return crc1
+    # operator matrix for one zero bit appended
+    odd = [0xEDB88320] + [1 << n for n in range(31)]
+    even = _gf2_square(odd)   # two bits
+    odd = _gf2_square(even)   # four bits
+    while True:
+        even = _gf2_square(odd)
+        if len2 & 1:
+            crc1 = _gf2_times(even, crc1)
+        len2 >>= 1
+        if not len2:
+            break
+        odd = _gf2_square(even)
+        if len2 & 1:
+            crc1 = _gf2_times(odd, crc1)
+        len2 >>= 1
+        if not len2:
+            break
+    return (crc1 ^ crc2) & 0xFFFFFFFF
+
+
 def _parse_gzip_header_at(buf: bytes, pos: int) -> Optional[int]:
     """Byte offset (absolute) where the member's deflate stream starts, or
     None if buf[pos:] is not a gzip member. Offset-based: no tail copies."""
@@ -93,6 +133,10 @@ def parallel_inflate_stream(comp: bytes, parallelism: int,
             len(scratch)))
 
     def decode_range(bit_start: int, bit_limit: int):
+        """Decode + post-process in the worker: only a chunk's first 32768
+        outputs can hold markers, so the tail is narrowed to u8 and its
+        CRC32 computed here, off the sequential chain path. Returns
+        (head_syms u16, tail u8, tail_crc, end_bit, saw_final)."""
         cap = max((bit_limit - bit_start) // 8 * _PZ_OUTCAP, 1 << 16)
         for _ in range(10):  # grow on OUTCAP
             out = np.empty(int(cap), dtype=np.uint16)
@@ -109,7 +153,20 @@ def parallel_inflate_stream(comp: bytes, parallelism: int,
                 continue
             if err.value != 0:
                 return None
-            return out[:n], end_bit.value, bool(saw_final.value)
+            # split at the LAST marker: everything after it is plain bytes
+            # (markers originate in the first 32KB but propagate via copies)
+            last = int(lib.pz_last_marker(
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), n))
+            h = last + 1
+            head = out[:h].copy()
+            tail = np.empty(n - h, dtype=np.uint8)
+            if n > h:
+                lib.pz_narrow(
+                    out[h:n].ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                    n - h,
+                    tail.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            tail_crc = zlib.crc32(tail)
+            return head, tail, tail_crc, end_bit.value, bool(saw_final.value)
         return None
 
     pos = 0
@@ -189,28 +246,35 @@ def _member_stream(lib, comp, deflate_start, nbits, chunk_bytes, parallelism,
             res = decode_range(cur, nxt)
         if res is None:
             raise GzipIntegrityError("deflate decode error at bit %d" % cur)
-        syms, end_bit, saw_final = res
+        head_syms, tail, tail_crc, end_bit, saw_final = res
         # drop stale speculative state behind the chain
         for s in [s for s in decode_futs if s < end_bit]:
             decode_futs.pop(s).cancel()
         while bounds and bounds[0] <= end_bit:
             bounds.pop(0)
 
-        dst = np.empty(len(syms), dtype=np.uint8)
+        # sequential work per chunk is only the <=32KB head patch + CRC
+        # combine; the tail was narrowed and CRC'd in the worker
+        head = np.empty(len(head_syms), dtype=np.uint8)
         rc = lib.pz_resolve(
-            syms.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), len(syms),
+            head_syms.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            len(head_syms),
             prev_win.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            head.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         if rc != 0:
             raise GzipIntegrityError("marker outside window at bit %d" % cur)
-        if len(dst) >= _WSIZE:
-            prev_win = dst[-_WSIZE:].copy()
+        n_out = len(head) + len(tail)
+        if len(tail) >= _WSIZE:
+            prev_win = tail[-_WSIZE:].copy()
         else:
-            prev_win = np.concatenate([prev_win[len(dst):], dst])
-        part = dst.tobytes()
-        crc = zlib.crc32(part, crc)
-        isize = (isize + len(part)) & 0xFFFFFFFF
-        yield part, None
+            joined = np.concatenate([prev_win, head, tail])
+            prev_win = joined[-_WSIZE:].copy()
+        crc = zlib.crc32(head, crc)
+        crc = _crc32_combine(crc, tail_crc, len(tail))
+        isize = (isize + n_out) & 0xFFFFFFFF
+        yield head.tobytes(), None
+        if len(tail):
+            yield tail.tobytes(), None
 
         if saw_final:
             end_byte = (end_bit + 7) // 8

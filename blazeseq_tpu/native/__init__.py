@@ -144,6 +144,10 @@ def pinflate_lib():
         lib.pz_find_block.argtypes = [p_u8, i64, i64, i64, i64, p_u16, i64]
         lib.pz_resolve.restype = i32
         lib.pz_resolve.argtypes = [p_u16, i64, p_u8, p_u8]
+        lib.pz_narrow.restype = None
+        lib.pz_narrow.argtypes = [p_u16, i64, p_u8]
+        lib.pz_last_marker.restype = i64
+        lib.pz_last_marker.argtypes = [p_u16, i64]
         _pz_lib = lib
         return _pz_lib
     return None

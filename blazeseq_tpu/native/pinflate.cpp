@@ -26,6 +26,10 @@
 #include <cstdint>
 #include <cstring>
 
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 enum : int32_t {
@@ -266,22 +270,63 @@ struct Decoder {
           if (rc != PZ_OK) return rc;
         }
         for (;;) {
-          int s = lit.decode(&br);
-          if (s < 0) return PZ_ERR_SYMBOL;
+          int s;
+          int len = 0;
+          // hot path: literal/length code AND its extra bits from one peek
+          // (fast-table length <= 10 bits + <= 5 extra bits << 56 available)
+          {
+            const uint64_t w = br.peek56();
+            const int64_t avail = br.nbits - br.pos;
+            const uint32_t probe = (uint32_t)(w & 1023);
+            const int fl = lit.fast_len[probe];
+            if (fl && avail >= fl + 16) {
+              s = lit.fast_sym[probe];
+              br.pos += fl;
+              if (s > 256) {
+                if (s > 285) return PZ_ERR_SYMBOL;
+                const int eb = LEN_EXTRA[s - 257];
+                len = LEN_BASE[s - 257] +
+                      (int)((w >> fl) & ((1u << eb) - 1));
+                br.pos += eb;
+              }
+            } else {
+              s = lit.decode(&br);
+              if (s < 0) return PZ_ERR_SYMBOL;
+              if (s > 256) {
+                if (s > 285) return PZ_ERR_SYMBOL;
+                uint32_t extra;
+                if (!br.take(LEN_EXTRA[s - 257], &extra)) return PZ_ERR_BITS;
+                len = LEN_BASE[s - 257] + (int)extra;
+              }
+            }
+          }
           if (s < 256) {
             if (n_out + 1 > out_cap) return PZ_ERR_OUTCAP;
             emit((uint16_t)s);
           } else if (s == 256) {
             break;  // end of block
           } else {
-            if (s > 285) return PZ_ERR_SYMBOL;
-            uint32_t extra;
-            if (!br.take(LEN_EXTRA[s - 257], &extra)) return PZ_ERR_BITS;
-            int len = LEN_BASE[s - 257] + (int)extra;
-            int d = dist.decode(&br);
-            if (d < 0 || d > 29) return PZ_ERR_SYMBOL;
-            if (!br.take(DIST_EXTRA[d], &extra)) return PZ_ERR_BITS;
-            int64_t distance = DIST_BASE[d] + (int64_t)extra;
+            int64_t distance;
+            // distance code + its extra bits from one peek (<=10 + <=13 bits)
+            const uint64_t w2 = br.peek56();
+            const int64_t avail2 = br.nbits - br.pos;
+            const uint32_t probe2 = (uint32_t)(w2 & 1023);
+            const int fd = dist.fast_len[probe2];
+            if (fd && avail2 >= fd + 16) {
+              const int d = dist.fast_sym[probe2];
+              if (d > 29) return PZ_ERR_SYMBOL;
+              br.pos += fd;
+              const int eb = DIST_EXTRA[d];
+              distance = DIST_BASE[d] +
+                         (int64_t)((w2 >> fd) & ((1u << eb) - 1));
+              br.pos += eb;
+            } else {
+              const int d = dist.decode(&br);
+              if (d < 0 || d > 29) return PZ_ERR_SYMBOL;
+              uint32_t extra;
+              if (!br.take(DIST_EXTRA[d], &extra)) return PZ_ERR_BITS;
+              distance = DIST_BASE[d] + (int64_t)extra;
+            }
             if (distance > WSIZE) return PZ_ERR_SYMBOL;
             if (n_out + len > out_cap) return PZ_ERR_OUTCAP;
             if (distance <= n_out) {
@@ -392,6 +437,45 @@ int32_t pz_resolve(const uint16_t* syms, int64_t n, const uint8_t* prev_win,
     }
   }
   return 0;
+}
+
+// Index of the LAST marker (value >= 256) in syms, or -1 when marker-free.
+// Markers originate in a chunk's first 32KB but can propagate further via
+// LZ77 copies, so the split point must be found, not assumed. SIMD scan
+// from the end (the marker-free tail is usually almost the whole chunk).
+int64_t pz_last_marker(const uint16_t* syms, int64_t n) {
+  int64_t i = n;
+#if defined(__AVX512BW__)
+  const __m512i lim = _mm512_set1_epi16(255);
+  while (i >= 32) {
+    const __m512i v = _mm512_loadu_si512((const void*)(syms + i - 32));
+    // unsigned compare: any lane > 255?
+    const __mmask32 m = _mm512_cmp_epu16_mask(v, lim, _MM_CMPINT_NLE);
+    if (m) {
+      // highest set lane k = 63 - clzll(m)  (m is 32-bit, so clzll >= 32)
+      return i - 32 + (63 - (int64_t)__builtin_clzll((unsigned long long)m));
+    }
+    i -= 32;
+  }
+#endif
+  while (i > 0) {
+    --i;
+    if (syms[i] >= 256) return i;
+  }
+  return -1;
+}
+
+// Narrow marker-free symbols (all < 256) to bytes. SIMD-packed so workers
+// can narrow their own tails off the sequential chain path.
+void pz_narrow(const uint16_t* syms, int64_t n, uint8_t* dst) {
+  int64_t i = 0;
+#if defined(__AVX512BW__)
+  for (; i + 32 <= n; i += 32) {
+    __m512i v = _mm512_loadu_si512((const void*)(syms + i));
+    _mm256_storeu_si256((__m256i*)(dst + i), _mm512_cvtepi16_epi8(v));
+  }
+#endif
+  for (; i < n; ++i) dst[i] = (uint8_t)syms[i];
 }
 
 }  // extern "C"
