@@ -113,3 +113,30 @@ def test_stored_blocks_level0():
     comp = gzip.compress(data, 0)
     got = parallel_inflate(comp, parallelism=3, chunk_bytes=128 * 1024)
     assert got == data
+
+
+def test_adversarial_corruption_never_wrong(tmp_path):
+    """Corrupted/truncated/garbage inputs: parallel_inflate must return None
+    or output identical to zlib's — never wrong bytes, never crash."""
+    rng = random.Random(42)
+    data = bytes(bt.generate_synthetic_fastq_buffer(1500, 60, 120, 2, 40,
+                                                    "sanger"))
+    base = gzip.compress(data, 6)
+    for trial in range(60):
+        comp = bytearray(base)
+        kind = trial % 4
+        if kind == 0:
+            comp[rng.randrange(len(comp))] ^= rng.randrange(1, 256)
+        elif kind == 1:
+            comp = comp[:rng.randrange(1, len(comp))]
+        elif kind == 2:
+            comp = bytearray(b"\x1f\x8b\x08\x00") + bytearray(
+                rng.randrange(256) for _ in range(rng.randrange(10, 3000)))
+        else:
+            i = rng.randrange(len(comp))
+            comp[i] ^= 1 << rng.randrange(8)
+        got = parallel_inflate(bytes(comp), parallelism=3,
+                               chunk_bytes=64 * 1024)
+        if got is not None:
+            ref = gzip.decompress(bytes(comp))  # must also be valid for zlib
+            assert got == ref
