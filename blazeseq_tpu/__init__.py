@@ -59,6 +59,7 @@ from .io.readers import (
     open_reader,
 )
 from .io.writers import (
+    BGZFWriter,
     BufferedWriter,
     FileWriter,
     GZWriter,

@@ -18,6 +18,7 @@ from .readers import (
     open_reader,
 )
 from .writers import (
+    BGZFWriter,
     BufferedWriter,
     FileWriter,
     GZWriter,

@@ -257,3 +257,24 @@ def test_delimited_skip_and_header_policy():
 def test_delimited_custom_delimiter():
     r = DelimitedReader(bt.MemoryReader(b"a,b,c\n"), delimiter=b",")
     assert r.next_view().num_fields() == 3
+
+
+def test_bgzf_writer_roundtrip(tmp_path):
+    """BGZF output: standard-gzip-decodable, BGZF-detected, parallel-read
+    block pool gives identical parse results, bgzip EOF marker present."""
+    import gzip as _gz
+
+    payload = b"".join(b"@r%d\nACGTACGT\n+\nIIIIIIII\n" % i
+                       for i in range(20000))  # > one 64KB block
+    p = tmp_path / "out.fastq.gz"
+    w = bt.BGZFWriter(str(p))
+    w.write(payload[: 100_000])
+    w.write(payload[100_000:])
+    w.close()
+    raw = p.read_bytes()
+    assert raw.endswith(bt.io.writers.BGZFWriter._EOF)
+    assert _gz.decompress(raw) == payload
+    from blazeseq_tpu.io.readers import _is_bgzf
+    assert _is_bgzf(raw[:64])
+    parser = bt.FastqParser(bt.ParallelGzipReader(str(p), parallelism=3))
+    assert parser.count() == (20000, 160000)
