@@ -55,29 +55,41 @@ def _gf2_square(mat):
     return [_gf2_times(mat, mat[n]) for n in range(32)]
 
 
-def _crc32_combine(crc1: int, crc2: int, len2: int) -> int:
-    """zlib's crc32_combine: CRC of A+B from crc(A), crc(B), len(B) — lets
-    workers CRC their own chunks off the sequential chain (O(log len2))."""
-    if len2 <= 0:
-        return crc1
-    # operator matrix for one zero bit appended
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _combine_matrix(len2: int):
+    """Composed GF(2) operator taking crc(A) to crc(A + len2 zero bytes) —
+    memoized because the chain applies the same tail length every link."""
     odd = [0xEDB88320] + [1 << n for n in range(31)]
     even = _gf2_square(odd)   # two bits
     odd = _gf2_square(even)   # four bits
+    mat = [1 << n for n in range(32)]  # identity
+    n = len2
     while True:
         even = _gf2_square(odd)
-        if len2 & 1:
-            crc1 = _gf2_times(even, crc1)
-        len2 >>= 1
-        if not len2:
+        if n & 1:
+            mat = [_gf2_times(even, row) for row in mat]
+        n >>= 1
+        if not n:
             break
         odd = _gf2_square(even)
-        if len2 & 1:
-            crc1 = _gf2_times(odd, crc1)
-        len2 >>= 1
-        if not len2:
+        if n & 1:
+            mat = [_gf2_times(odd, row) for row in mat]
+        n >>= 1
+        if not n:
             break
-    return (crc1 ^ crc2) & 0xFFFFFFFF
+    return tuple(mat)
+
+
+def _crc32_combine(crc1: int, crc2: int, len2: int) -> int:
+    """zlib's crc32_combine: CRC of A+B from crc(A), crc(B), len(B) — lets
+    workers CRC their own chunks off the sequential chain. O(1) per call
+    after the per-length operator matrix is cached."""
+    if len2 <= 0:
+        return crc1
+    return (_gf2_times(_combine_matrix(len2), crc1) ^ crc2) & 0xFFFFFFFF
 
 
 def _parse_gzip_header_at(buf: bytes, pos: int) -> Optional[int]:
@@ -222,7 +234,7 @@ def _member_stream(lib, comp, deflate_start, nbits, chunk_bytes, parallelism,
         for i, s in enumerate(starts[:W]):
             if s not in decode_futs:
                 limit = (starts[i + 1] if i + 1 < len(starts)
-                         else min(nbits, s + 16 * 8 * chunk_bytes))
+                         else min(nbits, s + 2 * 8 * chunk_bytes))
                 decode_futs[s] = pool.submit(decode_range, s, limit)
 
     crc = 0
@@ -277,6 +289,11 @@ def _member_stream(lib, comp, deflate_start, nbits, chunk_bytes, parallelism,
             yield tail.tobytes(), None
 
         if saw_final:
+            # stop speculative work before the next member re-probes
+            for f in probe_futs.values():
+                f.cancel()
+            for f in decode_futs.values():
+                f.cancel()
             end_byte = (end_bit + 7) // 8
             if end_byte + 8 > len(comp):
                 raise GzipIntegrityError("truncated gzip trailer")

@@ -246,9 +246,17 @@ class ParallelGzipReader:
             raise
         return True
 
-    def _load_compressed(self) -> bytes:
-        with open(self._path, "rb") as f:
-            return f.read()
+    def _load_compressed(self):
+        """Memory-map the compressed file: the parallel path needs random
+        access to compressed bytes, but paging via mmap keeps RSS bounded
+        for arbitrarily large inputs (the OS evicts cold pages)."""
+        import mmap
+
+        f = open(self._path, "rb")
+        try:
+            return mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        finally:
+            f.close()
 
     def _produce_stream(self):
         with open(self._path, "rb", buffering=0) as f:
@@ -306,6 +314,10 @@ class ParallelGzipReader:
     # -- consumer side ------------------------------------------------------
     def readinto(self, buf: memoryview) -> int:
         while self._pos >= len(self._pending):
+            if self._done:  # persistent: repeat the error / EOF, never hang
+                if self._err is not None:
+                    raise self._err
+                return 0
             item = self._queue.get()
             if item is None:
                 self._done = True

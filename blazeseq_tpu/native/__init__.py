@@ -29,26 +29,34 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build_shared(src: str, lib_name: str,
-                  extra_flags=()) -> Optional[str]:
-    """Compile `src` to a shared library (cached by mtime) in the package
-    dir, falling back to the tempdir; returns the path or None."""
+def _shared_candidates(src: str, lib_name: str, extra_flags=()):
+    """Yield loadable shared-library paths for `src` (cached by mtime), one
+    per candidate dir — callers try each (a stale/foreign artifact in the
+    package dir must not disable the native path when the tempdir build
+    would work)."""
     out_candidates = [
         os.path.join(_HERE, lib_name),
         os.path.join(tempfile.gettempdir(), "blazeseq_tpu_" + lib_name),
     ]
     for out in out_candidates:
-        if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
-            return out
-    for out in out_candidates:
+        if (os.path.exists(out)
+                and os.path.getmtime(out) >= os.path.getmtime(src)):
+            yield out
+            continue
         try:
             cmd = (["g++", "-O3", "-march=native", "-shared", "-fPIC"]
                    + list(extra_flags) + [src, "-o", out])
             r = subprocess.run(cmd, capture_output=True, timeout=120)
             if r.returncode == 0:
-                return out
+                yield out
         except (OSError, subprocess.SubprocessError):
             continue
+
+
+def _build_shared(src: str, lib_name: str,
+                  extra_flags=()) -> Optional[str]:
+    for out in _shared_candidates(src, lib_name, extra_flags):
+        return out
     return None
 
 
@@ -63,12 +71,14 @@ def _load() -> Optional[ctypes.CDLL]:
     _tried = True
     if os.environ.get("BLAZESEQ_NATIVE", "1") == "0":
         return None
-    path = _build_lib()
-    if path is None:
-        return None
-    try:
-        lib = ctypes.CDLL(path)
-    except OSError:
+    lib = None
+    for path in _shared_candidates(_SRC, _LIB_NAME):
+        try:
+            lib = ctypes.CDLL(path)
+            break
+        except OSError:
+            continue
+    if lib is None:
         return None
     i64, i32, u8 = ctypes.c_int64, ctypes.c_int32, ctypes.c_uint8
     p_u8 = ctypes.POINTER(ctypes.c_uint8)
@@ -125,13 +135,12 @@ def pinflate_lib():
     _pz_tried = True
     if os.environ.get("BLAZESEQ_NATIVE", "1") == "0":
         return None
-    path = _build_shared(os.path.join(_HERE, "pinflate.cpp"),
-                         "libblazeseq_pinflate.so")
-    if path is not None:
+    for path in _shared_candidates(os.path.join(_HERE, "pinflate.cpp"),
+                                   "libblazeseq_pinflate.so"):
         try:
             lib = ctypes.CDLL(path)
         except OSError:
-            return None
+            continue
         i64, i32 = ctypes.c_int64, ctypes.c_int32
         p_u8 = ctypes.POINTER(ctypes.c_uint8)
         p_u16 = ctypes.POINTER(ctypes.c_uint16)
@@ -170,19 +179,18 @@ def records_ext():
     import sysconfig
 
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    path = _build_shared(
-        os.path.join(_HERE, "records_ext.c"), "_records" + suffix,
-        extra_flags=("-I", sysconfig.get_paths()["include"]))
-    if path is None:
-        return None
-    try:
-        spec = importlib.util.spec_from_file_location("_records", path)
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        _rec_mod = mod
-    except Exception:
-        return None
-    return _rec_mod
+    for path in _shared_candidates(
+            os.path.join(_HERE, "records_ext.c"), "_records" + suffix,
+            extra_flags=("-I", sysconfig.get_paths()["include"])):
+        try:
+            spec = importlib.util.spec_from_file_location("_records", path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            _rec_mod = mod
+            return _rec_mod
+        except Exception:
+            continue
+    return None
 
 
 class ScanResult(NamedTuple):
