@@ -391,13 +391,74 @@ class FastqParser:
 
     def next_batch(self, max_records: int = DEFAULT_BATCH_SIZE) -> FastqBatch:
         """SoA batch of up to max_records (reference: parser.mojo:239-251):
-        stops early at EOF; non-EOF errors propagate."""
+        stops early at EOF; non-EOF errors propagate. The hot path is the
+        fused native scan+validate+gather (bytes touched once); the
+        offsets-queue path handles mixed usage, errors, and fallbacks."""
         limit = max_records or self._batch_size
         out: Optional[FastqBatch] = None
         parts = []
         got = 0
+        s = self._stream
+        cfg = self.config
         while got < limit:
             if self._q_pos >= len(self._q):
+                # fused fast path straight from the byte window
+                if (native.has_native() and self._pending_exc_info is None
+                        and (s.available() or not s.is_eof())):
+                    if s.available() == 0 and s.fill() == 0 \
+                            and s.available() == 0:
+                        break
+                    want = limit - got
+                    cap_b = max(min(want * 512, s.available()), 1 << 16)
+                    seq_out = np.empty(cap_b, dtype=np.uint8)
+                    qual_out = np.empty(cap_b, dtype=np.uint8)
+                    ends = np.empty(want, dtype=np.int64)
+                    ids = np.empty(max(want * 64, 1 << 12), dtype=np.uint8)
+                    id_ends = np.empty(want, dtype=np.int64)
+                    r = native.scan_gather_soa(
+                        s.window(), s._head, want,
+                        cfg.check_ascii, cfg.check_quality,
+                        self.quality_schema.LOWER, self.quality_schema.UPPER,
+                        seq_out, qual_out, ends, ids, id_ends)
+                    if r is not None:
+                        count, total, id_total, consumed, err, phase = r
+                        if err == -9 or (err == -8 and count == 0):
+                            # -9: ASCII pre-filter tripped — DISCARD this
+                            # output (it may hold non-ASCII records) and use
+                            # the offsets path for exact semantics.
+                            # -8 with no progress: a record larger than the
+                            # output buffers — the offsets path enforces the
+                            # buffer-capacity contract.
+                            try:
+                                self._scan_more()
+                            except FastxEOFError:
+                                break
+                            continue
+                        if count:
+                            s.consume(consumed - s._head)
+                            self._served += count
+                            got += count
+                            parts.append((seq_out[:total], qual_out[:total],
+                                          ends[:count], ids[:id_total],
+                                          id_ends[:count]))
+                            continue  # includes -8-with-progress: fresh bufs
+                        if err > 0:
+                            # exact error context via the offsets path
+                            # (always raises: bad record sits at the head)
+                            self._scan_more()
+                            raise AssertionError("unreachable")
+                        # err == 0, count == 0: window ends mid-record
+                        if s.is_eof():
+                            if s.available() == 0:
+                                break
+                            try:
+                                self._handle_eof_tail(phase)
+                            except FastxEOFError:
+                                break
+                            continue  # tail record queued; drain below
+                        if s.fill() == 0 and s.available() == 0:
+                            break
+                        continue
                 try:
                     self._scan_more()
                 except FastxEOFError:

@@ -114,6 +114,11 @@ def _load() -> Optional[ctypes.CDLL]:
         p_u8, i64, i64, i64, i64, i32, i32, u8, u8, i64,
         p_u8, p_u8, p_i32, p_i64, p_i32, p_i32,
     ]
+    lib.bs_scan_gather_soa.restype = i64
+    lib.bs_scan_gather_soa.argtypes = [
+        p_u8, i64, i64, i64, i64, i64, i32, i32, u8, u8,
+        p_u8, p_u8, p_i64, p_u8, p_i64, p_i64, p_i64, p_i64, p_i32, p_i32,
+    ]
     _lib = lib
     return _lib
 
@@ -673,6 +678,38 @@ def _scan_fasta_py(window: np.ndarray, start: int, at_eof: bool,
         np.frombuffer(seqs_b, dtype=np.uint8).copy(),
         np.array(seq_ends, dtype=np.int64),
         consumed, lines_consumed, err_code, err_line)
+
+
+def scan_gather_soa(window: np.ndarray, start: int, max_records: int,
+                    check_ascii: bool, check_quality: bool,
+                    q_lower: int, q_upper: int,
+                    seq_out: np.ndarray, qual_out: np.ndarray,
+                    ends_out: np.ndarray, id_out: np.ndarray,
+                    id_ends_out: np.ndarray):
+    """Fused single-pass scan + validate + flat-SoA gather (batch mode).
+    Returns (count, total, id_total, consumed, err_code, err_phase) or None
+    when unavailable. err_code -8 = output buffers full (continue from
+    consumed with fresh buffers); -9 = fall back to the offsets path for
+    this region (ASCII pre-filter tripped / no AVX512)."""
+    lib = _load()
+    if lib is None:
+        return None
+    total = ctypes.c_int64(0)
+    id_total = ctypes.c_int64(0)
+    consumed = ctypes.c_int64(0)
+    err_code = ctypes.c_int32(0)
+    err_phase = ctypes.c_int32(0)
+    count = lib.bs_scan_gather_soa(
+        _ptr_u8(window), len(window), start, max_records,
+        len(seq_out), len(id_out),
+        1 if check_ascii else 0, 1 if check_quality else 0,
+        q_lower, q_upper - q_lower,
+        _ptr_u8(seq_out), _ptr_u8(qual_out), _ptr_i64(ends_out),
+        _ptr_u8(id_out), _ptr_i64(id_ends_out),
+        ctypes.byref(total), ctypes.byref(id_total), ctypes.byref(consumed),
+        ctypes.byref(err_code), ctypes.byref(err_phase))
+    return (count, total.value, id_total.value, consumed.value,
+            err_code.value, err_phase.value)
 
 
 def gather_padded(window: np.ndarray, offsets: np.ndarray, width: int,

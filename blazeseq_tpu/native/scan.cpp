@@ -59,6 +59,11 @@ inline bool all_ascii(const uint8_t* p, int64_t n) {
   return true;
 }
 
+inline bool is_posix_space(uint8_t c) {
+  return c == ' ' || c == '\t' || c == '\n' || c == '\v' || c == '\f' ||
+         c == '\r' || c == 0x1c || c == 0x1d || c == 0x1e;
+}
+
 // Inclusive-range check: every byte b in [p, p+n) satisfies lower <= b <= upper,
 // via the unsigned-wraparound trick (b - lower) <= span.
 inline bool all_in_range(const uint8_t* p, int64_t n, uint8_t lower,
@@ -355,6 +360,30 @@ inline __mmask64 copy_pad_check(uint8_t* dst, const uint8_t* src, int64_t len,
   return bad;
 }
 
+// Unpadded inline copy (unaligned 64B chunks + masked tail) with optional
+// fused quality-range check over the copied lanes; avoids per-line memcpy
+// call overhead on ~100-byte segments. Returns the violation mask OR.
+inline __mmask64 copy_check(uint8_t* dst, const uint8_t* src, int64_t len,
+                            bool check, __m512i vl, __m512i vs) {
+  __mmask64 bad = 0;
+  int64_t j = 0;
+  for (; j + 64 <= len; j += 64) {
+    __m512i v = _mm512_loadu_si512((const void*)(src + j));
+    _mm512_storeu_si512((void*)(dst + j), v);
+    if (check)
+      bad |= _mm512_cmp_epu8_mask(_mm512_sub_epi8(v, vl), vs, _MM_CMPINT_NLE);
+  }
+  if (j < len) {
+    const __mmask64 lm = (((uint64_t)1 << (len - j)) - 1);
+    __m512i v = _mm512_maskz_loadu_epi8(lm, src + j);
+    _mm512_mask_storeu_epi8(dst + j, lm, v);
+    if (check)
+      bad |= _mm512_mask_cmp_epu8_mask(lm, _mm512_sub_epi8(v, vl), vs,
+                                       _MM_CMPINT_NLE);
+  }
+  return bad;
+}
+
 // Record-handler action codes for the shared scan loop.
 enum : int {
   REC_GO = 0,        // record accepted; consume and continue
@@ -618,6 +647,55 @@ struct PaddedHandler {
   }
 };
 
+struct SoaHandler {
+  const uint8_t* buf;
+  int64_t bytes_cap;   // capacity of seq_out/qual_out
+  int64_t id_cap;      // capacity of id_out
+  uint8_t* seq_out;
+  uint8_t* qual_out;
+  int64_t* ends_out;
+  uint8_t* id_out;
+  int64_t* id_ends_out;
+  int64_t total = 0;     // seq/qual bytes written
+  int64_t id_total = 0;  // id bytes written
+  bool check_quality;
+  __m512i vl, vs;
+
+  inline int on_record(int64_t count, int64_t h, int64_t s, int64_t p,
+                       int64_t q, int64_t e, int32_t* err_code) {
+    if (buf[h] != '@') { *err_code = BS_ID_NO_AT; return REC_STOP_DROP; }
+    if (buf[p] != '+') { *err_code = BS_SEP_NO_PLUS; return REC_STOP_DROP; }
+    const int64_t seq_len = p - s - 1;
+    if (seq_len != e - q) {
+      *err_code = BS_SEQ_QUAL_LEN_MISMATCH;
+      return REC_STOP_DROP;
+    }
+    // id bounds (whitespace-stripped, utils.mojo:223-242)
+    int64_t a = h + 1, b = s - 1;
+    while (a < b && is_posix_space(buf[a])) ++a;
+    while (b > a && is_posix_space(buf[b - 1])) --b;
+    const int64_t id_len = b - a;
+    if (total + seq_len > bytes_cap || id_total + id_len > id_cap) {
+      *err_code = -8;  // output full: caller continues from `consumed`
+      return REC_STOP_DROP;
+    }
+    copy_check(seq_out + total, buf + s, seq_len, false, vl, vs);
+    const __mmask64 bad =
+        copy_check(qual_out + total, buf + q, seq_len, check_quality, vl, vs);
+    if (check_quality && bad) {
+      // row bytes written but not counted/consumed (stop-before semantics)
+      *err_code = BS_QUALITY_OUT_OF_RANGE;
+      return REC_STOP_DROP;
+    }
+    total += seq_len;
+    ends_out[count] = total;
+    copy_check(id_out + id_total, buf + a, id_len, false, vl, vs);
+    id_total += id_len;
+    id_ends_out[count] = id_total;
+    return REC_GO;
+  }
+};
+
 #endif  // __AVX512BW__
 
 }  // namespace
@@ -824,6 +902,54 @@ int64_t bs_scan_gather_padded(const uint8_t* buf, int64_t n, int64_t start,
 #endif
 }
 
+// Fused scan + validate + flat-SoA gather (batch mode): one pass producing
+// concatenated seq/qual bytes + cumulative ends and whitespace-stripped ids
+// + ends — the whole FastqBatch payload with bytes touched once. Stops
+// BEFORE any record that fails validation/structure (err_code set, nothing
+// of it consumed; caller rescans via bs_scan_fastq for exact context) or
+// that would overflow an output buffer (err_code -8: caller continues from
+// `consumed` with fresh buffers).
+int64_t bs_scan_gather_soa(const uint8_t* buf, int64_t n, int64_t start,
+                           int64_t max_records, int64_t bytes_cap,
+                           int64_t id_cap, int32_t check_ascii,
+                           int32_t check_quality, uint8_t q_lower,
+                           uint8_t q_span, uint8_t* seq_out, uint8_t* qual_out,
+                           int64_t* ends_out, uint8_t* id_out,
+                           int64_t* id_ends_out, int64_t* total_out,
+                           int64_t* id_total_out, int64_t* consumed,
+                           int32_t* err_code, int32_t* err_phase) {
+#if defined(__AVX512BW__)
+  SoaHandler hd{buf,    bytes_cap, id_cap,      seq_out,
+                qual_out, ends_out, id_out,     id_ends_out,
+                0,        0,        check_quality != 0,
+                _mm512_set1_epi8((char)q_lower),
+                _mm512_set1_epi8((char)q_span)};
+  bool acc_bad = false;
+  const int64_t count = scan_loop_512(buf, n, start, max_records, hd, consumed,
+                                      err_code, err_phase, &acc_bad);
+  *total_out = hd.total;
+  *id_total_out = hd.id_total;
+  if (check_ascii && acc_bad) {
+    // precise per-record ASCII semantics via the offsets+gather slow path:
+    // signal the caller to discard this output and fall back (rare:
+    // non-ASCII bytes present somewhere in the scanned region)
+    *err_code = -9;
+    return count;
+  }
+  return count;
+#else
+  (void)bytes_cap; (void)id_cap; (void)check_quality;
+  (void)q_lower; (void)q_span; (void)seq_out; (void)qual_out;
+  (void)ends_out; (void)id_out; (void)id_ends_out;
+  *total_out = 0;
+  *id_total_out = 0;
+  *consumed = start;
+  *err_code = -9;  // no fused path: caller uses the offsets+gather path
+  *err_phase = 0;
+  return 0;
+#endif
+}
+
 // Gather directly into the padded [nrec, width] device layout (rows
 // zero-padded, reads clamped to width). Writes per-record lengths (true).
 // This is the host->HBM feed fast path: one memcpy per line, no intermediate
@@ -945,11 +1071,6 @@ int64_t bs_generate_fastq(int64_t first_read, int64_t num_reads,
 }
 
 namespace {
-inline bool is_posix_space(uint8_t c) {
-  return c == ' ' || c == '\t' || c == '\n' || c == '\v' || c == '\f' ||
-         c == '\r' || c == 0x1c || c == 0x1d || c == 0x1e;
-}
-
 // Stateful newline finder: consecutive next() calls with non-decreasing
 // `from` walk the window with 64-byte cmpeq masks instead of one memchr call
 // per line (per-call setup dominates for ~60-byte FASTA lines). Falls back
