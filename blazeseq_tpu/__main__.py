@@ -1,0 +1,90 @@
+"""Command-line interface: `python -m blazeseq_tpu <command> ...`
+
+Commands mirror the reference's example mains (examples/example_parser.mojo
+takes argv paths) plus the ecosystem basics:
+
+  count FILE [...]      records and base_pairs per FASTQ file (the benchmark
+                        runner contract, run_blazeseq.mojo:3-5)
+  stats FILE [...]      device QC report (reads, bases, GC, mean quality,
+                        per-position summary) — uses the TPU when attached
+  fasta-count FILE      records/bases for FASTA
+  faidx FILE            build FILE.fai (samtools-compatible)
+  fetch FILE NAME [START END]   random-access FASTA subsequence via .fai
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def _count(args):
+    import blazeseq_tpu as bt
+
+    for path in args:
+        p = bt.FastqParser(bt.open_reader(path))
+        records, bases = p.count()
+        print("%s\t%d\t%d" % (path, records, bases))
+
+
+def _stats(args):
+    import blazeseq_tpu as bt
+    from blazeseq_tpu.models import QCModel
+
+    for path in args:
+        qc = QCModel(quality_schema="sanger", check_ascii=True,
+                     check_quality=True)
+        print("%s: %s" % (path, qc.run_file(path)))
+
+
+def _fasta_count(args):
+    import blazeseq_tpu as bt
+
+    for path in args:
+        p = bt.FastaParser(bt.open_reader(path))
+        records, bases = p.count()
+        print("%s\t%d\t%d" % (path, records, bases))
+
+
+def _faidx(args):
+    import blazeseq_tpu as bt
+    from blazeseq_tpu.io.writers import BufferedWriter, FileWriter
+
+    for path in args:
+        recs = bt.build_fai(bt.FileReader(path))
+        w = BufferedWriter(FileWriter(path + ".fai"))
+        bt.write_fai(recs, w)
+        w.close()
+        print("wrote %s.fai (%d sequences)" % (path, len(recs)))
+
+
+def _fetch(args):
+    import blazeseq_tpu as bt
+
+    path, name = args[0], args[1]
+    start = int(args[2]) if len(args) > 2 else 0
+    end = int(args[3]) if len(args) > 3 else None
+    with bt.IndexedFasta(path) as ix:
+        sys.stdout.write(ix.fetch(name, start, end).decode("ascii"))
+        sys.stdout.write("\n")
+
+
+_COMMANDS = {
+    "count": _count,
+    "stats": _stats,
+    "fasta-count": _fasta_count,
+    "faidx": _faidx,
+    "fetch": _fetch,
+}
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help") or argv[0] not in _COMMANDS:
+        print(__doc__)
+        return 0 if argv and argv[0] in ("-h", "--help") else 2
+    _COMMANDS[argv[0]](argv[1:])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,3 +60,25 @@ def test_multihost_runner(tmp_path):
     p.write_bytes(buf)
     out = _run([os.path.join(REPO, "benchmark", "run_multihost.py"), str(p)])
     assert "GLOBAL: 300 15000" in out
+
+
+def test_cli_commands(tmp_path):
+    buf = bytes(bt.generate_synthetic_fastq_buffer(100, 50, 50, 2, 40,
+                                                   "sanger"))
+    fq = tmp_path / "c.fastq"
+    fq.write_bytes(buf)
+    fa = tmp_path / "c.fasta"
+    fa.write_bytes(b">s1\nACGTACGT\nACGT\n>s2\nGGGG\n")
+
+    def run(*args):
+        r = subprocess.run([sys.executable, "-m", "blazeseq_tpu", *args],
+                           capture_output=True, text=True, env=_env(),
+                           cwd=REPO, timeout=420)
+        assert r.returncode == 0, r.stderr[-1000:]
+        return r.stdout.strip()
+
+    assert run("count", str(fq)).endswith("100\t5000")
+    assert run("fasta-count", str(fa)).endswith("2\t16")
+    assert "2 sequences" in run("faidx", str(fa))
+    assert run("fetch", str(fa), "s1", "2", "10") == "GTACGTAC"
+    assert "reads=100" in run("stats", str(fq))
