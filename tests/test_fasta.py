@@ -192,3 +192,13 @@ def _golden_fasta(raw: bytes):
     if cur_id is not None and b"".join(cur):
         out.append((cur_id, b"".join(cur)))
     return out
+
+
+def test_fasta_over_parallel_gzip(tmp_path):
+    import gzip
+    fa = b">a desc\nACGTACGT\nAC\n>b\nGGTT\n"
+    p = tmp_path / "t.fasta.gz"
+    p.write_bytes(gzip.compress(fa))
+    parser = FastaParser(bt.open_reader(str(p)))
+    recs = [(r.id(), r.sequence()) for r in parser.records()]
+    assert recs == [("a desc", "ACGTACGTAC"), ("b", "GGTT")]
