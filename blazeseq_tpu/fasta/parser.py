@@ -192,11 +192,38 @@ class FastaParser:
         return FastaRecord(self._ids[a:b].tobytes(), self._seqs[c:d].tobytes())
 
     def records(self) -> Iterator[FastaRecord]:
+        """Bulk-drain iterator: one bytes copy of the scanned id/seq arenas
+        per scan, then C-level slicing + __new__ per record (the per-record
+        Python work of next_record dominates otherwise)."""
+        new = FastaRecord.__new__
         while True:
-            try:
-                yield self.next_record()
-            except FastxEOFError:
-                return
+            if self._q_pos >= len(self._id_ends):
+                if self._pending_err:
+                    self._raise_pending()
+                try:
+                    self._scan_more()
+                except FastxEOFError:
+                    if self._pending_err:
+                        self._raise_pending()
+                    return
+            qid = self._id_ends
+            ids = self._ids.tobytes()
+            seqs = self._seqs.tobytes()
+            id_ends = qid.tolist()
+            seq_ends = self._seq_ends.tolist()
+            qlen = len(id_ends)
+            # cursor read fresh per iteration + queue-identity check: safe
+            # under interleaved next_record/next_batch calls
+            while self._q_pos < qlen and self._id_ends is qid:
+                i = self._q_pos
+                a = id_ends[i - 1] if i else 0
+                c = seq_ends[i - 1] if i else 0
+                self._q_pos = i + 1
+                self._record_number += 1
+                r = new(FastaRecord)
+                r._id = ids[a : id_ends[i]]
+                r._sequence = seqs[c : seq_ends[i]]
+                yield r
 
     def __iter__(self) -> Iterator[FastaRecord]:
         return self.records()
