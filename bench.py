@@ -273,13 +273,18 @@ def main():
               file=sys.stderr)
     pipeline_b = b2_gbps  # host stage is record-aligned slicing (~free)
 
-    # re-sample stage A in a second time window: this host's throughput
+    # re-sample stage A in later time windows: this host's throughput
     # weather swings ~2x over minutes, and best-of across windows is a far
     # better floor estimate than best-of within one
-    a_best2, _, _ = stage_a_reps(max(reps - 2, 2))
-    if a_best2 < a_best:
-        a_gbps = total_bytes / a_best2 / 1e9
-        pipeline_a = min(a_gbps, b_gbps)
+    for _ in range(2):
+        a_bestN, _, _ = stage_a_reps(max(reps - 2, 2))
+        if a_bestN < a_best:
+            a_best = a_bestN
+            a_gbps = total_bytes / a_best / 1e9
+            pipeline_a = min(a_gbps, b_gbps)
+        if time.perf_counter() - _T0 > float(
+                os.environ.get("BENCH_B2_BUDGET_S", "420")):
+            break
 
     gbps = max(pipeline_a, pipeline_b)
     print("# pipeline A (host parse -> device QC): min(%.2f, %.2f) = %.2f"
