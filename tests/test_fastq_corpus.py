@@ -140,6 +140,29 @@ def test_valid_batches(fname, schema):
     assert total == sum(1 for _ in p2.records())
 
 
+@pytest.mark.parametrize("fname,schema", VALID_FILES)
+def test_valid_padded(fname, schema):
+    """Padded device-layout mode agrees with views record-for-record."""
+    import numpy as np
+    golden = []
+    p = bt.FastqParser(bt.FileReader(os.path.join(DATA, fname)), schema)
+    for v in p.views():
+        golden.append((bytes(v.sequence_bytes()), bytes(v.quality_bytes())))
+    p2 = bt.FastqParser(bt.FileReader(os.path.join(DATA, fname)), schema)
+    k = 0
+    for pb in p2.padded_batches(5, max_len=4096):
+        for i in range(pb.n_records):
+            L = int(pb.lengths[i])
+            seq, qual = golden[k]
+            assert bytes(np.asarray(pb.seq[i, :min(L, 4096)]).tobytes()) \
+                == seq[:4096]
+            assert bytes(np.asarray(pb.qual[i, :min(L, 4096)]).tobytes()) \
+                == qual[:4096]
+            assert L == len(seq)
+            k += 1
+    assert k == len(golden)
+
+
 @pytest.mark.parametrize("fname,msg", INVALID_FILES)
 def test_invalid_records(fname, msg):
     p = _validated_parser(os.path.join(DATA, fname))
