@@ -105,9 +105,13 @@ def main():
         bases = 0
         if parallel:
             from blazeseq_tpu.parallel.feed import parallel_padded_batches
+
+            # the parallel host feed picks its own batch granularity (16K):
+            # the stage-A rate is device-batch-independent, and per-worker
+            # buffer pools stay small (4 x 4MB) even on many-core hosts
             for _sid, pb in parallel_padded_batches(
-                    corpus_path, workers=workers, max_records=batch_n,
-                    max_len=max_len, pad_records_to=batch_n, config=cfg,
+                    corpus_path, workers=workers, max_records=16384,
+                    max_len=max_len, pad_records_to=16384, config=cfg,
                     reuse_buffers=True):
                 reads += pb.n_records
                 bases += int(np.asarray(pb.lengths[: pb.n_records],
