@@ -70,3 +70,24 @@ def test_single_worker_passthrough(corpus_file):
         assert shard_id == 0
         n += pb.n_records
     assert n == serial[0]
+
+
+def test_abandonment_stress_no_deadlock(corpus_file):
+    """Random mid-iteration abandonment across worker counts must neither
+    deadlock (producers stuck on full queues / empty pools) nor corrupt a
+    subsequent full run."""
+    import random
+    path, buf = corpus_file
+    rng = random.Random(3)
+    for _ in range(8):
+        gen = parallel_padded_batches(path, workers=rng.choice([2, 3, 5]),
+                                      max_records=257, max_len=192,
+                                      reuse_buffers=True)
+        stop_after = rng.randint(0, 10)
+        for i, (sid, pb) in enumerate(gen):
+            if i >= stop_after:
+                break
+        gen.close()
+    total = sum(pb.n_records for _sid, pb in parallel_padded_batches(
+        path, workers=5, max_records=257, max_len=192, reuse_buffers=True))
+    assert total == 5000
