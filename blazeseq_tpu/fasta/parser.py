@@ -269,6 +269,15 @@ class FastaParser:
                 return
             yield b
 
+    def padded_batches(self, max_records: int = DEFAULT_BATCH_SIZE,
+                       max_len: Optional[int] = None):
+        """Stream padded device-layout sequence batches: yields
+        (seq u8[n, L], lengths i32[n]) per batch — the FASTA device
+        materialization feed (SURVEY §7.2 step 5). Sequences longer than
+        max_len are clamped (lengths report the clamped value)."""
+        for b in self.batches(max_records):
+            yield b.to_padded(max_len=max_len)
+
     def count(self):
         """(records, bases) at scan speed."""
         records = 0

@@ -202,3 +202,19 @@ def test_fasta_over_parallel_gzip(tmp_path):
     parser = FastaParser(bt.open_reader(str(p)))
     recs = [(r.id(), r.sequence()) for r in parser.records()]
     assert recs == [("a desc", "ACGTACGTAC"), ("b", "GGTT")]
+
+
+def test_fasta_padded_batches_stream():
+    import numpy as np
+    fa = b"".join(b">r%d\n%s\n" % (i, b"ACGT" * (i + 1)) for i in range(40))
+    p = FastaParser(bt.MemoryReader(fa))
+    n = 0
+    for seq2d, lengths in p.padded_batches(16, max_len=64):
+        assert seq2d.shape[0] == len(lengths)
+        for i in range(len(lengths)):
+            L = int(lengths[i])
+            row = bytes(np.asarray(seq2d[i, :L]).tobytes())
+            assert row == (b"ACGT" * 64)[:L]
+            assert not np.asarray(seq2d[i, L:]).any()
+        n += len(lengths)
+    assert n == 40
