@@ -281,14 +281,14 @@ def main():
     # weather swings ~2x over minutes, and best-of across windows is a far
     # better floor estimate than best-of within one
     for _ in range(2):
+        if time.perf_counter() - _T0 > float(
+                os.environ.get("BENCH_B2_BUDGET_S", "420")):
+            break
         a_bestN, _, _ = stage_a_reps(max(reps - 2, 2))
         if a_bestN < a_best:
             a_best = a_bestN
             a_gbps = total_bytes / a_best / 1e9
             pipeline_a = min(a_gbps, b_gbps)
-        if time.perf_counter() - _T0 > float(
-                os.environ.get("BENCH_B2_BUDGET_S", "420")):
-            break
 
     gbps = max(pipeline_a, pipeline_b)
     print("# pipeline A (host parse -> device QC): min(%.2f, %.2f) = %.2f"

@@ -35,7 +35,6 @@ from .fasta.record import FastaRecord
 from .fastq.batch import DeviceFastqBatch, FastqBatch, PaddedFastqBatch, upload_batch_to_device
 from .fastq.paired import PairedFastqParser, PairSyncError
 from .fastq.parser import FastqParser, ParserConfig
-from .fastq.paired import PairedFastqParser, PairSyncError
 from .fastq.quality import QualitySchema, parse_schema
 from .fastq.record import Definition, FastqRecord, FastqView, Validator
 from .features.ranges import Interval, Position

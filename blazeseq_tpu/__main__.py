@@ -27,8 +27,14 @@ def _count(args):
 
 
 def _stats(args):
-    import blazeseq_tpu as bt
-    from blazeseq_tpu.models import QCModel
+    try:
+        from blazeseq_tpu.models import QCModel
+    except ModuleNotFoundError as e:
+        if "jax" in str(e):
+            print("stats needs the device layer: pip install"
+                  " 'blazeseq-tpu[tpu]'", file=sys.stderr)
+            raise SystemExit(1)
+        raise
 
     for path in args:
         qc = QCModel(quality_schema="sanger", check_ascii=True,

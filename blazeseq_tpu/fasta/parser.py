@@ -72,12 +72,17 @@ class FastaBatch:
         return np.diff(self.seq_ends, prepend=0)
 
     def to_padded(self, max_len: Optional[int] = None):
-        """Padded [n, L] uint8 sequence tensor + lengths (device layout)."""
+        """Padded [n, L] uint8 sequence tensor + lengths (device layout).
+
+        With max_len, L is EXACTLY max_len rounded up to the TPU lane —
+        a static shape across batches (one XLA compilation) — and longer
+        sequences are clamped (lengths report the clamped value)."""
         n = len(self)
         lens = self.lengths()
-        L = int(lens.max()) if n else 0
         if max_len is not None:
-            L = max(L, max_len)
+            L = max_len
+        else:
+            L = int(lens.max()) if n else 0
         L = max(((L + TPU_LANE - 1) // TPU_LANE) * TPU_LANE, TPU_LANE)
         out = np.zeros((n, L), dtype=np.uint8)
         if n:

@@ -190,27 +190,33 @@ class FastqBatch:
                   pad_records_to: Optional[int] = None) -> "PaddedFastqBatch":
         """Build the TPU-friendly padded [n, L] layout on host (numpy).
 
-        Rows are zero-padded; L rounds up to the 128 TPU lane. Optionally pads
-        the record dimension to a fixed batch size so shapes stay static
-        across batches (one XLA compilation)."""
+        Rows are zero-padded; L rounds up to the 128 TPU lane. With max_len,
+        L is exactly max_len rounded up (static width across batches — one
+        XLA compilation) and longer reads are clamped; lengths report TRUE
+        read lengths so downstream counters stay exact (the padded-feed
+        convention, next_padded). Optionally pads the record dimension to a
+        fixed batch size too."""
         self._finalize()
         n = len(self._ends)
         lens = np.diff(self._ends, prepend=0)
-        L = int(lens.max()) if n else 0
         if max_len is not None:
-            L = max(L, max_len)
+            L = max_len
+        else:
+            L = int(lens.max()) if n else 0
         L = max(_round_up(L, TPU_LANE), TPU_LANE)
         rows = n if pad_records_to is None else max(n, pad_records_to)
         seq2d = np.zeros((rows, L), dtype=np.uint8)
         qual2d = np.zeros((rows, L), dtype=np.uint8)
         if n:
             starts = np.concatenate([[0], self._ends[:-1]])
-            # ragged scatter via flat index arithmetic
+            # ragged scatter via flat index arithmetic; bytes past the
+            # clamped width L are dropped
             flat_idx = np.arange(len(self._sequence_bytes), dtype=np.int64)
             rec_of = np.searchsorted(self._ends, flat_idx, side="right")
             col = flat_idx - starts[rec_of]
-            seq2d[rec_of, col] = self._sequence_bytes
-            qual2d[rec_of, col] = self._quality_bytes
+            keep = col < L
+            seq2d[rec_of[keep], col[keep]] = self._sequence_bytes[keep]
+            qual2d[rec_of[keep], col[keep]] = self._quality_bytes[keep]
         lengths = np.zeros(rows, dtype=np.int32)
         lengths[:n] = lens.astype(np.int32)
         return PaddedFastqBatch(

@@ -456,6 +456,24 @@ class FastqParser:
                             except FastxEOFError:
                                 break
                             continue  # tail record queued; drain below
+                        # buffer-capacity contract (same as next_padded /
+                        # _scan_more): a record larger than the configured
+                        # buffer must raise, not grow without bound
+                        if s.available() >= cfg.buffer_capacity:
+                            if not cfg.buffer_growth_enabled:
+                                raise ParseError(
+                                    "FASTQ record exceeds buffer capacity"
+                                    " (%d bytes). Enable buffer growth or"
+                                    " increase buffer_capacity."
+                                    % cfg.buffer_capacity,
+                                    code=FastxErrorCode.BUFFER_EXCEEDED)
+                            if s.available() >= cfg.buffer_max_capacity:
+                                raise ParseError(
+                                    "FASTQ record exceeds maximum buffer"
+                                    " capacity (%d bytes). Enable buffer"
+                                    " growth or increase max_capacity."
+                                    % cfg.buffer_max_capacity,
+                                    code=FastxErrorCode.BUFFER_AT_MAX)
                         if s.fill() == 0 and s.available() == 0:
                             break
                         continue

@@ -98,3 +98,52 @@ def test_records_ext_rejects_corrupt_offsets():
     it = ext.make_record_iter(buf, bad, 1, 33, FastqRecord)
     with pytest.raises(ValueError):
         next(it)
+
+
+def test_next_batch_enforces_buffer_capacity():
+    """The fused native batch path must honor the same capacity contract as
+    next_record/next_padded (huge records raise, never grow unbounded)."""
+    big = b"@r\n" + b"A" * (3 << 20) + b"\n+\n" + b"I" * (3 << 20) + b"\n"
+
+    class Chunky:
+        def __init__(self, data):
+            self._d = memoryview(data)
+            self._i = 0
+
+        def readinto(self, mv):
+            n = min(len(mv), 1 << 16, len(self._d) - self._i)
+            mv[:n] = self._d[self._i : self._i + n]
+            self._i += n
+            return n
+
+        def close(self):
+            pass
+
+    cfg = bt.ParserConfig(buffer_capacity=1 << 20,
+                          buffer_growth_enabled=False)
+    p = bt.FastqParser(Chunky(big), config=cfg)
+    with pytest.raises(ParseError) as ei:
+        p.next_batch(4)
+    assert "capacity" in str(ei.value)
+    cfg2 = bt.ParserConfig(buffer_capacity=1 << 18,
+                           buffer_growth_enabled=True,
+                           buffer_max_capacity=1 << 20)
+    p2 = bt.FastqParser(Chunky(big), config=cfg2)
+    with pytest.raises(ParseError):
+        p2.next_batch(4)
+
+
+def test_to_padded_max_len_is_a_hard_cap():
+    """max_len fixes the width (static shapes) and clamps longer reads."""
+    buf = b"@a\n" + b"A" * 300 + b"\n+\n" + b"I" * 300 + b"\n@b\nACGT\n+\nIIII\n"
+    batch = bt.FastqParser(bt.MemoryReader(buf)).next_batch(10)
+    pb = batch.to_padded(max_len=128)
+    assert pb.seq.shape[1] == 128
+    assert bytes(np.asarray(pb.seq[0, :128]).tobytes()) == b"A" * 128
+    assert int(pb.lengths[0]) == 300  # true length kept (feed convention)
+    # FASTA variant clamps lengths as documented
+    from blazeseq_tpu.fasta import FastaParser
+    fp = FastaParser(bt.MemoryReader(b">x\n" + b"G" * 500 + b"\n>y\nAC\n"))
+    seq2d, lengths = fp.next_batch(10).to_padded(max_len=64)
+    assert seq2d.shape[1] == 128  # lane-rounded
+    assert int(lengths[0]) == 128
