@@ -19,7 +19,11 @@ def use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def length_mask(lengths: jnp.ndarray, width: int) -> jnp.ndarray:
-    """[n, width] bool mask of valid positions given per-record lengths."""
+def length_mask(lengths: jnp.ndarray, width: int,
+                col_offset=0) -> jnp.ndarray:
+    """[n, width] bool mask of valid positions given per-record lengths.
+    `col_offset` shifts the position base — used when the length dimension
+    is sharded over an 'sp' mesh axis and this shard holds columns
+    [col_offset, col_offset + width)."""
     pos = jax.lax.broadcasted_iota(jnp.int32, (lengths.shape[0], width), 1)
-    return pos < lengths[:, None]
+    return (pos + col_offset) < lengths[:, None]

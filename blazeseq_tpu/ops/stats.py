@@ -61,18 +61,23 @@ def _base_class(seq: jnp.ndarray) -> jnp.ndarray:
     return cls
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("count_scalars",))
 def qc_stats(seq, qual, lengths, offset, n_records=None,
-             error_codes=None) -> QCStats:
+             error_codes=None, col_offset=0,
+             count_scalars: bool = True) -> QCStats:
     """Compute QCStats for one padded batch [n, L].
 
     `n_records` distinguishes genuine records from padding rows when the
-    record dimension is padded to a static batch size."""
+    record dimension is padded to a static batch size. Under 'sp'
+    (position-dimension) sharding, pass this shard's starting column as
+    `col_offset`, and count_scalars=False on every sp shard but the first —
+    reads/bases/error counts are per-record quantities that every sp shard
+    would otherwise duplicate (position-local leaves still accumulate)."""
     n, L = seq.shape
     if n_records is None:
         n_records = jnp.int32(n)
     row_valid = jax.lax.broadcasted_iota(jnp.int32, (n,), 0) < n_records
-    mask = length_mask(lengths, L) & row_valid[:, None]
+    mask = length_mask(lengths, L, col_offset) & row_valid[:, None]
     # stay in uint8 until the final reductions: 32-bit intermediates (and
     # [n, L, bins] broadcasts) multiply the traffic of every pass
     off_u8 = offset.astype(jnp.uint8)
@@ -105,16 +110,18 @@ def qc_stats(seq, qual, lengths, offset, n_records=None,
     gc = base_counts[1] + base_counts[2]
     err = (jnp.sum((error_codes != 0) & row_valid, dtype=jnp.int32)
            if error_codes is not None else jnp.zeros((), jnp.int32))
+    scale = jnp.int32(1 if count_scalars else 0)
     return QCStats(
-        reads=n_records.astype(jnp.int32),
-        bases=jnp.sum(jnp.where(row_valid, lengths, 0), dtype=jnp.int32),
+        reads=n_records.astype(jnp.int32) * scale,
+        bases=jnp.sum(jnp.where(row_valid, lengths, 0),
+                      dtype=jnp.int32) * scale,
         base_counts=base_counts,
         per_pos_base_counts=per_pos_base,
         per_pos_qual_sum=per_pos_qual_sum,
         per_pos_count=per_pos_count,
         qual_hist=qual_hist,
         gc_count=gc,
-        error_reads=err,
+        error_reads=err * scale,
     )
 
 

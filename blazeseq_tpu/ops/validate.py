@@ -31,9 +31,11 @@ QUALITY_OUT_OF_RANGE = 5
 
 @functools.partial(jax.jit, static_argnames=("check_ascii", "check_quality"))
 def validate_decode_xla(seq, qual, lengths, q_lower, q_upper, offset,
-                        check_ascii: bool = True, check_quality: bool = True):
-    """jnp reference implementation. Returns (codes i32[n], phred u8[n, L])."""
-    mask = length_mask(lengths, seq.shape[1])
+                        check_ascii: bool = True, check_quality: bool = True,
+                        col_offset=0):
+    """jnp reference implementation. Returns (codes i32[n], phred u8[n, L]).
+    `col_offset`: this shard's starting column when L is sp-sharded."""
+    mask = length_mask(lengths, seq.shape[1], col_offset)
     codes = jnp.zeros(seq.shape[0], dtype=jnp.int32)
     if check_quality:
         bad_q = jnp.any(

@@ -14,6 +14,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DP_AXIS = "dp"
+SP_AXIS = "sp"  # sequence/position axis (reads' length dimension)
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -25,6 +26,17 @@ def make_mesh(n_devices: Optional[int] = None,
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
+
+
+def make_mesh_2d(dp: int, sp: int,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """2-D mesh: records sharded over 'dp', the read-position dimension over
+    'sp' (sequence parallelism for the per-position QC reductions — each
+    device computes stats for its position slice of its record shard)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.array(devices[: dp * sp]).reshape(dp, sp)
+    return Mesh(devices, (DP_AXIS, SP_AXIS))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = DP_AXIS) -> NamedSharding:

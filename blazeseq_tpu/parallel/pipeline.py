@@ -37,20 +37,54 @@ class QCAlignResult(NamedTuple):
 
 def _local_step(seq, qual, lengths, n_records, ref, q_lower, q_upper, offset,
                 *, axis_name: Optional[str], check_ascii: bool,
-                check_quality: bool, with_alignment: bool):
+                check_quality: bool, with_alignment: bool,
+                sp_axis: Optional[str] = None):
+    # under 'sp' sharding this device holds columns
+    # [sp_idx*L_local, (sp_idx+1)*L_local) of every record in its dp shard
+    if sp_axis is not None:
+        col0 = jax.lax.axis_index(sp_axis) * seq.shape[1]
+        sp_first = jax.lax.axis_index(sp_axis) == 0
+    else:
+        col0 = jnp.int32(0)
+        sp_first = None
     codes, phred = validate_ops.validate_decode_xla(
         seq, qual, lengths, q_lower, q_upper, offset,
-        check_ascii=check_ascii, check_quality=check_quality)
+        check_ascii=check_ascii, check_quality=check_quality,
+        col_offset=col0)
+    if sp_axis is not None:
+        # a record's error can live in any position slice; max picks any
+        # nonzero code so every sp shard reports the same per-record verdict
+        codes = jax.lax.pmax(codes, sp_axis)
     # local record count for this shard: records are distributed evenly by
     # the sharded leading dim; n_records is the global count.
     if axis_name is not None:
         n_local = _local_record_count(seq.shape[0], n_records, axis_name)
     else:
         n_local = n_records
-    st = stats_ops.qc_stats(seq, qual, lengths, offset, n_records=n_local,
-                            error_codes=codes)
+    st = stats_ops.qc_stats(seq, qual, lengths, offset,
+                            n_records=n_local, error_codes=codes,
+                            col_offset=col0)
+    if sp_axis is not None:
+        # per-record scalars (reads, TRUE-length bases, error counts) would
+        # be duplicated by every sp shard — keep them on sp rank 0 only;
+        # the position-partitioned leaves stay as computed per shard
+        st = st._replace(
+            reads=jnp.where(sp_first, st.reads, 0),
+            bases=jnp.where(sp_first, st.bases, 0),
+            error_reads=jnp.where(sp_first, st.error_reads, 0))
     if axis_name is not None:
         st = jax.lax.psum(st, axis_name)
+    if sp_axis is not None:
+        # scalar / global-histogram leaves merge across sp; the per-position
+        # leaves stay position-sharded (their out_specs carry 'sp')
+        st = st._replace(
+            reads=jax.lax.psum(st.reads, sp_axis),
+            bases=jax.lax.psum(st.bases, sp_axis),
+            base_counts=jax.lax.psum(st.base_counts, sp_axis),
+            qual_hist=jax.lax.psum(st.qual_hist, sp_axis),
+            gc_count=jax.lax.psum(st.gc_count, sp_axis),
+            error_reads=jax.lax.psum(st.error_reads, sp_axis),
+        )
     if with_alignment:
         # lengths may exceed the padded width for clamped long reads
         scores = nw_ops.nw_scores_xla(
@@ -83,17 +117,39 @@ def build_qc_align_step(mesh: Optional[Mesh] = None, *,
         return jax.jit(
             functools.partial(_local_step, axis_name=None, **kw))
 
-    fn = functools.partial(_local_step, axis_name=axis_name, **kw)
+    from .mesh import SP_AXIS
+
+    sp = (SP_AXIS if SP_AXIS in mesh.axis_names
+          and mesh.shape[SP_AXIS] > 1 else None)
+    if sp is not None and with_alignment:
+        raise ValueError(
+            "with_alignment requires full-length rows: use an sp=1 mesh "
+            "for alignment, or run NW in a separate dp-only step")
+    fn = functools.partial(_local_step, axis_name=axis_name, sp_axis=sp,
+                           **kw)
+    row_spec = P(axis_name)
+    if sp is None:
+        stats_specs = jax.tree.map(lambda _: P(), stats_ops.zero_stats(1))
+        mat_spec = P(axis_name)
+    else:
+        # per-position leaves remain position-sharded over 'sp'
+        stats_specs = stats_ops.QCStats(
+            reads=P(), bases=P(), base_counts=P(),
+            per_pos_base_counts=P(None, sp),
+            per_pos_qual_sum=P(sp),
+            per_pos_count=P(sp),
+            qual_hist=P(), gc_count=P(), error_reads=P())
+        mat_spec = P(axis_name, sp)
     sharded = shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(), P(), P(),
+        in_specs=(mat_spec, mat_spec, P(axis_name), P(), P(), P(),
                   P(), P()),
         out_specs=QCAlignResult(
-            stats=jax.tree.map(lambda _: P(), stats_ops.zero_stats(1)),
-            error_codes=P(axis_name),
-            phred=P(axis_name),
-            nw_scores=P(axis_name),
+            stats=stats_specs,
+            error_codes=row_spec,
+            phred=mat_spec,
+            nw_scores=row_spec,
         ),
         check_vma=False,
     )
