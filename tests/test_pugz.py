@@ -140,3 +140,21 @@ def test_adversarial_corruption_never_wrong(tmp_path):
         if got is not None:
             ref = gzip.decompress(bytes(comp))  # must also be valid for zlib
             assert got == ref
+
+
+def test_real_gzip_tool_output(tmp_path):
+    """Files produced by gzip(1) carry FNAME headers (and -1/-9 block
+    shapes); the parallel path must handle them."""
+    import shutil
+    import subprocess
+    if shutil.which("gzip") is None:
+        pytest.skip("no gzip binary")
+    data = bytes(bt.generate_synthetic_fastq_buffer(8000, 60, 120, 2, 40,
+                                                    "sanger"))
+    p = tmp_path / "reads.fastq"
+    p.write_bytes(data)
+    for level in ("-1", "-9"):
+        subprocess.run(["gzip", "-kf", level, str(p)], check=True)
+        comp = (tmp_path / "reads.fastq.gz").read_bytes()
+        got = parallel_inflate(comp, parallelism=3, chunk_bytes=128 * 1024)
+        assert got == data
