@@ -2,7 +2,8 @@
 structural scanning, and Needleman-Wunsch alignment."""
 
 from .common import length_mask, round_up, use_interpret
-from .nw import needleman_wunsch_cpu, nw_scores, nw_scores_pallas, nw_scores_xla
+from .nw import (needleman_wunsch_cpu, nw_scores, nw_scores_pallas,
+                 nw_scores_xla, smith_waterman_cpu, sw_scores_xla)
 from .scan import (
     count_records_device,
     gather_padded_device,

@@ -17,6 +17,10 @@ Three implementations with identical results:
   * `nw_scores_xla`       — jnp lax.scan version
   * `nw_scores_pallas`    — Pallas kernel, DP diagonals resident in VMEM,
     grid over record tiles
+
+Beyond the reference: `sw_scores_xla` / `smith_waterman_cpu` reuse the same
+wavefront for Smith-Waterman local alignment (zero-clamped cells, running
+max over valid cells instead of corner extraction).
 """
 
 from __future__ import annotations
@@ -201,3 +205,67 @@ def nw_scores(seq, lengths, ref, prefer_pallas=None):
         prefer_pallas = False
     fn = nw_scores_pallas if prefer_pallas else nw_scores_xla
     return fn(jnp.asarray(seq), jnp.asarray(lengths), jnp.asarray(ref))
+
+
+def smith_waterman_cpu(query: bytes, ref: bytes, match: int = 1,
+                       mismatch: int = -1, gap: int = -1) -> int:
+    """Scalar host twin for local (Smith-Waterman) alignment — the
+    validation reference for sw_scores_xla, mirroring needleman_wunsch_cpu's
+    role for the NW kernel."""
+    Lq, Lr = len(query), len(ref)
+    prev = [0] * (Lr + 1)
+    best = 0
+    for i in range(1, Lq + 1):
+        cur = [0] * (Lr + 1)
+        for j in range(1, Lr + 1):
+            s = match if query[i - 1] == ref[j - 1] else mismatch
+            cur[j] = max(0, prev[j - 1] + s, prev[j] + gap, cur[j - 1] + gap)
+            if cur[j] > best:
+                best = cur[j]
+        prev = cur
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap"))
+def sw_scores_xla(seq, lengths, ref, match: int = 1, mismatch: int = -1,
+                  gap: int = -1):
+    """Batched Smith-Waterman (local alignment) scores — beyond the
+    reference (which ships global NW only), reusing the same anti-diagonal
+    wavefront: cells clamp at 0 and the score is the running max over valid
+    cells (1 <= i <= length, 1 <= j <= Lr).
+
+    seq: u8[B, Lq] padded reads; lengths: i32[B]; ref: u8[Lr].
+    Returns i32[B] local alignment scores (0 for empty reads)."""
+    B, Lq = seq.shape
+    Lr = ref.shape[0]
+    D = Lq + Lr
+    i_idx = jnp.arange(Lq + 1, dtype=jnp.int32)[None, :]
+    seq_shift = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.uint8), seq], axis=1)  # q[i-1] at index i
+    RD = _diag_ref_table(ref, Lq)
+    d_vals = jnp.arange(1, D + 1, dtype=jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+
+    def step(carry, xs):
+        prev1, prev2, best = carry
+        d, rchars = xs
+        sub = jnp.where(seq_shift == rchars[None, :], match, mismatch)
+        p2s = jnp.roll(prev2, 1, axis=1)
+        p1s = jnp.roll(prev1, 1, axis=1)
+        new = jnp.maximum(jnp.maximum(p2s + sub, p1s + gap), prev1 + gap)
+        new = jnp.maximum(new, 0)                 # local: clamp at zero
+        new = jnp.where(i_idx == 0, 0, new)       # boundary row
+        new = jnp.where(i_idx == d, 0, new)       # boundary column
+        valid = ((i_idx >= 1) & (i_idx <= lengths[:, None])
+                 & (i_idx <= d - 1) & (i_idx >= d - Lr))
+        best = jnp.maximum(best,
+                           jnp.max(jnp.where(valid, new, 0), axis=1))
+        return (new, prev1, best), None
+
+    init = (
+        jnp.zeros((B, Lq + 1), jnp.int32),
+        jnp.zeros((B, Lq + 1), jnp.int32),
+        jnp.zeros((B,), dtype=jnp.int32),
+    )
+    (_, _, best), _ = jax.lax.scan(step, init, (d_vals, RD))
+    return best

@@ -220,3 +220,66 @@ def test_nw_batch_e2e_like_reference_example():
     for i in range(len(batch)):
         want = nw.needleman_wunsch_cpu(batch.get_record(i).sequence_bytes(), ref)
         assert scores[i] == want
+
+
+# ---------------------------------------------------------------------------
+# Smith-Waterman (local alignment, beyond reference)
+# ---------------------------------------------------------------------------
+
+
+def test_sw_cpu_known_scores():
+    assert nw.smith_waterman_cpu(b"ACGT", b"ACGT") == 4
+    assert nw.smith_waterman_cpu(b"ACGT", b"") == 0        # local: never negative
+    assert nw.smith_waterman_cpu(b"", b"ACG") == 0
+    assert nw.smith_waterman_cpu(b"AAAA", b"TTTT") == 0
+    # best local hit is the embedded ACGT, penalties outside don't count
+    assert nw.smith_waterman_cpu(b"TTACGTTT", b"GGACGTGG") == 4
+    # one internal gap: ACG-T vs ACGAT -> 4 match - 1 gap
+    assert nw.smith_waterman_cpu(b"ACGT", b"ACGAT") == 3
+
+
+def test_sw_xla_matches_cpu():
+    rng = np.random.default_rng(5)
+    ref = bytes(rng.choice(list(b"ACGT"), size=37).astype(np.uint8))
+    B, Lq = 23, 29
+    lens = rng.integers(0, Lq + 1, size=B)
+    seq = np.zeros((B, Lq), dtype=np.uint8)
+    queries = []
+    for i in range(B):
+        q = bytes(rng.choice(list(b"ACGT"), size=int(lens[i])).astype(np.uint8))
+        queries.append(q)
+        seq[i, : len(q)] = np.frombuffer(q, dtype=np.uint8)
+    got = np.asarray(nw.sw_scores_xla(seq, lens.astype(np.int32),
+                                      np.frombuffer(ref, dtype=np.uint8)))
+    want = [nw.smith_waterman_cpu(q, ref) for q in queries]
+    assert got.tolist() == want
+
+
+def test_sw_xla_custom_penalties_match_cpu():
+    rng = np.random.default_rng(6)
+    ref = bytes(rng.choice(list(b"ACGT"), size=21).astype(np.uint8))
+    B, Lq = 11, 17
+    lens = rng.integers(1, Lq + 1, size=B)
+    seq = np.zeros((B, Lq), dtype=np.uint8)
+    queries = []
+    for i in range(B):
+        q = bytes(rng.choice(list(b"ACGT"), size=int(lens[i])).astype(np.uint8))
+        queries.append(q)
+        seq[i, : len(q)] = np.frombuffer(q, dtype=np.uint8)
+    got = np.asarray(nw.sw_scores_xla(seq, lens.astype(np.int32),
+                                      np.frombuffer(ref, dtype=np.uint8),
+                                      match=2, mismatch=-3, gap=-2))
+    want = [nw.smith_waterman_cpu(q, ref, match=2, mismatch=-3, gap=-2)
+            for q in queries]
+    assert got.tolist() == want
+
+
+def test_sw_padding_does_not_leak():
+    # zero padding bytes beyond `lengths` must not contribute to the score
+    ref = np.frombuffer(b"ACGT", np.uint8)
+    seq = np.zeros((2, 8), np.uint8)
+    seq[0, :4] = np.frombuffer(b"ACGT", np.uint8)
+    seq[1, :8] = np.frombuffer(b"ACGTACGT", np.uint8)
+    lens = np.array([4, 4], np.int32)  # row 1 truncated to its first 4 bytes
+    got = np.asarray(nw.sw_scores_xla(seq, lens, ref))
+    assert got.tolist() == [4, 4]
