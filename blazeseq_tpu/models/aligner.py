@@ -4,7 +4,8 @@ Model-level wrapper over the wavefront NW kernels (blazeseq_tpu/ops/nw.py),
 mirroring the reference GPU example end-to-end flow
 (examples/nw_gpu/execution.mojo:90-152): SoA batches -> device -> batched DP
 -> scores -> optional CPU-twin verification (main.mojo:72-87 asserts
-GPU == CPU scores; `verify_batch` is that check)."""
+GPU == CPU scores; `verify_batch` is that check). mode="local" swaps the
+recurrence for Smith-Waterman (beyond reference)."""
 
 from __future__ import annotations
 
@@ -27,11 +28,18 @@ def _round_up(x: int, m: int) -> int:
 
 class NWAligner:
     def __init__(self, reference: bytes, max_query_len: int = MAX_QUERY_LEN,
-                 prefer_pallas: Optional[bool] = None):
+                 prefer_pallas: Optional[bool] = None,
+                 mode: str = "global"):
+        """mode="global" is the reference semantics (Needleman-Wunsch);
+        mode="local" is Smith-Waterman on the same wavefront (beyond
+        reference) — scores are the best zero-clamped local hit."""
+        if mode not in ("global", "local"):
+            raise ValueError("mode must be 'global' or 'local'")
         self.reference = bytes(reference)
         self._ref = jnp.asarray(np.frombuffer(self.reference, dtype=np.uint8))
         self.max_query_len = max_query_len
         self.prefer_pallas = prefer_pallas
+        self.mode = mode
         # The whole step (clamp + slice + wavefront DP) is one jit so
         # per-batch scoring is one device dispatch, not a chain of eager ops
         # (each eager op is a host round trip — catastrophic on
@@ -44,6 +52,8 @@ class NWAligner:
             lengths = jnp.minimum(lengths.astype(jnp.int32), mql)
             if seq.shape[1] > mql:
                 seq = seq[:, :mql]
+            if self.mode == "local":
+                return nw_ops.sw_scores_xla(seq, lengths, ref)
             return nw_ops.nw_scores(seq, lengths, ref,
                                     prefer_pallas=self.prefer_pallas)
 
@@ -60,10 +70,12 @@ class NWAligner:
 
     def score_cpu(self, batch: FastqBatch) -> np.ndarray:
         """Host twin (≡ run_cpu_nw, execution.mojo:137-152)."""
+        twin = (nw_ops.smith_waterman_cpu if self.mode == "local"
+                else nw_ops.needleman_wunsch_cpu)
         out = np.empty(len(batch), dtype=np.int32)
         for i in range(len(batch)):
             q = batch.get_ref(i).sequence_bytes()[: self.max_query_len]
-            out[i] = nw_ops.needleman_wunsch_cpu(q, self.reference)
+            out[i] = twin(q, self.reference)
         return out
 
     def verify_batch(self, batch: FastqBatch) -> bool:

@@ -1,6 +1,7 @@
 """End-to-end model tests: QCModel streaming pipeline + NWAligner."""
 
 import numpy as np
+import pytest
 
 import blazeseq_tpu as bt
 from blazeseq_tpu.models import NWAligner, QCModel
@@ -49,6 +50,17 @@ def test_nw_aligner_verify_batch():
     batch = bt.FastqParser(bt.MemoryReader(buf)).next_batch(50)
     aligner = NWAligner(b"GATTACA" * 8)
     assert aligner.verify_batch(batch)
+
+
+def test_nw_aligner_local_mode():
+    """mode="local" runs Smith-Waterman; verify_batch checks device == twin."""
+    buf = bytes(bt.generate_synthetic_fastq_buffer(40, 20, 60, 2, 40, "sanger"))
+    batch = bt.FastqParser(bt.MemoryReader(buf)).next_batch(40)
+    aligner = NWAligner(b"GATTACA" * 8, mode="local")
+    assert aligner.verify_batch(batch)
+    assert (aligner.score_batch(batch) >= 0).all()  # local scores never negative
+    with pytest.raises(ValueError):
+        NWAligner(b"ACGT", mode="semiglobal")
 
 
 def test_padded_clamps_copy_but_keeps_true_length():
