@@ -40,6 +40,10 @@ class QCReport:
     per_position_mean_quality: np.ndarray
     qual_hist: np.ndarray
     nw_scores: Optional[np.ndarray] = None
+    # FastQC-style per-read distribution panels
+    length_hist: Optional[np.ndarray] = None  # [LEN_BINS] reads by length
+    gc_hist: Optional[np.ndarray] = None  # [101] reads by GC%
+    mean_qual_hist: Optional[np.ndarray] = None  # reads by rounded mean Phred
 
     def __str__(self) -> str:
         return (
@@ -131,4 +135,7 @@ class QCModel:
             per_position_mean_quality=acc.per_position_mean_quality(),
             qual_hist=np.asarray(t.qual_hist),
             nw_scores=(np.concatenate(all_scores) if all_scores else None),
+            length_hist=np.asarray(t.length_hist),
+            gc_hist=np.asarray(t.gc_hist),
+            mean_qual_hist=np.asarray(t.mean_qual_hist),
         )

@@ -13,5 +13,6 @@ from .scan import (
     structural_bitmaps,
 )
 from .raw_stats import RawStreamQC, raw_stream_qc
-from .stats import MAX_PHRED, QCAccumulator, QCStats, qc_stats, zero_stats
+from .stats import (GC_BINS, LEN_BINS, MAX_PHRED, QCAccumulator, QCStats,
+                    qc_stats, row_histograms, row_partials, zero_stats)
 from .validate import validate_decode, validate_decode_pallas, validate_decode_xla

@@ -25,6 +25,8 @@ import numpy as np
 from .common import length_mask
 
 MAX_PHRED = 64  # histogram bins [0, 64)
+LEN_BINS = 512  # read-length distribution bins; longer reads clip to 511
+GC_BINS = 101  # per-read GC%% bins 0..100
 
 _BASES = b"ACGT"  # base classes: A C G T other
 
@@ -41,6 +43,10 @@ class QCStats(NamedTuple):
     qual_hist: jnp.ndarray  # i32 [MAX_PHRED]
     gc_count: jnp.ndarray  # i32 []  total G+C bases
     error_reads: jnp.ndarray  # i32 [] reads with validation errors
+    # FastQC-style per-read distribution panels (one count per read)
+    length_hist: jnp.ndarray  # i32 [LEN_BINS] reads by true length (clipped)
+    gc_hist: jnp.ndarray  # i32 [GC_BINS] reads by GC%% of in-window bases
+    mean_qual_hist: jnp.ndarray  # i32 [MAX_PHRED] reads by rounded mean Phred
 
     def merge(self, other: "QCStats") -> "QCStats":
         return jax.tree.map(lambda a, b: a + b, self, other)
@@ -49,7 +55,8 @@ class QCStats(NamedTuple):
 def zero_stats(max_len: int) -> QCStats:
     z = lambda *s: jnp.zeros(s, jnp.int32)
     return QCStats(z(), z(), z(5), z(5, max_len), z(max_len), z(max_len),
-                   z(MAX_PHRED), z(), z())
+                   z(MAX_PHRED), z(), z(), z(LEN_BINS), z(GC_BINS),
+                   z(MAX_PHRED))
 
 
 def _base_class(seq: jnp.ndarray) -> jnp.ndarray:
@@ -61,10 +68,72 @@ def _base_class(seq: jnp.ndarray) -> jnp.ndarray:
     return cls
 
 
-@functools.partial(jax.jit, static_argnames=("count_scalars",))
+def _row_partials_impl(mask, qual_phred, seq):
+    """Per-read reductions over this column slice from precomputed mask and
+    masked phred scores: (gc_bases, phred_sum, in_window_count), each i32[n].
+    Under 'sp' (position) sharding these psum across shards before binning."""
+    upper = seq & jnp.uint8(0xDF)
+    isgc = mask & ((upper == jnp.uint8(ord("C")))
+                   | (upper == jnp.uint8(ord("G"))))
+    gc = jnp.sum(isgc, axis=1, dtype=jnp.int32)
+    qsum = jnp.sum(jnp.where(mask, qual_phred, jnp.uint8(0)), axis=1,
+                   dtype=jnp.int32)
+    cnt = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    return gc, qsum, cnt
+
+
+def _masked_phred(qual, mask, offset):
+    off_u8 = offset.astype(jnp.uint8)
+    return jnp.minimum(
+        jnp.where(mask & (qual >= off_u8), qual - off_u8, jnp.uint8(0)),
+        jnp.uint8(MAX_PHRED - 1))
+
+
+@jax.jit
+def row_partials(seq, qual, lengths, offset, n_records=None, col_offset=0):
+    """Public entry: per-read (gc, phred_sum, in_window_count) partials for
+    this column slice (see qc_stats for the masking semantics)."""
+    n, L = seq.shape
+    if n_records is None:
+        n_records = jnp.int32(n)
+    row_valid = jax.lax.broadcasted_iota(jnp.int32, (n,), 0) < n_records
+    mask = length_mask(lengths, L, col_offset) & row_valid[:, None]
+    return _row_partials_impl(mask, _masked_phred(qual, mask, offset), seq)
+
+
+def _one_hot_hist(values, n_bins):
+    """hist[k] = #(values == k); excluded rows carry -1 and match no bin.
+    Dense compare+reduce — scatter-free (TPU scatters serialize)."""
+    bins = jnp.arange(n_bins, dtype=jnp.int32)
+    return jnp.sum(values[:, None] == bins[None, :], axis=0,
+                   dtype=jnp.int32)
+
+
+def row_histograms(gc, qsum, cnt, lengths, n_records):
+    """Bin (possibly psum-merged) per-read partials into the three
+    distribution panels: (length_hist, gc_hist, mean_qual_hist). Lengths are
+    the TRUE lengths (may exceed the padded width; clipped into the last
+    bin); GC%% and mean quality are over the in-window bases `cnt`."""
+    n = gc.shape[0]
+    row_valid = jax.lax.broadcasted_iota(jnp.int32, (n,), 0) < n_records
+    lens = jnp.where(row_valid,
+                     jnp.minimum(lengths.astype(jnp.int32), LEN_BINS - 1),
+                     -1)
+    nonempty = row_valid & (cnt > 0)
+    safe = jnp.maximum(cnt, 1)
+    # round-half-up integer percent / mean: floor((100*gc + cnt/2) / cnt)
+    gc_bin = jnp.where(nonempty, (200 * gc + cnt) // (2 * safe), -1)
+    mq_bin = jnp.where(
+        nonempty,
+        jnp.minimum((2 * qsum + cnt) // (2 * safe), MAX_PHRED - 1), -1)
+    return (_one_hot_hist(lens, LEN_BINS), _one_hot_hist(gc_bin, GC_BINS),
+            _one_hot_hist(mq_bin, MAX_PHRED))
+
+
+@functools.partial(jax.jit, static_argnames=("count_scalars", "row_stats"))
 def qc_stats(seq, qual, lengths, offset, n_records=None,
              error_codes=None, col_offset=0,
-             count_scalars: bool = True) -> QCStats:
+             count_scalars: bool = True, row_stats: bool = True) -> QCStats:
     """Compute QCStats for one padded batch [n, L].
 
     `n_records` distinguishes genuine records from padding rows when the
@@ -80,10 +149,7 @@ def qc_stats(seq, qual, lengths, offset, n_records=None,
     mask = length_mask(lengths, L, col_offset) & row_valid[:, None]
     # stay in uint8 until the final reductions: 32-bit intermediates (and
     # [n, L, bins] broadcasts) multiply the traffic of every pass
-    off_u8 = offset.astype(jnp.uint8)
-    phred_u8 = jnp.minimum(
-        jnp.where(mask & (qual >= off_u8), qual - off_u8, jnp.uint8(0)),
-        jnp.uint8(MAX_PHRED - 1))
+    phred_u8 = _masked_phred(qual, mask, offset)
     phred_u8 = jnp.where(mask, phred_u8, jnp.uint8(MAX_PHRED))  # excluded
 
     upper = seq & jnp.uint8(0xDF)
@@ -111,6 +177,16 @@ def qc_stats(seq, qual, lengths, offset, n_records=None,
     err = (jnp.sum((error_codes != 0) & row_valid, dtype=jnp.int32)
            if error_codes is not None else jnp.zeros((), jnp.int32))
     scale = jnp.int32(1 if count_scalars else 0)
+    if row_stats:
+        gcr, qsr, cntr = _row_partials_impl(mask, phred_u8, seq)
+        len_h, gc_h, mq_h = row_histograms(gcr, qsr, cntr, lengths, n_records)
+        len_h, gc_h, mq_h = len_h * scale, gc_h * scale, mq_h * scale
+    else:
+        # per-read panels need full rows; under 'sp' sharding the pipeline
+        # psums row_partials across position shards and bins them itself
+        len_h = jnp.zeros(LEN_BINS, jnp.int32)
+        gc_h = jnp.zeros(GC_BINS, jnp.int32)
+        mq_h = jnp.zeros(MAX_PHRED, jnp.int32)
     return QCStats(
         reads=n_records.astype(jnp.int32) * scale,
         bases=jnp.sum(jnp.where(row_valid, lengths, 0),
@@ -122,6 +198,9 @@ def qc_stats(seq, qual, lengths, offset, n_records=None,
         qual_hist=qual_hist,
         gc_count=gc,
         error_reads=err * scale,
+        length_hist=len_h,
+        gc_hist=gc_h,
+        mean_qual_hist=mq_h,
     )
 
 
@@ -156,6 +235,14 @@ class QCAccumulator:
         t = self._tot
         cnt = np.maximum(t.per_pos_count, 1)
         return t.per_pos_qual_sum / cnt
+
+    def mean_read_length(self) -> float:
+        t = self._tot
+        return float(t.bases) / max(float(t.reads), 1.0)
+
+    def modal_read_length(self) -> int:
+        """Most common read length (lengths >= LEN_BINS clip to the last bin)."""
+        return int(np.argmax(self._tot.length_hist))
 
 
 def _add_padded(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -63,7 +63,21 @@ def _local_step(seq, qual, lengths, n_records, ref, q_lower, q_upper, offset,
         n_local = n_records
     st = stats_ops.qc_stats(seq, qual, lengths, offset,
                             n_records=n_local, error_codes=codes,
-                            col_offset=col0)
+                            col_offset=col0, row_stats=sp_axis is None)
+    if sp_axis is not None:
+        # per-read distribution panels need full rows: psum the per-read
+        # partial reductions across position shards, then bin. Every sp
+        # shard computes the identical result (lengths are sp-replicated),
+        # so these leaves are already sp-replicated — no gating or sp-psum.
+        gcr, qsr, cntr = stats_ops.row_partials(
+            seq, qual, lengths, offset, n_records=n_local, col_offset=col0)
+        gcr = jax.lax.psum(gcr, sp_axis)
+        qsr = jax.lax.psum(qsr, sp_axis)
+        cntr = jax.lax.psum(cntr, sp_axis)
+        len_h, gc_h, mq_h = stats_ops.row_histograms(
+            gcr, qsr, cntr, lengths, n_local)
+        st = st._replace(length_hist=len_h, gc_hist=gc_h,
+                         mean_qual_hist=mq_h)
     if sp_axis is not None:
         # per-record scalars (reads, TRUE-length bases, error counts) would
         # be duplicated by every sp shard — keep them on sp rank 0 only;
@@ -138,7 +152,8 @@ def build_qc_align_step(mesh: Optional[Mesh] = None, *,
             per_pos_base_counts=P(None, sp),
             per_pos_qual_sum=P(sp),
             per_pos_count=P(sp),
-            qual_hist=P(), gc_count=P(), error_reads=P())
+            qual_hist=P(), gc_count=P(), error_reads=P(),
+            length_hist=P(), gc_hist=P(), mean_qual_hist=P())
         mat_spec = P(axis_name, sp)
     sharded = shard_map(
         fn,

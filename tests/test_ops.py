@@ -1,6 +1,7 @@
 """Device kernel tests (run on CPU backend with interpret-mode Pallas;
 the same code compiles natively on TPU)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -283,3 +284,76 @@ def test_sw_padding_does_not_leak():
     lens = np.array([4, 4], np.int32)  # row 1 truncated to its first 4 bytes
     got = np.asarray(nw.sw_scores_xla(seq, lens, ref))
     assert got.tolist() == [4, 4]
+
+
+# ---------------------------------------------------------------------------
+# Per-read distribution panels (FastQC-style, beyond reference)
+# ---------------------------------------------------------------------------
+
+
+def test_qc_row_histograms_match_numpy_twin():
+    from blazeseq_tpu.ops.stats import GC_BINS, LEN_BINS, MAX_PHRED, qc_stats
+
+    rng = np.random.default_rng(3)
+    n, L = 37, 64
+    lens = rng.integers(0, 80, n).astype(np.int32)  # some exceed L (clamped)
+    seq = np.zeros((n, L), np.uint8)
+    qual = np.zeros((n, L), np.uint8)
+    for i in range(n):
+        k = min(int(lens[i]), L)
+        seq[i, :k] = rng.choice(list(b"ACGTN"), k)
+        qual[i, :k] = rng.integers(33, 33 + 40, k)
+    n_rec = 30  # rows >= n_rec are padding
+    st = qc_stats(jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lens),
+                  jnp.int32(33), n_records=jnp.int32(n_rec))
+
+    len_h = np.zeros(LEN_BINS, np.int64)
+    gc_h = np.zeros(GC_BINS, np.int64)
+    mq_h = np.zeros(MAX_PHRED, np.int64)
+    for i in range(n_rec):
+        len_h[min(int(lens[i]), LEN_BINS - 1)] += 1
+        k = min(int(lens[i]), L)
+        if k == 0:
+            continue
+        row = seq[i, :k] & 0xDF
+        gc = int((row == ord("C")).sum() + (row == ord("G")).sum())
+        gc_h[(200 * gc + k) // (2 * k)] += 1
+        qs = int(np.minimum(qual[i, :k].astype(int) - 33,
+                            MAX_PHRED - 1).clip(0).sum())
+        mq_h[min((2 * qs + k) // (2 * k), MAX_PHRED - 1)] += 1
+    assert np.array_equal(np.asarray(st.length_hist), len_h)
+    assert np.array_equal(np.asarray(st.gc_hist), gc_h)
+    assert np.array_equal(np.asarray(st.mean_qual_hist), mq_h)
+    # each panel counts every (non-empty, for gc/meanQ) read exactly once
+    assert int(st.length_hist.sum()) == n_rec
+
+
+def test_qc_row_partials_split_merge_equals_full():
+    """Column-split partials psum'd (as under 'sp' sharding) bin to the same
+    panels as the full-row computation."""
+    from blazeseq_tpu.ops.stats import qc_stats, row_histograms, row_partials
+
+    rng = np.random.default_rng(9)
+    n, L = 16, 32
+    lens = rng.integers(0, L + 1, n).astype(np.int32)
+    seq = np.zeros((n, L), np.uint8)
+    qual = np.zeros((n, L), np.uint8)
+    for i in range(n):
+        k = int(lens[i])
+        seq[i, :k] = rng.choice(list(b"ACGT"), k)
+        qual[i, :k] = rng.integers(33, 73, k)
+    full = qc_stats(jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lens),
+                    jnp.int32(33))
+    h = L // 2
+    parts = [row_partials(jnp.asarray(seq[:, c:c + h]),
+                          jnp.asarray(qual[:, c:c + h]), jnp.asarray(lens),
+                          jnp.int32(33), col_offset=jnp.int32(c))
+             for c in (0, h)]
+    gc = parts[0][0] + parts[1][0]
+    qs = parts[0][1] + parts[1][1]
+    cnt = parts[0][2] + parts[1][2]
+    len_h, gc_h, mq_h = row_histograms(gc, qs, cnt, jnp.asarray(lens),
+                                       jnp.int32(n))
+    assert np.array_equal(np.asarray(len_h), np.asarray(full.length_hist))
+    assert np.array_equal(np.asarray(gc_h), np.asarray(full.gc_hist))
+    assert np.array_equal(np.asarray(mq_h), np.asarray(full.mean_qual_hist))
