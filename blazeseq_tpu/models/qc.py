@@ -44,6 +44,8 @@ class QCReport:
     length_hist: Optional[np.ndarray] = None  # [LEN_BINS] reads by length
     gc_hist: Optional[np.ndarray] = None  # [101] reads by GC%
     mean_qual_hist: Optional[np.ndarray] = None  # reads by rounded mean Phred
+    # adapter panel: {adapter: merged AdapterStats} when adapters= was given
+    adapter_stats: Optional[dict] = None
 
     def __str__(self) -> str:
         return (
@@ -61,6 +63,7 @@ class QCModel:
                  batch_size: int = DEFAULT_BATCH_SIZE,
                  max_read_len: int = 256,
                  align_to: Optional[bytes] = None,
+                 adapters: Optional[list] = None,
                  mesh=None):
         self.schema = (quality_schema if isinstance(quality_schema, QualitySchema)
                        else parse_schema(quality_schema))
@@ -69,6 +72,7 @@ class QCModel:
         self.batch_size = batch_size
         self.max_read_len = _round_up(max_read_len, TPU_LANE)
         self.align_to = align_to
+        self.adapters = [bytes(a) for a in adapters] if adapters else None
         self.mesh = mesh
         self._step = build_qc_align_step(
             mesh, check_ascii=check_ascii, check_quality=check_quality,
@@ -100,6 +104,10 @@ class QCModel:
         dev_total = None
         pending = 0
         merge = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
+        # adapter scans run as a separate jitted pass over the same
+        # device-resident batch (full rows; not part of the sharded step)
+        ad_totals = ({a: None for a in self.adapters}
+                     if self.adapters else None)
         for pb in parser.padded_batches(self.batch_size,
                                         max_len=self.max_read_len,
                                         pad_records_to=pad_n):
@@ -118,6 +126,16 @@ class QCModel:
                 pending = 0
             if all_scores is not None:
                 all_scores.append(np.asarray(res.nw_scores)[: pb.n_records])
+            if ad_totals is not None:
+                from ..ops.adapter import adapter_content
+
+                for a in self.adapters:
+                    ast = adapter_content(
+                        jnp.asarray(pb.seq),
+                        jnp.asarray(pb.lengths, dtype=jnp.int32),
+                        jnp.int32(pb.n_records), adapter_host=a)
+                    ad_totals[a] = (ast if ad_totals[a] is None
+                                    else merge(ad_totals[a], ast))
         if dev_total is not None:
             acc.add(dev_total)
         if acc.total is None:
@@ -138,4 +156,8 @@ class QCModel:
             length_hist=np.asarray(t.length_hist),
             gc_hist=np.asarray(t.gc_hist),
             mean_qual_hist=np.asarray(t.mean_qual_hist),
+            adapter_stats=(
+                {a: jax.tree.map(lambda x: np.asarray(x, np.int64), s)
+                 for a, s in ad_totals.items() if s is not None}
+                if ad_totals is not None else None),
         )

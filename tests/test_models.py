@@ -52,6 +52,26 @@ def test_nw_aligner_verify_batch():
     assert aligner.verify_batch(batch)
 
 
+def test_qc_model_adapter_panel():
+    """adapters= runs the FastQC-style adapter scan alongside QC."""
+    ad = b"AGATCGGAAGAG"
+    recs = []
+    for i in range(30):
+        s = b"ACGT" * 10
+        if i % 2 == 0:
+            s = s[:12] + ad + s[12 + len(ad):]  # plant adapter at column 12
+        recs.append(b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)))
+    buf = b"".join(recs)
+    report = QCModel(quality_schema="sanger",
+                     adapters=[ad]).run_parser(
+        bt.FastqParser(bt.MemoryReader(buf)))
+    st = report.adapter_stats[ad]
+    assert int(st.reads_scanned) == 30
+    assert int(st.reads_with_adapter) == 15
+    assert int(st.first_occurrence[12]) == 15
+    assert st.cumulative_fraction()[-1] == 0.5
+
+
 def test_nw_aligner_local_mode():
     """mode="local" runs Smith-Waterman; verify_batch checks device == twin."""
     buf = bytes(bt.generate_synthetic_fastq_buffer(40, 20, 60, 2, 40, "sanger"))

@@ -357,3 +357,44 @@ def test_qc_row_partials_split_merge_equals_full():
     assert np.array_equal(np.asarray(len_h), np.asarray(full.length_hist))
     assert np.array_equal(np.asarray(gc_h), np.asarray(full.gc_hist))
     assert np.array_equal(np.asarray(mq_h), np.asarray(full.mean_qual_hist))
+
+
+def test_adapter_content_matches_cpu_twin():
+    from blazeseq_tpu.ops.adapter import adapter_content, adapter_content_cpu
+
+    rng = np.random.default_rng(11)
+    n, L = 60, 64
+    ad = b"AGATCGGAAGAG"  # Illumina TruSeq prefix
+    lens = rng.integers(0, L + 1, n).astype(np.int32)
+    seq = np.zeros((n, L), np.uint8)
+    reads = []
+    for i in range(n):
+        k = int(lens[i])
+        r = rng.choice(list(b"ACGT"), k).astype(np.uint8)
+        if k >= len(ad) and i % 3 == 0:  # plant the adapter in a third
+            p = int(rng.integers(0, k - len(ad) + 1))
+            r[p:p + len(ad)] = np.frombuffer(ad, np.uint8)
+        seq[i, :k] = r
+        reads.append(r.tobytes())
+    st = adapter_content(jnp.asarray(seq), jnp.asarray(lens), jnp.int32(n),
+                         adapter_host=ad)
+    first, with_hit = adapter_content_cpu(reads, ad, max_len=L)
+    assert np.asarray(st.first_occurrence).tolist() == first
+    assert int(st.reads_with_adapter) == with_hit
+    assert int(st.reads_scanned) == n
+    # cumulative curve ends at the overall hit fraction
+    assert abs(st.cumulative_fraction()[-1] - with_hit / n) < 1e-12
+
+
+def test_adapter_content_case_and_padding():
+    from blazeseq_tpu.ops.adapter import adapter_content
+
+    seq = np.zeros((2, 16), np.uint8)
+    seq[0, :8] = np.frombuffer(b"ccacgtcc", np.uint8)  # lowercase read
+    seq[1, :8] = np.frombuffer(b"ACGTACGT", np.uint8)
+    lens = np.array([8, 4], np.int32)  # row 1: hit at 4 is OUTSIDE true length
+    st = adapter_content(jnp.asarray(seq), jnp.asarray(lens), jnp.int32(2),
+                         adapter_host=b"acgt")
+    first = np.asarray(st.first_occurrence)
+    assert first[2] == 1 and first[0] == 1 and first.sum() == 2
+    assert int(st.reads_with_adapter) == 2
