@@ -46,6 +46,11 @@ class QCReport:
     mean_qual_hist: Optional[np.ndarray] = None  # reads by rounded mean Phred
     # adapter panel: {adapter: merged AdapterStats} when adapters= was given
     adapter_stats: Optional[dict] = None
+    # duplication panel (track_duplicates=True): levels[k] = distinct
+    # sequences seen exactly k times (k=10 means ">= 10"), over the first
+    # dup_track_limit reads
+    duplication_levels: Optional[np.ndarray] = None
+    frac_unique_reads: Optional[float] = None
 
     def __str__(self) -> str:
         return (
@@ -64,6 +69,8 @@ class QCModel:
                  max_read_len: int = 256,
                  align_to: Optional[bytes] = None,
                  adapters: Optional[list] = None,
+                 track_duplicates: bool = False,
+                 dup_track_limit: int = 200_000,
                  mesh=None):
         self.schema = (quality_schema if isinstance(quality_schema, QualitySchema)
                        else parse_schema(quality_schema))
@@ -73,6 +80,10 @@ class QCModel:
         self.max_read_len = _round_up(max_read_len, TPU_LANE)
         self.align_to = align_to
         self.adapters = [bytes(a) for a in adapters] if adapters else None
+        # FastQC-style: profile duplication over the first dup_track_limit
+        # reads (the TPU hashes every read; the host counts hash repeats)
+        self.track_duplicates = track_duplicates
+        self.dup_track_limit = dup_track_limit
         self.mesh = mesh
         self._step = build_qc_align_step(
             mesh, check_ascii=check_ascii, check_quality=check_quality,
@@ -108,6 +119,8 @@ class QCModel:
         # device-resident batch (full rows; not part of the sharded step)
         ad_totals = ({a: None for a in self.adapters}
                      if self.adapters else None)
+        dup_hashes = [] if self.track_duplicates else None
+        dup_seen = 0
         for pb in parser.padded_batches(self.batch_size,
                                         max_len=self.max_read_len,
                                         pad_records_to=pad_n):
@@ -136,6 +149,16 @@ class QCModel:
                         jnp.int32(pb.n_records), adapter_host=a)
                     ad_totals[a] = (ast if ad_totals[a] is None
                                     else merge(ad_totals[a], ast))
+            if dup_hashes is not None and dup_seen < self.dup_track_limit:
+                from ..ops.dedup import read_hashes
+
+                take = min(pb.n_records, self.dup_track_limit - dup_seen)
+                h = np.asarray(read_hashes(
+                    jnp.asarray(pb.seq),
+                    jnp.asarray(pb.lengths, dtype=jnp.int32),
+                    jnp.int32(pb.n_records)))[:take]
+                dup_hashes.append(h)
+                dup_seen += take
         if dev_total is not None:
             acc.add(dev_total)
         if acc.total is None:
@@ -160,4 +183,14 @@ class QCModel:
                 {a: jax.tree.map(lambda x: np.asarray(x, np.int64), s)
                  for a, s in ad_totals.items() if s is not None}
                 if ad_totals is not None else None),
+            **(self._dup_report(dup_hashes) if dup_hashes is not None else {}),
         )
+
+    @staticmethod
+    def _dup_report(dup_hashes) -> dict:
+        from ..ops.dedup import duplication_levels
+
+        h = (np.concatenate(dup_hashes)
+             if dup_hashes else np.empty((0, 2), np.uint32))
+        levels, frac_unique = duplication_levels(h)
+        return dict(duplication_levels=levels, frac_unique_reads=frac_unique)

@@ -72,6 +72,21 @@ def test_qc_model_adapter_panel():
     assert st.cumulative_fraction()[-1] == 0.5
 
 
+def test_qc_model_duplication_panel():
+    """track_duplicates profiles exact duplicate levels over the sample."""
+    uniq = [b"@u%d\n%s\n+\n%s\n" % (i, b"ACGT" * 5 + bytes([65 + i % 26] * 4),
+                                    b"I" * 24) for i in range(20)]
+    dup = [b"@d%d\nTTTTGGGGCCCCAAAATTTTGGGG\n+\n%s\n" % (i, b"I" * 24)
+           for i in range(5)]
+    report = QCModel(quality_schema="sanger",
+                     track_duplicates=True).run_parser(
+        bt.FastqParser(bt.MemoryReader(b"".join(uniq + dup))))
+    lv = report.duplication_levels
+    assert lv[5] == 1  # the one sequence seen 5 times
+    assert lv[1] >= 18  # most of the unique pool
+    assert 0 < report.frac_unique_reads < 1
+
+
 def test_nw_aligner_local_mode():
     """mode="local" runs Smith-Waterman; verify_batch checks device == twin."""
     buf = bytes(bt.generate_synthetic_fastq_buffer(40, 20, 60, 2, 40, "sanger"))

@@ -398,3 +398,50 @@ def test_adapter_content_case_and_padding():
     first = np.asarray(st.first_occurrence)
     assert first[2] == 1 and first[0] == 1 and first.sum() == 2
     assert int(st.reads_with_adapter) == 2
+
+
+def test_read_hashes_match_cpu_twin_and_dedup_levels():
+    from blazeseq_tpu.ops.dedup import (duplication_levels, read_hashes,
+                                        read_hashes_cpu)
+
+    rng = np.random.default_rng(13)
+    n, L = 50, 48
+    # 20 distinct reads; some repeated 1x, 3x, and 12x (tests the >=10 bin)
+    pool = [bytes(rng.choice(list(b"ACGT"), int(k)).astype(np.uint8))
+            for k in rng.integers(10, L + 1, 20)]
+    reads = pool[:15] + [pool[15]] * 3 + [pool[16]] * 12 \
+        + [pool[17]] * 2 + pool[18:]
+    reads = reads[:n] + pool[:max(0, n - len(reads))]
+    reads = reads[:n]
+    seq = np.zeros((n, L), np.uint8)
+    lens = np.zeros(n, np.int32)
+    for i, r in enumerate(reads):
+        seq[i, :len(r)] = np.frombuffer(r, np.uint8)
+        lens[i] = len(r)
+    got = np.asarray(read_hashes(jnp.asarray(seq), jnp.asarray(lens),
+                                 jnp.int32(n)))
+    want = read_hashes_cpu(reads)
+    assert np.array_equal(got, want)
+
+    levels, frac_unique = duplication_levels(got)
+    # exact truth from the byte strings themselves
+    from collections import Counter
+    truth = Counter(Counter(reads).values())
+    want_levels = np.zeros(11, np.int64)
+    for c, m in truth.items():
+        want_levels[min(c, 10)] += m
+    assert levels.tolist() == want_levels.tolist()
+    n_unique_once = truth.get(1, 0)
+    assert abs(frac_unique - n_unique_once / n) < 1e-12
+
+
+def test_read_hashes_padding_rows_are_sentinel():
+    from blazeseq_tpu.ops.dedup import read_hashes
+
+    seq = np.zeros((4, 16), np.uint8)
+    seq[0, :4] = np.frombuffer(b"ACGT", np.uint8)
+    lens = np.array([4, 0, 0, 0], np.int32)
+    h = np.asarray(read_hashes(jnp.asarray(seq), jnp.asarray(lens),
+                               jnp.int32(1)))
+    assert (h[1:] == 0xFFFFFFFF).all()
+    assert (h[0] != 0xFFFFFFFF).any()
