@@ -5,8 +5,12 @@ takes argv paths) plus the ecosystem basics:
 
   count FILE [...]      records and base_pairs per FASTQ file (the benchmark
                         runner contract, run_blazeseq.mojo:3-5)
-  stats FILE [...]      device QC report (reads, bases, GC, mean quality,
-                        per-position summary) — uses the TPU when attached
+  stats [--adapter SEQ ...] [--duplicates] FILE [...]
+                        device QC report (reads, bases, GC, mean quality,
+                        distribution panels) — uses the TPU when attached;
+                        --adapter adds FastQC adapter-content scans,
+                        --duplicates profiles duplication levels and
+                        overrepresented sequences
   fasta-count FILE      records/bases for FASTA
   faidx FILE            build FILE.fai (samtools-compatible)
   fetch FILE NAME [START END]   random-access FASTA subsequence via .fai
@@ -36,10 +40,34 @@ def _stats(args):
             raise SystemExit(1)
         raise
 
-    for path in args:
+    adapters = []
+    duplicates = False
+    paths = []
+    it = iter(args)
+    for a in it:
+        if a == "--adapter":
+            adapters.append(next(it).encode("ascii"))
+        elif a == "--duplicates":
+            duplicates = True
+        else:
+            paths.append(a)
+    for path in paths:
         qc = QCModel(quality_schema="sanger", check_ascii=True,
-                     check_quality=True)
-        print("%s: %s" % (path, qc.run_file(path)))
+                     check_quality=True, adapters=adapters or None,
+                     track_duplicates=duplicates)
+        report = qc.run_file(path)
+        print("%s: %s" % (path, report))
+        for ad, st in (report.adapter_stats or {}).items():
+            frac = st.cumulative_fraction()[-1]
+            print("  adapter %s: %.3f%% of reads"
+                  % (ad.decode("ascii"), 100.0 * frac))
+        if duplicates:
+            print("  unique reads: %.2f%%  dup levels 1..10+: %s"
+                  % (100.0 * report.frac_unique_reads,
+                     report.duplication_levels[1:].tolist()))
+            for s, c in report.overrepresented[:5]:
+                print("  overrepresented (%d): %s"
+                      % (c, s.decode("ascii", "replace")))
 
 
 def _fasta_count(args):

@@ -51,6 +51,9 @@ class QCReport:
     # dup_track_limit reads
     duplication_levels: Optional[np.ndarray] = None
     frac_unique_reads: Optional[float] = None
+    # overrepresented sequences: [(prefix bytes <=50bp, count)] for sequences
+    # making up > 0.1% of the tracked sample, most frequent first
+    overrepresented: Optional[list] = None
 
     def __str__(self) -> str:
         return (
@@ -120,6 +123,7 @@ class QCModel:
         ad_totals = ({a: None for a in self.adapters}
                      if self.adapters else None)
         dup_hashes = [] if self.track_duplicates else None
+        dup_prefixes = [] if self.track_duplicates else None
         dup_seen = 0
         for pb in parser.padded_batches(self.batch_size,
                                         max_len=self.max_read_len,
@@ -158,6 +162,10 @@ class QCModel:
                     jnp.asarray(pb.lengths, dtype=jnp.int32),
                     jnp.int32(pb.n_records)))[:take]
                 dup_hashes.append(h)
+                # 50bp representative prefixes for the overrepresented list
+                # (pb.seq is host numpy — this copy is free of device traffic)
+                dup_prefixes.append(
+                    np.array(pb.seq[:take, : min(50, pb.seq.shape[1])]))
                 dup_seen += take
         if dev_total is not None:
             acc.add(dev_total)
@@ -183,14 +191,18 @@ class QCModel:
                 {a: jax.tree.map(lambda x: np.asarray(x, np.int64), s)
                  for a, s in ad_totals.items() if s is not None}
                 if ad_totals is not None else None),
-            **(self._dup_report(dup_hashes) if dup_hashes is not None else {}),
+            **(self._dup_report(dup_hashes, dup_prefixes)
+               if dup_hashes is not None else {}),
         )
 
     @staticmethod
-    def _dup_report(dup_hashes) -> dict:
-        from ..ops.dedup import duplication_levels
+    def _dup_report(dup_hashes, dup_prefixes) -> dict:
+        from ..ops.dedup import duplication_levels, overrepresented_sequences
 
         h = (np.concatenate(dup_hashes)
              if dup_hashes else np.empty((0, 2), np.uint32))
+        pfx = (np.concatenate(dup_prefixes)
+               if dup_prefixes else np.empty((0, 0), np.uint8))
         levels, frac_unique = duplication_levels(h)
-        return dict(duplication_levels=levels, frac_unique_reads=frac_unique)
+        return dict(duplication_levels=levels, frac_unique_reads=frac_unique,
+                    overrepresented=overrepresented_sequences(h, pfx))

@@ -98,3 +98,30 @@ def duplication_levels(hashes: np.ndarray, max_level: int = 10):
                          minlength=max_level + 1).astype(np.int64)
     frac_unique = float((counts == 1).sum()) / n
     return levels, frac_unique
+
+
+def overrepresented_sequences(hashes: np.ndarray, prefixes: np.ndarray,
+                              min_fraction: float = 0.001,
+                              top_k: int = 20) -> list:
+    """FastQC's overrepresented-sequences table: sequences making up more
+    than `min_fraction` of the tracked sample.
+
+    `prefixes` are representative leading bytes (u8[n, <=50]) aligned
+    row-for-row with `hashes`; the first occurrence's prefix labels each
+    group. Returns [(prefix_bytes, count)] sorted most-frequent-first."""
+    h = np.ascontiguousarray(np.asarray(hashes, dtype=np.uint32))
+    key = (h[:, 0].astype(np.uint64) << np.uint64(32)) \
+        | h[:, 1].astype(np.uint64)
+    n = key.shape[0]
+    if n == 0:
+        return []
+    _, first_idx, counts = np.unique(key, return_index=True,
+                                     return_counts=True)
+    hot = counts.astype(np.float64) / n > min_fraction
+    hot &= counts > 1
+    order = np.argsort(counts[hot])[::-1][:top_k]
+    out = []
+    for i in np.flatnonzero(hot)[order]:
+        row = prefixes[first_idx[i]]
+        out.append((row.tobytes().rstrip(b"\x00"), int(counts[i])))
+    return out

@@ -85,6 +85,8 @@ def test_qc_model_duplication_panel():
     assert lv[5] == 1  # the one sequence seen 5 times
     assert lv[1] >= 18  # most of the unique pool
     assert 0 < report.frac_unique_reads < 1
+    # the 5x sequence is > 0.1% of 25 reads -> overrepresented, count 5
+    assert report.overrepresented[0] == (b"TTTTGGGGCCCCAAAATTTTGGGG", 5)
 
 
 def test_nw_aligner_local_mode():
