@@ -16,6 +16,8 @@ from .scan import (
     structural_bitmaps,
 )
 from .raw_stats import RawStreamQC, raw_stream_qc
+from .trim import (bwa_trim, bwa_trim_cpu, clip_ends, clip_ends_cpu,
+                   sliding_window_trim, sliding_window_trim_cpu)
 from .stats import (GC_BINS, LEN_BINS, MAX_PHRED, QCAccumulator, QCStats,
                     qc_stats, row_histograms, row_partials, zero_stats)
 from .validate import validate_decode, validate_decode_pallas, validate_decode_xla

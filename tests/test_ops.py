@@ -445,3 +445,71 @@ def test_read_hashes_padding_rows_are_sentinel():
                                jnp.int32(1)))
     assert (h[1:] == 0xFFFFFFFF).all()
     assert (h[0] != 0xFFFFFFFF).any()
+
+
+# ---------------------------------------------------------------------------
+# Quality trimming (zero-copy, lengths-only; beyond reference)
+# ---------------------------------------------------------------------------
+
+
+def _random_qual_batch(seed, n=40, L=64, offset=33):
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(0, L + 1, n).astype(np.int32)
+    qual = np.zeros((n, L), np.uint8)
+    quals = []
+    for i in range(n):
+        k = int(lens[i])
+        q = rng.integers(offset, offset + 41, k).astype(np.uint8)
+        qual[i, :k] = q
+        quals.append(q.tobytes())
+    return qual, lens, quals
+
+
+def test_clip_ends_matches_cpu_twin():
+    from blazeseq_tpu.ops.trim import clip_ends, clip_ends_cpu
+
+    qual, lens, quals = _random_qual_batch(21)
+    start, new_len = clip_ends(jnp.asarray(qual), jnp.asarray(lens),
+                               jnp.int32(33), jnp.int32(10), jnp.int32(12))
+    for i, q in enumerate(quals):
+        s, m = clip_ends_cpu(q, 33, leading=10, trailing=12)
+        assert (int(start[i]), int(new_len[i])) == (s, m), i
+
+
+def test_sliding_window_trim_matches_cpu_twin():
+    from blazeseq_tpu.ops.trim import (sliding_window_trim,
+                                       sliding_window_trim_cpu)
+
+    qual, lens, quals = _random_qual_batch(22)
+    got = np.asarray(sliding_window_trim(jnp.asarray(qual), jnp.asarray(lens),
+                                         jnp.int32(33), jnp.int32(25),
+                                         window=4))
+    for i, q in enumerate(quals):
+        assert int(got[i]) == sliding_window_trim_cpu(q, 33, 25, 4), i
+
+
+def test_bwa_trim_matches_cpu_twin():
+    from blazeseq_tpu.ops.trim import bwa_trim, bwa_trim_cpu
+
+    qual, lens, quals = _random_qual_batch(23)
+    got = np.asarray(bwa_trim(jnp.asarray(qual), jnp.asarray(lens),
+                              jnp.int32(33), jnp.int32(20)))
+    for i, q in enumerate(quals):
+        assert int(got[i]) == bwa_trim_cpu(q, 33, 20), i
+
+
+def test_trim_known_cases():
+    from blazeseq_tpu.ops.trim import bwa_trim, clip_ends, sliding_window_trim
+
+    # qualities: 2 2 30 30 30 30 2 2 (offset 0 for readability)
+    qual = np.array([[2, 2, 30, 30, 30, 30, 2, 2]], np.uint8)
+    lens = np.array([8], np.int32)
+    s, m = clip_ends(jnp.asarray(qual), jnp.asarray(lens), jnp.int32(0),
+                     jnp.int32(3), jnp.int32(3))
+    assert (int(s[0]), int(m[0])) == (2, 4)
+    cut = sliding_window_trim(jnp.asarray(qual), jnp.asarray(lens),
+                              jnp.int32(0), jnp.int32(20), window=4)
+    assert int(cut[0]) == 0  # first window mean (2+2+30+30)/4 = 16 < 20
+    cut = bwa_trim(jnp.asarray(qual), jnp.asarray(lens), jnp.int32(0),
+                   jnp.int32(10))
+    assert int(cut[0]) == 6  # drops the trailing two q=2 bases
