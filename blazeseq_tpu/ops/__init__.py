@@ -4,6 +4,7 @@ structural scanning, and Needleman-Wunsch alignment."""
 from .adapter import AdapterStats, adapter_content, adapter_content_cpu
 from .dedup import (duplication_levels, overrepresented_sequences,
                     read_hashes, read_hashes_cpu)
+from .kmer import kmer_counts, kmer_counts_cpu
 from .common import length_mask, round_up, use_interpret
 from .nw import (needleman_wunsch_cpu, nw_scores, nw_scores_pallas,
                  nw_scores_xla, smith_waterman_cpu, sw_scores_xla)

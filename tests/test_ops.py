@@ -513,3 +513,38 @@ def test_trim_known_cases():
     cut = bwa_trim(jnp.asarray(qual), jnp.asarray(lens), jnp.int32(0),
                    jnp.int32(10))
     assert int(cut[0]) == 6  # drops the trailing two q=2 bases
+
+
+def test_kmer_counts_match_cpu_twin():
+    from blazeseq_tpu.ops.kmer import kmer_counts, kmer_counts_cpu
+
+    rng = np.random.default_rng(31)
+    n, L = 40, 48
+    lens = rng.integers(0, L + 1, n).astype(np.int32)
+    seq = np.zeros((n, L), np.uint8)
+    reads = []
+    for i in range(n):
+        k = int(lens[i])
+        r = rng.choice(list(b"ACGTNacgt"), k).astype(np.uint8)  # mixed case + N
+        seq[i, :k] = r
+        reads.append(r.tobytes())
+    for k in (1, 3, 5):
+        got = np.asarray(kmer_counts(jnp.asarray(seq), jnp.asarray(lens),
+                                     jnp.int32(n), k=k))
+        want = kmer_counts_cpu(reads, k=k)
+        assert got.tolist() == want.tolist(), k
+
+
+def test_kmer_counts_padding_and_rows_excluded():
+    from blazeseq_tpu.ops.kmer import kmer_counts
+
+    seq = np.zeros((2, 16), np.uint8)
+    seq[0, :6] = np.frombuffer(b"ACGTAC", np.uint8)
+    seq[1, :6] = np.frombuffer(b"GGGGGG", np.uint8)
+    lens = np.array([6, 6], np.int32)
+    # only the first row counts (n_records=1); 3 windows of k=4
+    got = np.asarray(kmer_counts(jnp.asarray(seq), jnp.asarray(lens),
+                                 jnp.int32(1), k=4))
+    assert int(got.sum()) == 3
+    acgt = (0 << 6) | (1 << 4) | (2 << 2) | 3
+    assert got[acgt] == 1
