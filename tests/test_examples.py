@@ -47,6 +47,13 @@ def test_example_qc_report(tmp_path):
     assert "bases=12000" in out
 
 
+def test_example_analysis_panels():
+    out = _run([os.path.join(REPO, "examples", "analysis_panels.py"), "500"])
+    assert "adapter hit rate" in out
+    assert "dup levels" in out
+    assert "local adapter hit" in out
+
+
 def test_example_nw_small():
     out = _run([os.path.join(REPO, "examples", "nw_tpu.py"),
                 "2000", "40", "1024"])
