@@ -198,10 +198,27 @@ def main():
         _ = int(last.stats.reads)
         return time.perf_counter() - t0
 
+    # budget the slope loop: on a degraded tunnel a single per-step time can
+    # be 10-50ms, and reps * (n1 + n2) dispatches would outlive any driver
+    # timeout. Probe the per-step cost and shrink reps/steps to fit.
+    probe_per = drain(10) / 10
+    budget_b = float(os.environ.get("BENCH_B_BUDGET_S", "300"))
+    afford_s = max(budget_b - (time.perf_counter() - _T0), 45.0)
+    max_steps = int(afford_s / probe_per) if probe_per > 0 else 1 << 30
     n1 = 50
     n2 = n1 + max(min(int(total_bytes / raw_bytes_per_batch), 1200), 100)
+    reps_b = reps
+    while reps_b > 1 and reps_b * (n1 + n2) > max_steps:
+        reps_b -= 1
+    if reps_b * (n1 + n2) > max_steps:
+        n2 = max(n1 + 50, max_steps // reps_b - n1)
+        print("# stage B budget: %.1fms/step probe -> %d reps x %d steps"
+              % (probe_per * 1e3, reps_b, n2), file=sys.stderr)
     b_per = None
-    for _ in range(reps):
+    for _ in range(reps_b):
+        if b_per is not None and time.perf_counter() - _T0 > budget_b:
+            print("# stage B reps cut short (budget)", file=sys.stderr)
+            break
         t1 = drain(n1)
         t2 = drain(n2)
         per = (t2 - t1) / (n2 - n1)
