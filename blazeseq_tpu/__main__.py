@@ -5,7 +5,7 @@ takes argv paths) plus the ecosystem basics:
 
   count FILE [...]      records and base_pairs per FASTQ file (the benchmark
                         runner contract, run_blazeseq.mojo:3-5)
-  stats [--adapter SEQ ...] [--duplicates] FILE [...]
+  stats [--adapter SEQ ...] [--duplicates] [--json] FILE [...]
                         device QC report (reads, bases, GC, mean quality,
                         distribution panels) — uses the TPU when attached;
                         --adapter adds FastQC adapter-content scans,
@@ -42,6 +42,7 @@ def _stats(args):
 
     adapters = []
     duplicates = False
+    as_json = False
     paths = []
     it = iter(args)
     for a in it:
@@ -49,6 +50,8 @@ def _stats(args):
             adapters.append(next(it).encode("ascii"))
         elif a == "--duplicates":
             duplicates = True
+        elif a == "--json":
+            as_json = True
         else:
             paths.append(a)
     for path in paths:
@@ -56,6 +59,11 @@ def _stats(args):
                      check_quality=True, adapters=adapters or None,
                      track_duplicates=duplicates)
         report = qc.run_file(path)
+        if as_json:
+            import json
+
+            print(json.dumps(dict(file=path, **report.to_dict())))
+            continue
         print("%s: %s" % (path, report))
         for ad, st in (report.adapter_stats or {}).items():
             frac = st.cumulative_fraction()[-1]

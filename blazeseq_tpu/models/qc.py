@@ -56,11 +56,54 @@ class QCReport:
     overrepresented: Optional[list] = None
 
     def __str__(self) -> str:
-        return (
-            "QCReport(reads=%d, bases=%d, errors=%d, gc=%.4f, meanQ=%.2f)"
-            % (self.reads, self.bases, self.error_reads, self.gc_fraction,
-               self.mean_quality)
+        s = ("QCReport(reads=%d, bases=%d, errors=%d, gc=%.4f, meanQ=%.2f"
+             % (self.reads, self.bases, self.error_reads, self.gc_fraction,
+                self.mean_quality))
+        if self.frac_unique_reads is not None:
+            s += ", unique=%.1f%%" % (100.0 * self.frac_unique_reads)
+        return s + ")"
+
+    def to_dict(self) -> dict:
+        """JSON-serializable report (FastQC's fastqc_data.txt analog):
+        scalars, histograms as lists, adapter/duplication panels when
+        enabled. Zero-count histogram tails are trimmed."""
+        def _trim(a):
+            a = np.asarray(a)
+            nz = np.flatnonzero(a)
+            return a[: int(nz[-1]) + 1].tolist() if nz.size else []
+
+        d = dict(
+            reads=int(self.reads), bases=int(self.bases),
+            error_reads=int(self.error_reads),
+            gc_fraction=round(float(self.gc_fraction), 6),
+            mean_quality=round(float(self.mean_quality), 4),
+            base_counts=dict(zip("ACGTN", np.asarray(
+                self.base_counts).astype(int).tolist())),
+            per_position_mean_quality=[
+                round(float(x), 3) for x in self.per_position_mean_quality],
+            qual_hist=_trim(self.qual_hist),
         )
+        if self.length_hist is not None:
+            d["length_hist"] = _trim(self.length_hist)
+            d["gc_hist"] = _trim(self.gc_hist)
+            d["mean_qual_hist"] = _trim(self.mean_qual_hist)
+        if self.adapter_stats:
+            d["adapters"] = {
+                a.decode("ascii", "replace"): dict(
+                    reads_with_adapter=int(st.reads_with_adapter),
+                    reads_scanned=int(st.reads_scanned),
+                    first_occurrence=_trim(st.first_occurrence))
+                for a, st in self.adapter_stats.items()}
+        if self.duplication_levels is not None:
+            d["duplication_levels"] = np.asarray(
+                self.duplication_levels).astype(int).tolist()
+            d["frac_unique_reads"] = round(float(self.frac_unique_reads), 6)
+            d["overrepresented"] = [
+                dict(sequence=s.decode("ascii", "replace"), count=c)
+                for s, c in (self.overrepresented or [])]
+        if self.nw_scores is not None:
+            d["nw_score_mean"] = round(float(np.mean(self.nw_scores)), 4)
+        return d
 
 
 class QCModel:

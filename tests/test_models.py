@@ -72,6 +72,24 @@ def test_qc_model_adapter_panel():
     assert st.cumulative_fraction()[-1] == 0.5
 
 
+def test_qc_report_to_dict_json_round_trip():
+    import json
+
+    ad = b"AGATCGGAAGAG"
+    buf = bytes(bt.generate_synthetic_fastq_buffer(100, 40, 60, 2, 40,
+                                                   "sanger"))
+    report = QCModel(quality_schema="sanger", adapters=[ad],
+                     track_duplicates=True).run_parser(
+        bt.FastqParser(bt.MemoryReader(buf)))
+    d = json.loads(json.dumps(report.to_dict()))  # must be JSON-serializable
+    assert d["reads"] == 100
+    assert sum(d["base_counts"].values()) == d["bases"]
+    assert sum(d["length_hist"]) == 100
+    assert d["adapters"]["AGATCGGAAGAG"]["reads_scanned"] == 100
+    assert sum(d["duplication_levels"]) > 0
+    assert "unique=" in str(report)
+
+
 def test_qc_model_duplication_panel():
     """track_duplicates profiles exact duplicate levels over the sample."""
     uniq = [b"@u%d\n%s\n+\n%s\n" % (i, b"ACGT" * 5 + bytes([65 + i % 26] * 4),
