@@ -392,6 +392,69 @@ enum : int {
   REC_STOP_DROP = 2,   // record rejected: nothing of it consumed; stop
 };
 
+// Group size for the tier-1 locked-layout loop below.
+constexpr int SPEC_GROUP = 4;
+
+// Tier-1 group step for a fixed kblock count K (free function: a templated
+// lambda ICEs gcc here): verifies SPEC_GROUP records (newline layout +
+// fused quality range + '@'/'+') and emits each through the handler's
+// no-validation fast path. Returns true when the whole group was accepted
+// (count/pos/consumed advanced); false = handler state rolled back, caller
+// takes the per-record path.
+template <int K, class Handler>
+inline bool group_step_impl(const uint8_t* buf, Handler& hd, bool want_q,
+                            const uint64_t* exp, const uint64_t* vmask,
+                            const uint64_t* qlm, int64_t o2, int64_t o4,
+                            __m512i& acc, int64_t& pos, int64_t& count,
+                            int64_t* consumed) {
+  constexpr int SPEC_BLOCKS_ = 8;
+  const __m512i nlv = _mm512_set1_epi8('\n');
+  const int64_t rs = o4 + 1;
+  const __m512i vl = _mm512_set1_epi8((char)hd.q_lower);
+  const __m512i vs = _mm512_set1_epi8((char)hd.q_span);
+  hd.spec_save();
+  const __m512i accs = acc;
+  uint64_t ok = 1;
+  unsigned st = 1;
+  bool emitted_ok = true;
+#pragma GCC unroll 4
+  for (int g = 0; g < SPEC_GROUP; ++g) {
+    const int64_t base = pos + (int64_t)g * rs;
+    __m512i v[SPEC_BLOCKS_ + 2];
+#pragma GCC unroll 8
+    for (int j = 0; j < K; ++j) {
+      v[j] = _mm512_loadu_si512((const void*)(buf + base + (int64_t)j * 64));
+      acc = _mm512_or_si512(acc, v[j]);
+      const uint64_t m = (uint64_t)_mm512_cmpeq_epi8_mask(v[j], nlv);
+      ok &= ((m & vmask[j]) == exp[j]) ? 1u : 0u;
+      if (want_q) {
+        const uint64_t bad = _mm512_cmp_epu8_mask(_mm512_sub_epi8(v[j], vl),
+                                                  vs, _MM_CMPINT_NLE);
+        ok &= ((bad & qlm[j]) == 0) ? 1u : 0u;
+      }
+    }
+    v[K] = _mm512_setzero_si512();
+    v[K + 1] = _mm512_setzero_si512();
+    st &= (unsigned)((buf[base] == '@') & (buf[base + o2 + 1] == '+'));
+    // Eager emit: rows/offsets written even if a later record in the group
+    // fails — the rollback + per-record rerun rewrites them identically up
+    // to the failing record, so results stay exact.
+    if (!hd.on_spec(count + g, base, v, K)) {
+      emitted_ok = false;
+      break;
+    }
+  }
+  if (ok && st && emitted_ok) {
+    count += SPEC_GROUP;
+    pos += (int64_t)SPEC_GROUP * rs;
+    *consumed = pos;
+    return true;
+  }
+  hd.spec_restore();
+  acc = accs;
+  return false;
+}
+
 // Record-centric scan driver with speculative structural parsing.
 //
 // Records in real FASTQ are locally uniform (fixed read length, fixed header
@@ -404,6 +467,15 @@ enum : int {
 // record, so the parse is exact, not a guess). On mismatch it falls back to
 // a tzcnt bit-loop scan for that one record and re-learns the layout
 // (the reference's SearchPhase machine, utils.mojo:97-128, is the fallback).
+//
+// Tier-1 group path: once the layout is locked, records are verified in
+// groups of SPEC_GROUP with the quality-range check FUSED into the same
+// vector loads (a mask of quality-line byte positions selects which lanes'
+// range violations matter), '@'/'+' checked as scalar byte loads, and the
+// handler's emit step (offsets/copy/count) running on pre-verified records
+// with no per-record branching. Any group mismatch rolls the handler back
+// and re-runs the per-record path from the group start, so error semantics
+// (stop-before / consume-then-validate) are identical to the slow path.
 //
 // A whole-window byte OR-reduce (ASCII pre-filter) is fused into the same
 // loads. Handler sees every structurally-delimited record.
@@ -423,7 +495,7 @@ int64_t scan_loop_512(const uint8_t* buf, int64_t n, int64_t start,
   bool lay_valid = false;
   int64_t o1 = 0, o2 = 0, o3 = 0, o4 = 0;  // newline offsets rel record start
   int kblocks = 0;
-  uint64_t exp[SPEC_BLOCKS], vmask[SPEC_BLOCKS];
+  uint64_t exp[SPEC_BLOCKS], vmask[SPEC_BLOCKS], qlm[SPEC_BLOCKS];
 
   // Fixed-trip speculation verifier: K known at compile time lets the
   // compiler software-pipeline the K loads/compares instead of a serial
@@ -444,7 +516,41 @@ int64_t scan_loop_512(const uint8_t* buf, int64_t n, int64_t start,
     return ok != 0;
   };
 
+  const bool want_q = hd.check_quality;
+  auto group_step = [&](auto kc) -> bool {
+    constexpr int K = decltype(kc)::value;
+    return group_step_impl<K>(buf, hd, want_q, exp, vmask, qlm, o2, o4, acc,
+                              pos, count, consumed);
+  };
+
+  // After a failed group attempt, hold off re-trying tier-1 for a few
+  // records: on data whose layout shifts often (e.g. header widths that
+  // change every read) the group path would otherwise re-verify and fail
+  // every SPEC_GROUP records, paying ~2x. Correctness is unaffected — the
+  // per-record path handles everything.
+  int group_cooldown = 0;
+
   while (pos < n && count < max_records) {
+    // ---- tier-1: locked-layout group verify + bulk emit ----
+    if (lay_valid && group_cooldown == 0 &&
+        count + SPEC_GROUP <= max_records &&
+        pos + (int64_t)(SPEC_GROUP - 1) * (o4 + 1) + kblocks * 64 <= n &&
+        hd.spec_allowed(o4 + 1)) {
+      bool took;
+      switch (kblocks) {
+        case 1: took = group_step(std::integral_constant<int, 1>{}); break;
+        case 2: took = group_step(std::integral_constant<int, 2>{}); break;
+        case 3: took = group_step(std::integral_constant<int, 3>{}); break;
+        case 4: took = group_step(std::integral_constant<int, 4>{}); break;
+        case 5: took = group_step(std::integral_constant<int, 5>{}); break;
+        case 6: took = group_step(std::integral_constant<int, 6>{}); break;
+        case 7: took = group_step(std::integral_constant<int, 7>{}); break;
+        default: took = group_step(std::integral_constant<int, 8>{}); break;
+      }
+      if (took) continue;
+      group_cooldown = 4 * SPEC_GROUP;
+    }
+    if (group_cooldown > 0) --group_cooldown;
     // ---- fast path: verify the predicted layout ----
     if (lay_valid && pos + kblocks * 64 <= n) {
       __m512i accl;
@@ -531,8 +637,20 @@ int64_t scan_loop_512(const uint8_t* buf, int64_t n, int64_t start,
           // compare only bytes belonging to this record (bits <= o4 - lo)
           const int64_t valid = o4 - lo + 1;
           vmask[j] = valid >= 64 ? ~(uint64_t)0 : (((uint64_t)1 << valid) - 1);
+          // quality-line byte positions [o3+1, o4) within this block: lanes
+          // whose range violations fail validation in the tier-1 group path
+          const int64_t qa = (o3 + 1) > lo ? (o3 + 1) : lo;
+          const int64_t qb = o4 < (lo + 64) ? o4 : (lo + 64);
+          uint64_t ql = 0;
+          if (qb > qa) {
+            const int64_t w = qb - qa;
+            ql = (w >= 64 ? ~(uint64_t)0 : (((uint64_t)1 << w) - 1))
+                 << (qa - lo);
+          }
+          qlm[j] = ql;
         }
         lay_valid = true;
+        hd.spec_layout(o1, o2, o3, o4);
       } else {
         lay_valid = false;
       }
@@ -556,6 +674,23 @@ struct OffsetsHandler {
   int64_t* out;
   bool check_quality;
   uint8_t q_lower, q_span;
+  int64_t so1 = 0, so2 = 0, so3 = 0, so4 = 0;
+
+  inline void spec_layout(int64_t a, int64_t b, int64_t c, int64_t d) {
+    so1 = a; so2 = b; so3 = c; so4 = d;
+  }
+  inline bool spec_allowed(int64_t) const { return true; }
+  inline void spec_save() {}
+  inline void spec_restore() {}
+  inline bool on_spec(int64_t idx, int64_t base, const __m512i*, int) {
+    int64_t* rec = out + idx * 5;
+    rec[0] = base;
+    rec[1] = base + so1 + 1;
+    rec[2] = base + so2 + 1;
+    rec[3] = base + so3 + 1;
+    rec[4] = base + so4;
+    return true;
+  }
 
   inline int on_record(int64_t count, int64_t h, int64_t s, int64_t p,
                        int64_t q, int64_t e, int32_t* err_code) {
@@ -586,6 +721,19 @@ struct CountHandler {
   int64_t bases = 0;
   bool check_quality;
   uint8_t q_lower, q_span;
+  int64_t spec_sl = 0;
+  int64_t saved_bases = 0;
+
+  inline void spec_layout(int64_t a, int64_t b, int64_t, int64_t) {
+    spec_sl = b - a - 1;
+  }
+  inline bool spec_allowed(int64_t) const { return true; }
+  inline void spec_save() { saved_bases = bases; }
+  inline void spec_restore() { bases = saved_bases; }
+  inline bool on_spec(int64_t, int64_t, const __m512i*, int) {
+    bases += spec_sl;
+    return true;
+  }
 
   inline int on_record(int64_t, int64_t h, int64_t s, int64_t p, int64_t q,
                        int64_t e, int32_t* err_code) {
@@ -616,6 +764,84 @@ struct PaddedHandler {
   bool check_quality;
   __m512i vl, vs;
   uint8_t q_lower, q_span;
+  // tier-1 layout state
+  int64_t s_off = 0, q_off = 0, sl = 0;
+  bool vbmi_ok = false;
+  int sv0 = 0, sv1 = 0, qv0 = 0, qv1 = 0;
+  __m512i sidx0, sidx1, qidx0, qidx1;
+  __mmask64 m1 = 0;
+
+  static inline __m512i mkidx(int64_t byte0) {
+    uint8_t idx[64];
+    for (int i = 0; i < 64; ++i) idx[i] = (uint8_t)((byte0 + i) & 127);
+    return _mm512_loadu_si512((const void*)idx);
+  }
+
+  inline void spec_layout(int64_t a, int64_t b, int64_t c, int64_t d) {
+    s_off = a + 1;
+    q_off = c + 1;
+    sl = b - a - 1;
+    (void)d;
+    // VBMI fast emit: rows extracted straight from the verify vectors
+    // (v[kb], v[kb+1] are zeroed by the driver, so out-of-record index
+    // lanes read zeros). Requires two-block rows; other shapes use the
+    // generic copy below.
+    vbmi_ok = (width == 128);
+    if (vbmi_ok) {
+      sv0 = (int)(s_off / 64);
+      sidx0 = mkidx(s_off - (int64_t)sv0 * 64);
+      sv1 = (int)((s_off + 64) / 64);
+      sidx1 = mkidx(s_off + 64 - (int64_t)sv1 * 64);
+      qv0 = (int)(q_off / 64);
+      qidx0 = mkidx(q_off - (int64_t)qv0 * 64);
+      qv1 = (int)((q_off + 64) / 64);
+      qidx1 = mkidx(q_off + 64 - (int64_t)qv1 * 64);
+      const int64_t c1 = sl > 64 ? (sl - 64 >= 64 ? 64 : sl - 64) : 0;
+      m1 = c1 >= 64 ? ~(uint64_t)0 : ((c1 > 0) ? (((uint64_t)1 << c1) - 1) : 0);
+      const __mmask64 m0 = sl >= 64 ? ~(uint64_t)0 : (((uint64_t)1 << sl) - 1);
+      // block-0 mask folded into the index vectors is not possible; apply
+      // maskz on emit when sl < 64
+      m0_ = m0;
+    }
+  }
+  __mmask64 m0_ = ~(uint64_t)0;
+
+  inline bool spec_allowed(int64_t rs) const { return rs <= max_rec_size; }
+  inline void spec_save() {}
+  inline void spec_restore() {}
+
+  inline bool on_spec(int64_t idx, int64_t base, const __m512i* v, int) {
+    uint8_t* srow = seq_out + idx * width;
+    uint8_t* qrow = qual_out + idx * width;
+    if (vbmi_ok) {
+      const __m512i s0 =
+          _mm512_maskz_permutex2var_epi8(m0_, v[sv0], sidx0, v[sv0 + 1]);
+      const __m512i s1 =
+          _mm512_maskz_permutex2var_epi8(m1, v[sv1], sidx1, v[sv1 + 1]);
+      const __m512i q0 =
+          _mm512_maskz_permutex2var_epi8(m0_, v[qv0], qidx0, v[qv0 + 1]);
+      const __m512i q1 =
+          _mm512_maskz_permutex2var_epi8(m1, v[qv1], qidx1, v[qv1 + 1]);
+      if (STREAM) {
+        _mm512_stream_si512((__m512i*)srow, s0);
+        _mm512_stream_si512((__m512i*)(srow + 64), s1);
+        _mm512_stream_si512((__m512i*)qrow, q0);
+        _mm512_stream_si512((__m512i*)(qrow + 64), q1);
+      } else {
+        _mm512_storeu_si512((void*)srow, s0);
+        _mm512_storeu_si512((void*)(srow + 64), s1);
+        _mm512_storeu_si512((void*)qrow, q0);
+        _mm512_storeu_si512((void*)(qrow + 64), q1);
+      }
+    } else {
+      copy_pad_check<STREAM>(srow, buf + base + s_off, sl, width, false, vl,
+                             vs);
+      copy_pad_check<STREAM>(qrow, buf + base + q_off, sl, width, false, vl,
+                             vs);
+    }
+    len_out[idx] = (int32_t)sl;
+    return true;
+  }
 
   inline int on_record(int64_t count, int64_t h, int64_t s, int64_t p,
                        int64_t q, int64_t e, int32_t* err_code) {
@@ -660,6 +886,43 @@ struct SoaHandler {
   int64_t id_total = 0;  // id bytes written
   bool check_quality;
   __m512i vl, vs;
+  uint8_t q_lower, q_span;
+  int64_t s_off = 0, q_off = 0, sl = 0, hdr_end = 0;
+  int64_t saved_total = 0, saved_id_total = 0;
+
+  inline void spec_layout(int64_t a, int64_t b, int64_t c, int64_t) {
+    s_off = a + 1;
+    q_off = c + 1;
+    sl = b - a - 1;
+    hdr_end = a;  // newline ending the header line (rel record start)
+  }
+  inline bool spec_allowed(int64_t) const { return true; }
+  inline void spec_save() {
+    saved_total = total;
+    saved_id_total = id_total;
+  }
+  inline void spec_restore() {
+    total = saved_total;
+    id_total = saved_id_total;
+  }
+  inline bool on_spec(int64_t idx, int64_t base, const __m512i*, int) {
+    // id bounds (whitespace-stripped both ends, utils.mojo:223-242) —
+    // data-dependent, so computed per record even in the group path
+    int64_t a = base + 1, b = base + hdr_end;
+    while (a < b && is_posix_space(buf[a])) ++a;
+    while (b > a && is_posix_space(buf[b - 1])) --b;
+    const int64_t id_len = b - a;
+    if (total + sl > bytes_cap || id_total + id_len > id_cap)
+      return false;  // output full: group aborts; tier-2 reports -8
+    copy_check(seq_out + total, buf + base + s_off, sl, false, vl, vs);
+    copy_check(qual_out + total, buf + base + q_off, sl, false, vl, vs);
+    total += sl;
+    ends_out[idx] = total;
+    copy_check(id_out + id_total, buf + a, id_len, false, vl, vs);
+    id_total += id_len;
+    id_ends_out[idx] = id_total;
+    return true;
+  }
 
   inline int on_record(int64_t count, int64_t h, int64_t s, int64_t p,
                        int64_t q, int64_t e, int32_t* err_code) {
@@ -923,7 +1186,8 @@ int64_t bs_scan_gather_soa(const uint8_t* buf, int64_t n, int64_t start,
                 qual_out, ends_out, id_out,     id_ends_out,
                 0,        0,        check_quality != 0,
                 _mm512_set1_epi8((char)q_lower),
-                _mm512_set1_epi8((char)q_span)};
+                _mm512_set1_epi8((char)q_span),
+                q_lower,  q_span};
   bool acc_bad = false;
   const int64_t count = scan_loop_512(buf, n, start, max_records, hd, consumed,
                                       err_code, err_phase, &acc_bad);

@@ -54,7 +54,7 @@ def check_all_modes(buf: bytes, chunk_sizes=(None, 64, 257)):
     for chunk in chunk_sizes:
         # views mode
     # (small chunk sizes force records to straddle stream refills)
-        for mode in ("views", "records", "padded", "count"):
+        for mode in ("views", "records", "padded", "count", "batch"):
             reader = bt.MemoryReader(buf)
             p = bt.FastqParser(reader, config=bt.ParserConfig())
             if chunk is not None:
@@ -95,6 +95,14 @@ def check_all_modes(buf: bytes, chunk_sizes=(None, 64, 257)):
                         pass
                 assert n_rec == len(golden), (mode, chunk)
                 assert bases == sum(len(g[1]) for g in golden), (mode, chunk)
+            elif mode == "batch":
+                got = []
+                for fb in p.batches(89):
+                    for i in range(len(fb)):
+                        r = fb.get_record(i)
+                        got.append((r.id_bytes(), r.sequence_bytes(),
+                                    r.quality_bytes()))
+                assert got == golden, (mode, chunk)
             else:
                 r, b = p.count()
                 assert r == len(golden), (mode, chunk)
@@ -177,6 +185,100 @@ def test_validation_error_position_independent_of_speculation():
     assert seen == 500
     assert "Record number: 501" in str(ei.value)
     assert golden[0][0] == b"q0"
+
+
+@pytest.mark.parametrize("bad_rec", [500, 501, 502, 503])
+def test_quality_error_at_each_group_offset(bad_rec):
+    """The locked-layout group path verifies 4 records at a time; a quality
+    error must stop at the exact record for every in-group offset (native
+    scan.cpp group_step_impl rollback + per-record rerun)."""
+    shapes = [(b"qq%04d" % i, 64) for i in range(600)]
+    buf = bytearray(make_fastq(shapes))
+    lines = bytes(buf).split(b"\n")
+    qpos = sum(len(l) + 1 for l in lines[: bad_rec * 4 + 3])
+    buf[qpos + 5] = 0x20  # below sanger lower bound
+    cfg = bt.ParserConfig(check_quality=True, quality_schema="sanger")
+    p = bt.FastqParser(bt.MemoryReader(bytes(buf)), config=cfg)
+    seen = 0
+    with pytest.raises(FastxError) as ei:
+        for _ in p.views():
+            seen += 1
+    assert seen == bad_rec
+    assert "Record number: %d" % (bad_rec + 1) in str(ei.value)
+
+
+@pytest.mark.parametrize("bad_rec", [400, 401, 402, 403])
+def test_at_marker_error_at_each_group_offset(bad_rec):
+    """'@'-corruption at each in-group offset stops exactly there (the group
+    path checks markers with scalar loads after the vector verify)."""
+    shapes = [(b"mm%04d" % i, 48) for i in range(500)]
+    buf = make_fastq(shapes)
+    lines = buf.split(b"\n")
+    lines[bad_rec * 4] = b"X" + lines[bad_rec * 4][1:]
+    buf = b"\n".join(lines)
+    p = bt.FastqParser(bt.MemoryReader(buf))
+    seen = 0
+    with pytest.raises(FastxError) as ei:
+        for _ in p.views():
+            seen += 1
+    assert seen == bad_rec
+    assert "Record number: %d" % (bad_rec + 1) in str(ei.value)
+
+
+def test_ascii_error_in_uniform_run():
+    """A high-bit byte mid-sequence in a uniform run: the whole-window ASCII
+    prefilter trips and the scalar rescan must report the exact record."""
+    shapes = [(b"aa%04d" % i, 72) for i in range(300)]
+    buf = bytearray(make_fastq(shapes))
+    lines = bytes(buf).split(b"\n")
+    spos = sum(len(l) + 1 for l in lines[: 150 * 4 + 1])
+    buf[spos + 3] = 0xC3
+    cfg = bt.ParserConfig(check_ascii=True)
+    p = bt.FastqParser(bt.MemoryReader(bytes(buf)), config=cfg)
+    seen = 0
+    with pytest.raises(FastxError) as ei:
+        for _ in p.views():
+            seen += 1
+    assert seen == 150
+    assert "Record number: 151" in str(ei.value)
+
+
+def test_padded_group_rows_exact():
+    """Row bytes produced by the group emit path (VBMI extraction at
+    width=128) must equal the record bytes, zero-padded."""
+    shapes = [(b"vb%04d" % i, 100) for i in range(200)]
+    buf = make_fastq(shapes)
+    golden = naive_parse(buf)
+    p = bt.FastqParser(bt.MemoryReader(buf))
+    rows = []
+    for pb in p.padded_batches(64, max_len=128):
+        for i in range(pb.n_records):
+            L = int(pb.lengths[i])
+            rows.append((bytes(pb.seq[i, :L]), bytes(pb.qual[i, :L]),
+                         bytes(pb.seq[i, L:]), bytes(pb.qual[i, L:])))
+    assert len(rows) == len(golden)
+    for (seq, qual, spad, qpad), (_, gseq, gqual) in zip(rows, golden):
+        assert seq == gseq and qual == gqual
+        assert spad == b"\x00" * len(spad) and qpad == b"\x00" * len(qpad)
+
+
+@pytest.mark.parametrize("width", [64, 128, 192, 256])
+def test_padded_group_rows_widths(width):
+    """Generic group emit path at non-128 widths (and the 128 VBMI path)
+    against golden bytes, including reads clamped to the row width."""
+    shapes = [(b"w%04d" % i, 150) for i in range(100)]
+    buf = make_fastq(shapes)
+    golden = naive_parse(buf)
+    p = bt.FastqParser(bt.MemoryReader(buf))
+    rows = []
+    for pb in p.padded_batches(32, max_len=width):
+        for i in range(pb.n_records):
+            L = min(int(pb.lengths[i]), width)
+            assert int(pb.lengths[i]) == 150
+            rows.append((bytes(pb.seq[i, :L]), bytes(pb.qual[i, :L])))
+    assert len(rows) == len(golden)
+    for (seq, qual), (_, gseq, gqual) in zip(rows, golden):
+        assert seq == gseq[:width] and qual == gqual[:width]
 
 
 def test_structure_error_after_speculative_run():
