@@ -230,14 +230,19 @@ def main():
 
     pipeline_a = min(a_gbps, b_gbps)
 
-    # ---- stage B2: raw-stream pipeline ----------------------------------
-    # Alternative TPU-native pipeline: host does NO byte work (record-aligned
-    # chunk slicing only); the device computes parse-equivalent global QC
-    # (reads/bases/composition/quality histogram + structure/ascii/quality
-    # validation flags) straight from raw bytes with dense masked reductions
-    # (ops/raw_stats.py). The sustainable rate is the device rate.
+    # ---- stage B2: raw-bytes device-parse pipeline -----------------------
+    # TPU-native pipeline B: the host does NO byte work beyond reading the
+    # first record's layout; raw bytes go to HBM and the device PARSES them
+    # under the uniform-layout template proof (ops/uniform_parse.py:
+    # reshape [nrec, rs] + exact newline-template equality + '@'/'+' marker,
+    # ASCII and quality-range validation), materializes the padded SoA and
+    # runs the same fused QC statistics step as pipeline A. Chunks that fail
+    # the proof fall back to the dense raw-stream QC (ops/raw_stats.py).
+    # The sustainable rate is the device rate.
+    from blazeseq_tpu.ops import stats as stats_ops
     from blazeseq_tpu.ops.raw_stats import raw_stream_qc
-    from blazeseq_tpu.parallel.sharding import find_record_boundary
+    from blazeseq_tpu.ops.uniform_parse import (detect_uniform_layout,
+                                                uniform_parse)
 
     b2_gbps = 0.0
     # skip the optional pipeline-B measurement when the run is already slow
@@ -245,53 +250,121 @@ def main():
     elapsed = time.perf_counter() - _T0
     if elapsed > float(os.environ.get("BENCH_B2_BUDGET_S", "420")):
         print("# stage B2 skipped (elapsed %.0fs)" % elapsed, file=sys.stderr)
-    elif corpus_path is not None:
+    else:
+        lay = detect_uniform_layout(buf)
         chunk_mb = int(os.environ.get("BENCH_RAW_CHUNK_MB", "256"))
-        csize = chunk_mb * 1024 * 1024
-        bounds = [0]
-        while bounds[-1] + csize < total_bytes:
-            bounds.append(find_record_boundary(corpus_path,
-                                               bounds[-1] + csize))
-        bounds.append(total_bytes)
         buf_np = np.frombuffer(buf, dtype=np.uint8)
-        # uniform chunk shape (zero-pad past the record-aligned end) so the
-        # kernel compiles once; trailing zeros sit after the last complete
-        # record and are excluded by the tail logic
-        shape = max(b - a for a, b in zip(bounds, bounds[1:]))
-        padded = []
-        for a, b in zip(bounds, bounds[1:]):
-            arr = np.zeros(shape, dtype=np.uint8)
-            arr[: b - a] = buf_np[a:b]
-            padded.append(jax.device_put(jnp.asarray(arr), dev))
-        chunks = padded
-        qc = jax.jit(lambda c: raw_stream_qc(
-            c, jnp.int32(SANGER_SCHEMA.LOWER), jnp.int32(SANGER_SCHEMA.UPPER),
-            jnp.int32(SANGER_SCHEMA.OFFSET)))
-        r_reads = 0
-        r_bases = 0
-        t_total = 0.0
-        for c in chunks:  # compile once per distinct chunk length
-            t0 = time.perf_counter()
-            r = qc(c)
-            rr = int(r.reads)
-            t_first = time.perf_counter() - t0
-            # slope: re-run this chunk a few times to split compile from exec
-            t0 = time.perf_counter()
-            for _ in range(3):
+        if lay is not None:
+            # equal record-aligned uniform chunks (rs-multiples): near-equal
+            # sizing keeps the zero-padding of the last chunk below
+            # nchunks*rs bytes, so per-step time x nchunks is an honest
+            # whole-file measure
+            n_chunks = max((total_bytes + chunk_mb * 1024 * 1024 - 1)
+                           // (chunk_mb * 1024 * 1024), 1)
+            csize = -(-total_bytes // (n_chunks * lay.rs)) * lay.rs
+            bounds = list(range(0, total_bytes, csize)) + [total_bytes]
+            bounds = sorted(set(bounds))
+            chunks = []
+            for a, b in zip(bounds, bounds[1:]):
+                arr = np.zeros(csize, dtype=np.uint8)
+                arr[: b - a] = buf_np[a:b]
+                n_valid = (b - a) // lay.rs * lay.rs
+                chunks.append((jax.device_put(jnp.asarray(arr), dev),
+                               jnp.int32(n_valid)))
+
+            @jax.jit
+            def uqc(c, n_valid):
+                r = uniform_parse(
+                    c, n_valid, jnp.int32(SANGER_SCHEMA.LOWER),
+                    jnp.int32(SANGER_SCHEMA.UPPER), rs=lay.rs, o1=lay.o1,
+                    o2=lay.o2, o3=lay.o3, width=max_len)
+                st = stats_ops.qc_stats(r.seq, r.qual, r.lengths,
+                                        jnp.int32(SANGER_SCHEMA.OFFSET),
+                                        n_records=r.n_records)
+                ok = (r.template_ok & ~r.bad_ascii & ~r.bad_quality)
+                return r.n_records, r.bases, ok, st
+
+            r_reads = 0
+            r_bases = 0
+            all_ok = True
+            for c, nv in chunks:
+                rr, bb, ok, _ = uqc(c, nv)
+                r_reads += int(rr)
+                r_bases += int(bb)
+                all_ok &= bool(ok)
+            # leftover partial record bytes (none for record-aligned rs
+            # chunks, but count exactly anyway)
+            tail = total_bytes - total_bytes // lay.rs * lay.rs
+            if tail or not all_ok or (r_reads, r_bases) != (reads, bases):
+                print("# stage B2: uniform template rejected/mismatch "
+                      "(ok=%s, %d,%d vs %d,%d) -> raw-stream fallback"
+                      % (all_ok, r_reads, r_bases, reads, bases),
+                      file=sys.stderr)
+                lay = None
+            else:
+                # slope-time the steady state: N dispatches round-robin over
+                # resident chunks + one scalar fetch from the last result
+                def drain2(n):
+                    t0 = time.perf_counter()
+                    last = None
+                    for i in range(n):
+                        c, nv = chunks[i % len(chunks)]
+                        last = uqc(c, nv)
+                    _ = int(last[0])
+                    return time.perf_counter() - t0
+
+                drain2(4)
+                per = None
+                for _ in range(3):
+                    t1 = drain2(6)
+                    t2 = drain2(18)
+                    p = (t2 - t1) / 12
+                    per = p if per is None else min(per, p)
+                b2_gbps = total_bytes / (len(chunks) * per) / 1e9
+                print("# stage B2: device uniform-parse+QC %.2f GB/s "
+                      "(%d records %d base_pairs)"
+                      % (b2_gbps, r_reads, r_bases), file=sys.stderr)
+        if lay is None:
+            from blazeseq_tpu.parallel.sharding import find_record_boundary
+
+            csize = chunk_mb * 1024 * 1024
+            bounds = [0]
+            while bounds[-1] + csize < total_bytes:
+                bounds.append(find_record_boundary(corpus_path,
+                                                   bounds[-1] + csize))
+            bounds.append(total_bytes)
+            shape = max(b - a for a, b in zip(bounds, bounds[1:]))
+            chunks = []
+            for a, b in zip(bounds, bounds[1:]):
+                arr = np.zeros(shape, dtype=np.uint8)
+                arr[: b - a] = buf_np[a:b]
+                chunks.append(jax.device_put(jnp.asarray(arr), dev))
+            qc = jax.jit(lambda c: raw_stream_qc(
+                c, jnp.int32(SANGER_SCHEMA.LOWER),
+                jnp.int32(SANGER_SCHEMA.UPPER),
+                jnp.int32(SANGER_SCHEMA.OFFSET)))
+            r_reads = 0
+            r_bases = 0
+            t_total = 0.0
+            for c in chunks:  # compile once per distinct chunk length
                 r = qc(c)
-            rr = int(r.reads)
-            t_total += (time.perf_counter() - t0) / 3
-            r_reads += rr
-            r_bases += int(r.bases)
-            del t_first
-        b2_gbps = total_bytes / t_total / 1e9
-        if (r_reads, r_bases) != (reads, bases):
-            print("# WARNING: raw-stream counts disagree (%d,%d) vs (%d,%d)"
-                  % (r_reads, r_bases, reads, bases), file=sys.stderr)
-            b2_gbps = 0.0
-        print("# stage B2: raw-stream device QC %.2f GB/s "
-              "(%d records %d base_pairs)" % (b2_gbps, r_reads, r_bases),
-              file=sys.stderr)
+                rr = int(r.reads)
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    r = qc(c)
+                rr = int(r.reads)
+                t_total += (time.perf_counter() - t0) / 3
+                r_reads += rr
+                r_bases += int(r.bases)
+            b2_gbps = total_bytes / t_total / 1e9
+            if (r_reads, r_bases) != (reads, bases):
+                print("# WARNING: raw-stream counts disagree (%d,%d) vs "
+                      "(%d,%d)" % (r_reads, r_bases, reads, bases),
+                      file=sys.stderr)
+                b2_gbps = 0.0
+            print("# stage B2: raw-stream device QC %.2f GB/s "
+                  "(%d records %d base_pairs)" % (b2_gbps, r_reads, r_bases),
+                  file=sys.stderr)
     pipeline_b = b2_gbps  # host stage is record-aligned slicing (~free)
 
     # re-sample stage A in later time windows: this host's throughput

@@ -92,6 +92,26 @@ def _pin_prefix():
     return []
 
 
+def _build_competitor() -> str:
+    """Build the same-host kseq-class C baseline (reference methodology:
+    cross-parser head-to-head with enforced count agreement,
+    /root/reference/benchmark/fastq-parser/bench.py:113-156). Returns the
+    binary path or '' when no C compiler is available."""
+    src = os.path.join(REPO, "benchmark", "competitors",
+                       "kseq_class_runner.c")
+    out = os.path.join(_corpus_dir(), "kseq_class_runner")
+    if (os.path.exists(out)
+            and os.path.getmtime(out) >= os.path.getmtime(src)):
+        return out
+    for cc in ("gcc", "cc", "clang"):
+        if shutil.which(cc):
+            r = subprocess.run([cc, "-O2", "-o", out, src, "-lz"],
+                               capture_output=True)
+            if r.returncode == 0:
+                return out
+    return ""
+
+
 def _runner_env():
     """Environment for host-only runner subprocesses: drop device-tunnel
     autoregistration triggers (some dev hosts hook sitecustomize to register
@@ -153,6 +173,17 @@ def workload_parser(size_mb, reps):
                          records=records, base_pairs=bases))
         print("parser/%s: %.3fs (%.2f GB/s incl. interpreter startup)"
               % (mode, min(times), size / min(times) / 1e9))
+    comp = _build_competitor()
+    if comp:
+        times, out = _time_subprocess(_pin_prefix() + [comp, corpus],
+                                      reps=reps)
+        records, bases = map(int, out.split())
+        rows.append(dict(mode="kseq_class_c", mean_s=sum(times) / len(times),
+                         min_s=min(times), times=times,
+                         gbps=size / min(times) / 1e9,
+                         records=records, base_pairs=bases))
+        print("parser/kseq_class_c: %.3fs (%.2f GB/s)"
+              % (min(times), size / min(times) / 1e9))
     _check_agreement(rows)
     _record("parser", rows, size)
 
@@ -172,6 +203,16 @@ def workload_gzip(size_mb, reps):
                          gbps=plain_size / min(times) / 1e9,
                          records=records, base_pairs=bases))
         print("gzip/p%d: %.3fs" % (par, min(times)))
+    comp = _build_competitor()
+    if comp:
+        times, out = _time_subprocess(_pin_prefix() + [comp, corpus],
+                                      reps=reps)
+        records, bases = map(int, out.split())
+        rows.append(dict(mode="kseq_class_c_gz",
+                         mean_s=sum(times) / len(times), min_s=min(times),
+                         times=times, gbps=plain_size / min(times) / 1e9,
+                         records=records, base_pairs=bases))
+        print("gzip/kseq_class_c: %.3fs" % min(times))
     _check_agreement(rows)
     _record("gzip", rows, plain_size)
 

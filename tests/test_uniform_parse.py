@@ -1,0 +1,159 @@
+"""Device uniform-template parse (ops/uniform_parse.py) vs the host parser.
+
+The device path must either PROVE the uniform layout and produce the exact
+padded batch the host feed produces, or reject the chunk (template_ok=False)
+so the caller falls back to the host parser. Parity is checked row-for-row
+against parser.padded_batches on the same bytes.
+"""
+
+import numpy as np
+import pytest
+
+import blazeseq_tpu as bt
+from blazeseq_tpu.ops.uniform_parse import (UniformLayout,
+                                            detect_uniform_layout,
+                                            uniform_parse)
+
+
+def _device_parse(buf: bytes, width=128, check_quality=True,
+                  q_lower=33, q_upper=126):
+    import jax.numpy as jnp
+
+    lay = detect_uniform_layout(buf)
+    assert lay is not None
+    n = len(buf)
+    pad = (-n) % lay.rs
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, np.uint8)])
+    return lay, uniform_parse(
+        jnp.asarray(arr), jnp.int32(n - (n % lay.rs)),
+        jnp.int32(q_lower), jnp.int32(q_upper),
+        rs=lay.rs, o1=lay.o1, o2=lay.o2, o3=lay.o3, width=width,
+        check_quality=check_quality)
+
+
+def _mk(n_reads, read_len):
+    return bytes(bt.generate_synthetic_fastq_buffer(
+        n_reads, read_len, read_len, 2, 40, "sanger"))
+
+
+def test_layout_detection():
+    buf = _mk(100, 80)
+    lay = detect_uniform_layout(buf)
+    assert lay is not None
+    assert lay.seq_len == 80 and lay.qual_len == 80
+    assert buf[lay.rs : lay.rs + 1] == b"@"
+
+
+def test_parity_with_host_padded_feed():
+    buf = _mk(1000, 100)
+    lay, res = _device_parse(buf)
+    assert bool(res.template_ok)
+    assert not bool(res.bad_ascii) and not bool(res.bad_quality)
+    p = bt.FastqParser(bt.MemoryReader(buf),
+                       config=bt.ParserConfig(check_ascii=True,
+                                              check_quality=True,
+                                              quality_schema="sanger"))
+    pb = p.next_padded(1000, max_len=128)
+    assert int(res.n_records) == pb.n_records == 1000
+    assert int(res.bases) == int(np.asarray(pb.lengths, np.int64).sum())
+    np.testing.assert_array_equal(np.asarray(res.seq)[:1000],
+                                  np.asarray(pb.seq)[:1000])
+    np.testing.assert_array_equal(np.asarray(res.qual)[:1000],
+                                  np.asarray(pb.qual)[:1000])
+    np.testing.assert_array_equal(np.asarray(res.lengths)[:1000],
+                                  np.asarray(pb.lengths)[:1000])
+
+
+def test_zero_padded_tail_rows_excluded():
+    buf = _mk(37, 60)
+    lay = detect_uniform_layout(buf)
+    import jax.numpy as jnp
+
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    padded = np.concatenate([arr, np.zeros(10 * lay.rs, np.uint8)])
+    res = uniform_parse(jnp.asarray(padded), jnp.int32(len(buf)),
+                        jnp.int32(33), jnp.int32(126),
+                        rs=lay.rs, o1=lay.o1, o2=lay.o2, o3=lay.o3, width=64)
+    assert bool(res.template_ok)
+    assert int(res.n_records) == 37
+    assert np.asarray(res.lengths)[37:].sum() == 0
+    assert np.asarray(res.seq)[37:].sum() == 0
+
+
+def test_rejects_nonuniform_layout():
+    # header widths jump at read 10 (r9 -> r10): layout is NOT uniform
+    recs = b"".join(b"@r%d\nACGT\n+\nIIII\n" % i for i in range(20))
+    lay = detect_uniform_layout(recs)
+    if lay is None:
+        return  # detection already refused — fine
+    import jax.numpy as jnp
+
+    arr = np.frombuffer(recs, dtype=np.uint8)
+    pad = (-len(arr)) % lay.rs
+    arr = np.concatenate([arr, np.zeros(pad, np.uint8)])
+    res = uniform_parse(jnp.asarray(arr),
+                        jnp.int32(len(recs) - (len(recs) % lay.rs)),
+                        jnp.int32(33), jnp.int32(126),
+                        rs=lay.rs, o1=lay.o1, o2=lay.o2, o3=lay.o3, width=64)
+    assert not bool(res.template_ok)
+
+
+def test_rejects_corrupt_marker():
+    buf = bytearray(_mk(50, 40))
+    lay = detect_uniform_layout(bytes(buf))
+    buf[20 * lay.rs] = ord("X")  # '@' of record 20
+    _, res = _device_parse(bytes(buf), width=64)
+    assert not bool(res.template_ok)
+
+
+def test_flags_quality_violation():
+    buf = bytearray(_mk(50, 40))
+    lay = detect_uniform_layout(bytes(buf))
+    buf[7 * lay.rs + lay.o3 + 3] = 0x20  # below sanger lower bound
+    _, res = _device_parse(bytes(buf), width=64)
+    assert bool(res.template_ok)  # structure is intact
+    assert bool(res.bad_quality)  # but validation must trip
+
+
+def test_flags_non_ascii():
+    buf = bytearray(_mk(50, 40))
+    lay = detect_uniform_layout(bytes(buf))
+    buf[3 * lay.rs + lay.o1 + 2] = 0xC3
+    _, res = _device_parse(bytes(buf), width=64)
+    assert bool(res.template_ok)
+    assert bool(res.bad_ascii)
+
+
+def test_clamped_width():
+    buf = _mk(64, 150)
+    lay, res = _device_parse(buf, width=128)
+    assert bool(res.template_ok)
+    assert int(res.n_records) == 64
+    assert np.asarray(res.lengths)[0] == 150  # true length kept
+    p = bt.FastqParser(bt.MemoryReader(buf))
+    pb = p.next_padded(64, max_len=128)
+    np.testing.assert_array_equal(np.asarray(res.seq)[:64],
+                                  np.asarray(pb.seq)[:64])
+
+
+def test_qc_stats_from_uniform_parse_match_host_pipeline():
+    """End-to-end pipeline B parity: device-parsed batch through qc_stats
+    equals the host-fed batch through the same step."""
+    import jax.numpy as jnp
+
+    from blazeseq_tpu.ops import stats as stats_ops
+
+    buf = _mk(500, 100)
+    lay, res = _device_parse(buf)
+    p = bt.FastqParser(bt.MemoryReader(buf))
+    pb = p.next_padded(500, max_len=128)
+    st_dev = stats_ops.qc_stats(res.seq, res.qual, res.lengths, jnp.int32(33),
+                                n_records=res.n_records)
+    st_host = stats_ops.qc_stats(jnp.asarray(pb.seq), jnp.asarray(pb.qual),
+                                 jnp.asarray(pb.lengths, dtype=jnp.int32),
+                                 jnp.int32(33),
+                                 n_records=jnp.int32(pb.n_records))
+    for a, b in zip(st_dev, st_host):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
