@@ -92,6 +92,24 @@ def _pin_prefix():
     return []
 
 
+def _build_native_runner() -> str:
+    """Build the compiled counting runner over the native scan engine (the
+    compiled-vs-compiled head-to-head column; role of the reference's
+    compiled Mojo runner, benchmark/fastq-parser/run_blazeseq.mojo)."""
+    src = os.path.join(REPO, "benchmark", "runners", "run_fastq_native.cpp")
+    eng = os.path.join(REPO, "blazeseq_tpu", "native", "scan.cpp")
+    out = os.path.join(_corpus_dir(), "run_fastq_native")
+    newest = max(os.path.getmtime(src), os.path.getmtime(eng))
+    if os.path.exists(out) and os.path.getmtime(out) >= newest:
+        return out
+    if shutil.which("g++"):
+        r = subprocess.run(["g++", "-O3", "-march=native", "-o", out, src,
+                            eng], capture_output=True)
+        if r.returncode == 0:
+            return out
+    return ""
+
+
 def _build_competitor() -> str:
     """Build the same-host kseq-class C baseline (reference methodology:
     cross-parser head-to-head with enforced count agreement,
@@ -173,6 +191,19 @@ def workload_parser(size_mb, reps):
                          records=records, base_pairs=bases))
         print("parser/%s: %.3fs (%.2f GB/s incl. interpreter startup)"
               % (mode, min(times), size / min(times) / 1e9))
+    native = _build_native_runner()
+    if native:
+        for flag, name in ((["--validate"], "native_count_validated"),
+                           ([], "native_count")):
+            times, out = _time_subprocess(
+                _pin_prefix() + [native, corpus] + flag, reps=reps)
+            records, bases = map(int, out.split())
+            rows.append(dict(mode=name, mean_s=sum(times) / len(times),
+                             min_s=min(times), times=times,
+                             gbps=size / min(times) / 1e9,
+                             records=records, base_pairs=bases))
+            print("parser/%s: %.3fs (%.2f GB/s)"
+                  % (name, min(times), size / min(times) / 1e9))
     comp = _build_competitor()
     if comp:
         times, out = _time_subprocess(_pin_prefix() + [comp, corpus],

@@ -68,8 +68,14 @@ def run_multihost_qc(path, batch_records: int = 16384, max_len: int = 256,
     batched Needleman-Wunsch wavefront on its shard (SURVEY §7.2 step 8:
     NW across >= 2 hosts) and the returned stats gain a global
     (nw_sum, nw_count) for the mean alignment score — additive, so the
-    same single merge covers it. The merge rides int32 device collectives:
-    exact while |sum of scores| < 2^31 (~8M 258bp-clamped reads per run).
+    same single merge covers it.
+
+    Exactness: every integer leaf is upcast to int64 on the host before
+    per-batch accumulation (device batches are int32 partials, same pattern
+    as the single-host QCAccumulator), and the cross-process merge
+    all-gathers int32 hi/lo halves and reassembles host-side in int64 — so
+    there is no count or score ceiling (a multi-TB shard's base counts
+    exceed 2^31 routinely; int32 device collectives would wrap silently).
 
     Returns (stats, local_reads, local_bases): `stats` is the merged global
     QCStats pytree (+ nw fields when aligning); local_* are this host's
@@ -109,47 +115,84 @@ def run_multihost_qc(path, batch_records: int = 16384, max_len: int = 256,
                    jnp.int32(pb.n_records), ref,
                    jnp.int32(schema.LOWER), jnp.int32(schema.UPPER),
                    jnp.int32(schema.OFFSET))
-        stats = jtu.tree_map(np.asarray, jax.device_get(res.stats))
+        stats = jtu.tree_map(_widen, jax.device_get(res.stats))
         if align:
             scores = np.asarray(res.nw_scores)[: pb.n_records]
             stats = dict(qc=stats,
-                         nw_sum=np.int32(scores.astype(np.int64).sum()),
-                         nw_count=np.int32(len(scores)))
+                         nw_sum=np.int64(scores.astype(np.int64).sum()),
+                         nw_count=np.int64(len(scores)))
         local = stats if local is None else jtu.tree_map(np.add, local, stats)
     if local is None:  # empty shard
         from ..ops.stats import zero_stats
-        local = jtu.tree_map(np.asarray, zero_stats(max_len))
+        local = jtu.tree_map(_widen, zero_stats(max_len))
         if align:
-            local = dict(qc=local, nw_sum=np.int32(0), nw_count=np.int32(0))
+            local = dict(qc=local, nw_sum=np.int64(0), nw_count=np.int64(0))
     if n_proc == 1:
         return local, local_reads, local_bases
     return _allreduce_stats(local), local_reads, local_bases
 
 
+def _widen(leaf):
+    """Host-side dtype widening for exact accumulation: integer leaves to
+    int64, floating leaves to float64."""
+    a = np.asarray(leaf)
+    if np.issubdtype(a.dtype, np.integer):
+        return a.astype(np.int64)
+    if np.issubdtype(a.dtype, np.floating):
+        return a.astype(np.float64)
+    return a
+
+
 def _allreduce_stats(local_stats):
-    """Sum an additive stats pytree across processes: each process
-    contributes its values on its first local device (zeros on the rest of a
-    device-sharded leading dim), and a jitted global sum inserts the
-    cross-host reduce."""
+    """Sum an additive (int64/float64) stats pytree across processes,
+    exactly.
+
+    Device collectives ride 32-bit lanes (jax x64 is normally disabled, and
+    int64 sums could carry past 2^31 anyway), so each int64 leaf is split
+    into hi/lo int32 halves, ALL-GATHERED across processes (gather, not
+    device-sum: per-process halves are exact, only the final sum needs
+    int64), reassembled host-side and summed in int64. Float leaves gather
+    as float32 pairs is unnecessary — they gather as-is and sum in
+    float64."""
     import jax
-    import jax.numpy as jnp
     import jax.tree_util as jtu
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     devices = np.asarray(jax.devices())
     mesh = Mesh(devices, ("dp",))
     sharding = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
     n_local = len(jax.local_devices())
 
-    def lift(leaf):
-        leaf = np.asarray(leaf)
-        block = np.zeros((n_local,) + leaf.shape, dtype=leaf.dtype)
-        block[0] = leaf
+    def to_wire(leaf):
+        leaf = _widen(leaf)
+        if leaf.dtype == np.int64:
+            lo = (leaf & np.int64(0xFFFFFFFF)).astype(np.uint32)
+            hi = (leaf >> np.int64(32)).astype(np.int64).astype(np.int32)
+            return (hi, lo.view(np.int32))
+        return (leaf.astype(np.float32),)
+
+    flat, treedef = jtu.tree_flatten(local_stats)
+    wire_parts = [to_wire(l) for l in flat]
+
+    def lift(arr):
+        block = np.zeros((n_local,) + arr.shape, dtype=arr.dtype)
+        block[0] = arr
         return jax.make_array_from_process_local_data(sharding, block)
 
-    glob = jtu.tree_map(lift, local_stats)
-    reduce = jax.jit(
-        lambda t: jax.tree.map(lambda a: jnp.sum(a, axis=0), t),
-        out_shardings=jtu.tree_map(lambda _: NamedSharding(
-            Mesh(np.asarray(jax.devices()), ("dp",)), P()), local_stats))
-    return jtu.tree_map(np.asarray, jax.device_get(reduce(glob)))
+    lifted = [tuple(lift(p) for p in parts) for parts in wire_parts]
+    gather = jax.jit(lambda t: t,
+                     out_shardings=jax.tree.map(lambda _: rep, lifted))
+    gathered = jax.device_get(gather(lifted))
+
+    merged = []
+    for parts in gathered:
+        rows = [np.asarray(p) for p in parts]
+        if len(rows) == 2:  # int64 as (hi, lo)
+            hi = rows[0].astype(np.int64)
+            lo = rows[1].view(np.uint32).astype(np.int64)
+            per_dev = (hi << np.int64(32)) | lo
+            merged.append(per_dev.sum(axis=0, dtype=np.int64))
+        else:
+            merged.append(rows[0].astype(np.float64).sum(axis=0))
+    return jtu.tree_unflatten(treedef, merged)

@@ -33,6 +33,32 @@ print("RESULT " + json.dumps({
 """
 
 
+_ALLREDUCE_WORKER = r"""
+import json, os, sys
+import numpy as np
+sys.path.insert(0, %(repo)r)
+from blazeseq_tpu.parallel.multihost import init_distributed, _allreduce_stats
+init_distributed()
+pid = int(os.environ["JAX_PROCESS_ID"])
+local = {
+    "big": np.int64(3) << np.int64(40),          # far beyond int32 per host
+    "neg": np.int64(-(5 << 35)) + np.int64(pid),
+    "vec": (np.arange(6, dtype=np.int64) << np.int64(33)) + np.int64(pid),
+    "small": np.int32(7 + pid),                  # int32 leaves widen exactly
+    "f": np.float32(0.5),
+}
+merged = _allreduce_stats(local)
+print("RESULT " + json.dumps({
+    "pid": pid,
+    "big": int(merged["big"]),
+    "neg": int(merged["neg"]),
+    "vec": [int(x) for x in merged["vec"]],
+    "small": int(merged["small"]),
+    "f": float(merged["f"]),
+}))
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -106,3 +132,35 @@ def test_two_process_merge_equals_single(corpus_file):
     assert (results[0]["local_bases"] + results[1]["local_bases"]
             == golden["g_bases"])
     assert results[0]["local_reads"] > 0 and results[1]["local_reads"] > 0
+
+
+def test_four_process_int64_merge_exact():
+    """The cross-process stat merge must be exact far beyond int32: each of
+    4 processes contributes values around 2^40-2^42 (and negatives), and
+    every process must see the bit-exact int64 global sum (multihost.py
+    gathers int32 hi/lo halves and reassembles host-side)."""
+    nproc = 4
+    port = _free_port()
+    code = _ALLREDUCE_WORKER % {"repo": REPO}
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code],
+                         env=_env(pid, nproc, port), stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+        for pid in range(nproc)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-2000:]
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][0]
+        results.append(json.loads(line[len("RESULT "):]))
+    exp_big = nproc * (3 << 40)
+    exp_neg = nproc * -(5 << 35) + sum(range(nproc))
+    exp_vec = [nproc * (i << 33) + sum(range(nproc)) for i in range(6)]
+    exp_small = nproc * 7 + sum(range(nproc))
+    for r in results:
+        assert r["big"] == exp_big
+        assert r["neg"] == exp_neg
+        assert r["vec"] == exp_vec
+        assert r["small"] == exp_small
+        assert r["f"] == pytest.approx(nproc * 0.5)
