@@ -193,16 +193,27 @@ def nw_scores_pallas(seq, lengths, ref, block_records: int = 256):
     return out[:B, 0]
 
 
+def _on_tpu() -> bool:
+    """True when the default JAX backend is TPU hardware (including
+    tunnel-attached platforms whose device_kind reports a TPU)."""
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return False
+    return ("tpu" in dev.platform.lower()
+            or "tpu" in getattr(dev, "device_kind", "").lower())
+
+
 def nw_scores(seq, lengths, ref, prefer_pallas=None):
-    """Dispatching wrapper. The lax.scan formulation is the default: it
-    runs on every backend (CPU tests included) and composes under shard_map.
-    The Pallas kernel (DP diagonals resident in VMEM) is opt-in on TPU:
-    slope-timed it is 1.7-3.3x faster (6.2M vs 1.9-3.7M alignments/s at
-    40bp, 16-64K batches) and compiles ~10x faster at large batch sizes
-    (1s vs 11s at 64K); composed end-to-end both are transfer-bound and
-    roughly equal."""
+    """Dispatching wrapper. On TPU backends the Pallas kernel (DP diagonals
+    resident in VMEM) is the default: slope-timed it is 1.7-3.3x faster
+    (6.2M vs 1.9-3.7M alignments/s at 40bp, 16-64K batches) and compiles
+    ~10x faster at large batch sizes (1s vs 11s at 64K). Everywhere else
+    (CPU tests, GPU) the lax.scan formulation runs — it works on every
+    backend and composes under shard_map. Pass prefer_pallas explicitly to
+    override either way."""
     if prefer_pallas is None:
-        prefer_pallas = False
+        prefer_pallas = _on_tpu()
     fn = nw_scores_pallas if prefer_pallas else nw_scores_xla
     return fn(jnp.asarray(seq), jnp.asarray(lengths), jnp.asarray(ref))
 

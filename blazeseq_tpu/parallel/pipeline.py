@@ -135,10 +135,14 @@ def build_qc_align_step(mesh: Optional[Mesh] = None, *,
 
     sp = (SP_AXIS if SP_AXIS in mesh.axis_names
           and mesh.shape[SP_AXIS] > 1 else None)
-    if sp is not None and with_alignment:
-        raise ValueError(
-            "with_alignment requires full-length rows: use an sp=1 mesh "
-            "for alignment, or run NW in a separate dp-only step")
+    align_substep = sp is not None and with_alignment
+    if align_substep:
+        # Alignment needs full-length rows, which the sp-sharded QC step
+        # never holds. Rather than refuse the mesh, NW runs as a separate
+        # record-parallel sub-step whose row shards span BOTH mesh axes
+        # (dp x sp flattened), so every device aligns a disjoint row range
+        # at full width; XLA inserts the all-to-all between the two layouts.
+        kw = dict(kw, with_alignment=False)
     fn = functools.partial(_local_step, axis_name=axis_name, sp_axis=sp,
                            **kw)
     row_spec = P(axis_name)
@@ -168,7 +172,30 @@ def build_qc_align_step(mesh: Optional[Mesh] = None, *,
         ),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    if not align_substep:
+        return jax.jit(sharded)
+
+    flat_rows = P((axis_name, SP_AXIS))
+
+    def _nw_local(seq, lengths, ref):
+        return nw_ops.nw_scores_xla(
+            seq, jnp.minimum(lengths, seq.shape[1]), ref)
+
+    nw_sharded = shard_map(
+        _nw_local,
+        mesh=mesh,
+        in_specs=(flat_rows, flat_rows, P()),
+        out_specs=flat_rows,
+        check_vma=False,
+    )
+
+    def combined(seq, qual, lengths, n_records, ref, q_lower, q_upper,
+                 offset):
+        res = sharded(seq, qual, lengths, n_records, ref, q_lower, q_upper,
+                      offset)
+        return res._replace(nw_scores=nw_sharded(seq, lengths, ref))
+
+    return jax.jit(combined)
 
 
 def run_qc_align(padded_batch, ref: bytes, schema, mesh: Optional[Mesh] = None,
