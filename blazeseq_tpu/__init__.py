@@ -53,6 +53,7 @@ from .io.delimited import (
 )
 from .io.readers import (
     FileReader,
+    MmapReader,
     GZFile,
     MemoryReader,
     ParallelGzipReader,

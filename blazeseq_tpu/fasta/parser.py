@@ -284,9 +284,17 @@ class FastaParser:
             yield b.to_padded(max_len=max_len)
 
     def count(self):
-        """(records, bases) at scan speed."""
+        """(records, bases) at scan speed.
+
+        Fast path: the counting kernel (native.count_fasta) tallies records
+        and non-whitespace sequence bytes in one vector pass with no
+        materialization. Whenever it cannot prove its accounting equals the
+        parser's (pathological whitespace, empty sequences, content before
+        a header), the exact scan path takes over for that window — so
+        counts and raised errors are always identical to records()."""
         records = 0
         bases = 0
+        s = self._stream
         while True:
             if self._q_pos < len(self._id_ends):
                 i0 = self._q_pos
@@ -295,6 +303,25 @@ class FastaParser:
                 bases += int(self._seq_ends[-1]) - c
                 self._record_number += self._queue_len()
                 self._q_pos = len(self._id_ends)
+            if (not self.config.check_ascii and s.available() > 0):
+                fast = native.count_fasta(s.window(), start=s._head,
+                                          at_eof=s.is_eof())
+                if fast is not None:
+                    r, b, consumed, lines = fast
+                    if consumed > s._head:
+                        s.consume(consumed - s._head)
+                        records += r
+                        bases += b
+                        self._record_number += r
+                        self._line_number += lines
+                        if s.available() == 0 and not s.has_more():
+                            break
+                        if s.available() > 0 and not s.is_eof():
+                            s.fill()
+                        continue
+                    if s.is_eof() and consumed >= len(s.window()):
+                        break
+                # fast path unavailable or made no progress: exact path
             try:
                 self._scan_more()
             except FastxEOFError:

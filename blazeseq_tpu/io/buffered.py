@@ -46,11 +46,12 @@ class ByteStream:
         self.chunk_size = chunk_size
         self.last_shift = 0
         as_array = getattr(reader, "as_array", None)
-        if as_array is not None:
-            # zero-copy window over an in-memory source: the whole stream is
-            # already addressable, so fill() is a no-op and no compaction or
-            # copying ever happens
-            self._arr = as_array()
+        arr = as_array() if as_array is not None else None
+        if arr is not None:
+            # zero-copy window over an in-memory/mmap source: the whole
+            # stream is already addressable, so fill() is a no-op and no
+            # compaction or copying ever happens
+            self._arr = arr
             self._end = len(self._arr)
             self._eof = True
         else:

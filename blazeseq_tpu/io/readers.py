@@ -58,6 +58,41 @@ class FileReader:
         self.close()
 
 
+class MmapReader(FileReader):
+    """Memory-mapped plain-file byte source: exposes the whole file as one
+    zero-copy window (`as_array`), so ByteStream never copies and bulk
+    scanners run over the full file at memory speed. Falls back to
+    FileReader streaming if the file cannot be mapped (empty file, special
+    files, pipes)."""
+
+    def __init__(self, path):
+        super().__init__(path)
+        self._mm = None
+        try:
+            import mmap
+
+            self._mm = mmap.mmap(self._f.fileno(), 0,
+                                 prot=mmap.PROT_READ)
+            try:
+                self._mm.madvise(mmap.MADV_SEQUENTIAL)
+            except (AttributeError, OSError):
+                pass
+        except (OSError, ValueError):
+            self._mm = None
+
+    def as_array(self):
+        if self._mm is None:
+            return None
+        import numpy as np
+
+        return np.frombuffer(self._mm, dtype=np.uint8)
+
+    def close(self) -> None:
+        # the mmap outlives close() intentionally: parser windows may still
+        # view it; the mapping is released when the last view is collected
+        super().close()
+
+
 class MemoryReader:
     """In-memory byte source with reset() for benchmark reuse
     (reference: readers.mojo:140-223)."""
@@ -350,4 +385,4 @@ def open_reader(path, parallelism: int = 4) -> Reader:
     p = str(path)
     if p.endswith(".gz") or p.endswith(".bgz"):
         return ParallelGzipReader(p, parallelism=parallelism)
-    return FileReader(p)
+    return MmapReader(p)

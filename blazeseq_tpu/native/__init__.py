@@ -105,6 +105,9 @@ def _load() -> Optional[ctypes.CDLL]:
         p_u8, i64, i64, i32, i64, i32, p_u8, p_i64, p_u8, p_i64,
         p_i64, p_i64, p_i32, p_i64,
     ]
+    lib.bs_count_fasta.restype = i64
+    lib.bs_count_fasta.argtypes = [p_u8, i64, i64, i32, p_i64, p_i64, p_i64,
+                                   p_i32]
     lib.bs_generate_fastq.restype = i64
     lib.bs_generate_fastq.argtypes = [
         i64, i64, i64, i64, i64, i64, i64, i32, i32, i32, p_u8, p_u8,
@@ -590,6 +593,29 @@ def scan_fasta(window: np.ndarray, start: int = 0, at_eof: bool = False,
             seq_ends[:count], consumed.value, lines.value, err_code.value,
             err_line.value)
     return _scan_fasta_py(window, start, at_eof, max_records, check_ascii)
+
+
+def count_fasta(window: np.ndarray, start: int = 0, at_eof: bool = False):
+    """Count (records, bases, consumed, lines) of complete FASTA records in
+    window[start:] without materializing ids/sequences (semantics:
+    bs_count_fasta). Returns None when the native fast path is unavailable
+    or cannot prove its accounting equals the parser's (pathological
+    whitespace, content before a header, empty sequences) — callers fall
+    back to the exact scan_fasta path."""
+    lib = _load()
+    if lib is None:
+        return None
+    bases = ctypes.c_int64(0)
+    consumed = ctypes.c_int64(0)
+    lines = ctypes.c_int64(0)
+    fb = ctypes.c_int32(0)
+    records = lib.bs_count_fasta(
+        _ptr_u8(window), len(window), start, 1 if at_eof else 0,
+        ctypes.byref(bases), ctypes.byref(consumed), ctypes.byref(lines),
+        ctypes.byref(fb))
+    if fb.value:
+        return None
+    return records, bases.value, consumed.value, lines.value
 
 
 def _scan_fasta_py(window: np.ndarray, start: int, at_eof: bool,

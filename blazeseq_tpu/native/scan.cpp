@@ -25,6 +25,7 @@
 // No external dependencies.
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <type_traits>
 
@@ -1385,6 +1386,199 @@ struct NlCursor {
 #endif
 };
 }  // namespace
+
+// Count FASTA records and sequence bases in window[start, n) without
+// materializing anything — the FASTA analog of bs_count_fastq (reference
+// counting runner: benchmark/fasta-parser/run_blazeseq_fasta.mojo).
+//
+// One vector pass computes, per 64-byte block, the newline mask, the
+// '>'-at-line-start mask, and the POSIX-non-whitespace popcount; headers
+// (rare: one per record) get small scalar fixups subtracting their own
+// non-whitespace bytes. This equals the parser's strip-and-concatenate
+// length accounting whenever whitespace only appears at line edges. Any
+// layout the fast accounting cannot prove equal — leading whitespace at a
+// line start (includes blank/space-only lines), whitespace INSIDE a
+// sequence line, content before the first header, or a header with an
+// empty sequence — sets *fallback=1 and the caller re-runs the exact
+// bs_scan_fasta path, so results are always byte-exact.
+//
+//   at_eof:   1 = the final (possibly unterminated) line is complete.
+//   consumed: one past the last complete line counted.
+// Returns the record count; *bases_out = sequence bytes.
+int64_t bs_count_fasta(const uint8_t* buf, int64_t n, int64_t start,
+                       int32_t at_eof, int64_t* bases_out, int64_t* consumed,
+                       int64_t* lines_out, int32_t* fallback) {
+  *bases_out = 0;
+  *consumed = start;
+  *lines_out = 0;
+  *fallback = 0;
+  if (start >= n) return 0;
+#if !defined(__AVX512BW__)
+  *fallback = 1;
+  return 0;
+#else
+  // vectorized sub-span counters (header fixups + window tails, which can
+  // be most of the window when one record's sequence spans many windows)
+  auto count_nonws_span = [&](int64_t a, int64_t b) -> int64_t {
+    const __m512i w9_ = _mm512_set1_epi8(9);
+    const __m512i w5_ = _mm512_set1_epi8(13 - 9);
+    const __m512i wfs_ = _mm512_set1_epi8(0x1c);
+    const __m512i w2_ = _mm512_set1_epi8(0x1e - 0x1c);
+    const __m512i spv_ = _mm512_set1_epi8(' ');
+    int64_t total = 0;
+    for (int64_t p = a; p < b; p += 64) {
+      const int64_t rem = b - p;
+      __mmask64 lm = rem >= 64 ? ~(uint64_t)0 : (((uint64_t)1 << rem) - 1);
+      const __m512i v = _mm512_maskz_loadu_epi8(lm, buf + p);
+      const uint64_t ws =
+          (_mm512_cmp_epu8_mask(_mm512_sub_epi8(v, w9_), w5_, _MM_CMPINT_LE) |
+           _mm512_cmp_epu8_mask(_mm512_sub_epi8(v, wfs_), w2_, _MM_CMPINT_LE) |
+           _mm512_cmpeq_epi8_mask(v, spv_)) & lm;
+      total += (int64_t)_mm_popcnt_u64(~ws & lm);
+    }
+    return total;
+  };
+  auto count_nl_span = [&](int64_t a, int64_t b) -> int64_t {
+    const __m512i nlv_ = _mm512_set1_epi8('\n');
+    int64_t total = 0;
+    for (int64_t p = a; p < b; p += 64) {
+      const int64_t rem = b - p;
+      __mmask64 lm = rem >= 64 ? ~(uint64_t)0 : (((uint64_t)1 << rem) - 1);
+      const __m512i v = _mm512_maskz_loadu_epi8(lm, buf + p);
+      total += (int64_t)_mm_popcnt_u64(_mm512_cmpeq_epi8_mask(v, nlv_) & lm);
+    }
+    return total;
+  };
+  // effective end: one past the last newline (all of [start, n) if at_eof)
+  int64_t end = n;
+  if (!at_eof) {
+    int64_t i = n - 1;
+    while (i >= start && buf[i] != '\n') --i;
+    if (i < start) return 0;  // no complete line yet
+    end = i + 1;
+  }
+
+  const __m512i nlv = _mm512_set1_epi8('\n');
+  const __m512i gtv = _mm512_set1_epi8('>');
+  // POSIX whitespace: \t(9)..\r(13), 0x1c..0x1e, ' '(32)
+  const __m512i w9 = _mm512_set1_epi8(9);
+  const __m512i w5 = _mm512_set1_epi8(13 - 9);
+  const __m512i wfs = _mm512_set1_epi8(0x1c);
+  const __m512i w2 = _mm512_set1_epi8(0x1e - 0x1c);
+  const __m512i spv = _mm512_set1_epi8(' ');
+
+  int64_t records = 0;
+  int64_t nonws_total = 0;
+  int64_t nl_total = 0;
+  uint64_t bad = 0;
+  uint64_t prev_last_nl = 1;     // virtual newline before the window start
+  uint64_t prev_last_ws = 0;     // was the window's previous byte whitespace
+  // header positions, one per record: a complete record needs >= 4 bytes
+  // (">\n" + one base + newline), so span/4+2 bounds the count
+  const int64_t HCAP = (end - start) / 4 + 2;
+  int64_t* headers = (int64_t*)std::malloc((size_t)HCAP * sizeof(int64_t));
+  if (!headers) { *fallback = 1; return 0; }
+  struct Guard {
+    void* p;
+    ~Guard() { std::free(p); }
+  } guard{headers};
+  int64_t n_headers = 0;
+  int64_t first_nonws = -1;
+
+  for (int64_t base = start; base < end; base += 64) {
+    const int64_t rem = end - base;
+    __m512i v;
+    __mmask64 lane_m = ~(uint64_t)0;
+    if (rem >= 64) {
+      v = _mm512_loadu_si512((const void*)(buf + base));
+    } else {
+      lane_m = (((uint64_t)1 << rem) - 1);
+      v = _mm512_maskz_loadu_epi8(lane_m, buf + base);
+    }
+    const uint64_t nl = _mm512_cmpeq_epi8_mask(v, nlv) & lane_m;
+    const uint64_t gt = _mm512_cmpeq_epi8_mask(v, gtv) & lane_m;
+    const uint64_t ws_r = _mm512_cmp_epu8_mask(_mm512_sub_epi8(v, w9), w5,
+                                               _MM_CMPINT_LE);
+    const uint64_t ws_f = _mm512_cmp_epu8_mask(_mm512_sub_epi8(v, wfs), w2,
+                                               _MM_CMPINT_LE);
+    const uint64_t ws_sp = _mm512_cmpeq_epi8_mask(v, spv);
+    const uint64_t ws = (ws_r | ws_f | ws_sp) & lane_m;
+    const uint64_t nonws = ~ws & lane_m;
+    // line starts: bit after each newline (with carry from previous block)
+    const uint64_t line_start = (nl << 1) | (prev_last_nl & 1);
+    const uint64_t ws_nonl = ws & ~nl;
+    // leading whitespace at a line start (covers blank/space-only lines)
+    bad |= ws_nonl & line_start;
+    // whitespace followed by non-whitespace within a line (interior ws);
+    // the carry handles runs crossing block boundaries
+    bad |= ((ws_nonl << 1) | prev_last_ws) & nonws;
+    const uint64_t hdr = gt & line_start;
+    uint64_t h = hdr;
+    while (h) {
+      if (n_headers >= HCAP) { *fallback = 1; return 0; }
+      headers[n_headers++] = base + (int64_t)_tzcnt_u64(h);
+      h &= h - 1;
+    }
+    nonws_total += (int64_t)_mm_popcnt_u64(nonws);
+    nl_total += (int64_t)_mm_popcnt_u64(nl);
+    if (first_nonws < 0 && nonws)
+      first_nonws = base + (int64_t)_tzcnt_u64(nonws);
+    prev_last_nl = nl >> 63;
+    prev_last_ws = (ws_nonl >> 63) & 1;
+    if (rem < 64) break;
+  }
+  if (bad) { *fallback = 1; return 0; }
+  if (n_headers == 0) {
+    if (first_nonws >= 0) { *fallback = 1; return 0; }  // content, no header
+    *consumed = end;
+    *lines_out = nl_total;
+    return 0;  // blank lines only
+  }
+  if (first_nonws < headers[0]) { *fallback = 1; return 0; }
+
+  // scalar fixups at each header line (subtract its non-ws bytes) and
+  // empty-sequence detection between consecutive records
+  int64_t hdr_nonws = 0;
+  for (int k = 0; k < n_headers; ++k) {
+    const int64_t h = headers[k];
+    const void* m = std::memchr(buf + h, '\n', (size_t)(end - h));
+    const int64_t eol = m ? ((const uint8_t*)m - buf) : end;
+    if (!m && !at_eof) break;  // incomplete trailing header: not consumed
+    hdr_nonws += count_nonws_span(h, eol);
+    // sequence must have a non-ws byte before the next header / end
+    const int64_t nxt = (k + 1 < n_headers) ? headers[k + 1] : end;
+    int64_t i = eol;
+    while (i < nxt && is_posix_space(buf[i])) ++i;
+    if (i >= nxt) {
+      // empty sequence (error 101), or a header whose sequence has not
+      // arrived yet: both are rare edges — let the exact path decide
+      *fallback = 1;
+      return 0;
+    }
+    ++records;
+  }
+  // a trailing record whose sequence may continue past the window: without
+  // at_eof, everything from the LAST header onward stays unconsumed so the
+  // next window rescans it with more data
+  if (!at_eof) {
+    // the last record's sequence may continue past the window: leave
+    // everything from the LAST header onward unconsumed for the next scan
+    const int64_t last_h = headers[n_headers - 1];
+    const int64_t tail_nonws = count_nonws_span(last_h, end);
+    const void* m = std::memchr(buf + last_h, '\n', (size_t)(end - last_h));
+    const int64_t eol = m ? ((const uint8_t*)m - buf) : end;
+    const int64_t last_hdr_nonws = count_nonws_span(last_h, eol);
+    *bases_out = nonws_total - (hdr_nonws - last_hdr_nonws) - tail_nonws;
+    *consumed = last_h;
+    *lines_out = nl_total - count_nl_span(last_h, end);
+    return records - 1;
+  }
+  *bases_out = nonws_total - hdr_nonws;
+  *consumed = end;
+  *lines_out = nl_total;
+  return records;
+#endif
+}
 
 // Scan a window for complete FASTA records (behavior spec:
 // blazeseq/fasta/parser.mojo:120-195 — every line whitespace-stripped at both
