@@ -92,13 +92,14 @@ def _pin_prefix():
     return []
 
 
-def _build_native_runner() -> str:
-    """Build the compiled counting runner over the native scan engine (the
+def _build_native_runner(name: str = "run_fastq_native") -> str:
+    """Build a compiled counting runner over the native scan engine (the
     compiled-vs-compiled head-to-head column; role of the reference's
-    compiled Mojo runner, benchmark/fastq-parser/run_blazeseq.mojo)."""
-    src = os.path.join(REPO, "benchmark", "runners", "run_fastq_native.cpp")
+    compiled Mojo runners, benchmark/fastq-parser/run_blazeseq.mojo and
+    benchmark/fasta-parser/run_blazeseq_fasta.mojo)."""
+    src = os.path.join(REPO, "benchmark", "runners", name + ".cpp")
     eng = os.path.join(REPO, "blazeseq_tpu", "native", "scan.cpp")
-    out = os.path.join(_corpus_dir(), "run_fastq_native")
+    out = os.path.join(_corpus_dir(), name)
     newest = max(os.path.getmtime(src), os.path.getmtime(eng))
     if os.path.exists(out) and os.path.getmtime(out) >= newest:
         return out
@@ -279,6 +280,23 @@ def workload_fasta(size_mb, reps):
                  gbps=size / min(times) / 1e9, records=records,
                  base_pairs=bases)]
     print("fasta: %.3fs (%.2f GB/s)" % (min(times), rows[0]["gbps"]))
+    native = _build_native_runner("run_fasta_native")
+    if native:
+        try:
+            times, out = _time_subprocess(_pin_prefix() + [native, corpus],
+                                          reps=reps)
+        except subprocess.CalledProcessError:
+            times, out = None, None  # fast accounting declined this file
+        if out is not None:
+            records, bases = map(int, out.split())
+            rows.append(dict(mode="fasta_native_count",
+                             mean_s=sum(times) / len(times),
+                             min_s=min(times), times=times,
+                             gbps=size / min(times) / 1e9,
+                             records=records, base_pairs=bases))
+            print("fasta_native_count: %.3fs (%.2f GB/s)"
+                  % (min(times), rows[-1]["gbps"]))
+    _check_agreement(rows)
     _record("fasta", rows, size)
 
 
