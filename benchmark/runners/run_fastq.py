@@ -38,9 +38,8 @@ def main():
             records += 1
             bases += len(v)
     elif args.mode == "records":
-        for r in parser.records():
-            records += 1
-            bases += len(r)
+        bases = sum(map(len, parser.records()))
+        records = parser.records_served()
     elif args.mode == "batch":
         for b in parser.batches(4096):
             records += len(b)

@@ -134,9 +134,33 @@ class FastqParser:
         # drained before the next scan, so overwriting it is safe; 64K rows
         # per scan keeps allocations and page-fault churn off the hot path
         self._scan_scratch = None
+        # C chain-iterator coordination (native/records_ext.c ChainIter):
+        # the epoch word invalidates a chain's snapshot whenever the queue
+        # moves underneath it; the attached chain mirrors its per-record
+        # cursor into _chain_progress so _sync_chain can commit without
+        # holding a reference to the iterator object (no ref cycles)
+        self._epoch = np.zeros(1, dtype=np.int64)
+        self._chain_attached = False
+        self._chain_base = 0
+        self._chain_progress = None
+
+    def _sync_chain(self) -> None:
+        """Commit and detach the active C chain iterator (if any): its
+        served-record count moves the queue cursor, and the epoch bump makes
+        the chain re-snapshot through its refill on next use. Idempotent;
+        called at the head of every entry point that touches the queue."""
+        if not self._chain_attached:
+            return
+        served = int(self._chain_progress[0])
+        self._chain_attached = False
+        self._chain_progress = None
+        self._q_pos = self._chain_base + served
+        self._served += served
+        self._epoch[0] += 1
 
     # -- bookkeeping -----------------------------------------------------------
     def has_more(self) -> bool:
+        self._sync_chain()
         return (
             self._q_pos < len(self._q)
             or self._pending_exc_info is not None
@@ -145,6 +169,11 @@ class FastqParser:
 
     def _queue_len(self) -> int:
         return len(self._q) - self._q_pos
+
+    def records_served(self) -> int:
+        """Total records handed out or consumed so far (any mode)."""
+        self._sync_chain()
+        return self._served
 
     # -- error construction ----------------------------------------------------
     def _raise_parse_error(self, code: FastxErrorCode, err_off: np.ndarray) -> None:
@@ -373,6 +402,7 @@ class FastqParser:
     def next_view(self) -> FastqView:
         """Zero-copy next record (reference: parser.mojo:160-170). The view is
         invalidated by the next parser call that refills the window."""
+        self._sync_chain()
         if self._q_pos >= len(self._q):
             self._scan_more()
         if self._q_rows is None:
@@ -394,6 +424,7 @@ class FastqParser:
         stops early at EOF; non-EOF errors propagate. The hot path is the
         fused native scan+validate+gather (bytes touched once); the
         offsets-queue path handles mixed usage, errors, and fallbacks."""
+        self._sync_chain()
         limit = max_records or self._batch_size
         out: Optional[FastqBatch] = None
         parts = []
@@ -521,6 +552,7 @@ class FastqParser:
 
         `_out=(seq, qual, lengths)` fills caller-provided buffers instead of
         allocating (used by padded_batches(reuse_buffers=True))."""
+        self._sync_chain()
         from .batch import PaddedFastqBatch
 
         limit = max_records or self._batch_size
@@ -619,6 +651,7 @@ class FastqParser:
         order within a bucket; ordering across buckets interleaves (QC
         statistics and counters are order-invariant). Reads longer than the
         largest bucket are clamped to it (lengths stay true)."""
+        self._sync_chain()
         from .batch import PaddedFastqBatch
 
         buckets = sorted(set(int(b) for b in buckets))
@@ -725,11 +758,61 @@ class FastqParser:
     # going through next_view()/next_record() per record: objects are built
     # with __new__ + direct slot writes and byte slices come off one window
     # reference, so the per-record Python work is a few C-level operations.
+    def _chain_iter(self, ext, out_type, is_view: bool):
+        """Build a C chain iterator (native/records_ext.c): its refill
+        callable commits the previous snapshot (via _sync_chain), scans when
+        the queue is empty, and hands out a frozen (buffer, rows) snapshot +
+        the new epoch. Raised errors (validation/parse) propagate out of the
+        C iterator's __next__."""
+        # NOTE: the progress array must be shared between the chain (writer)
+        # and the parser (reader at commit); it is created here once and
+        # re-armed (zeroed + installed) by every refill.
+        progress = np.zeros(1, dtype=np.int64)
+
+        def refill(_served):
+            self._sync_chain()
+            if self._pending_exc_info is not None and self._q_pos >= len(
+                    self._q):
+                self._raise_validation_error()
+            if self._q_pos >= len(self._q):
+                try:
+                    self._scan_more()
+                except FastxEOFError:
+                    return None
+            mv = self._mv
+            if mv is None:
+                mv = self._mv = self._stream.mview()
+            rows = np.ascontiguousarray(self._q[self._q_pos:])
+            n = len(rows)
+            if n == 0:
+                return None
+            progress[0] = 0
+            self._chain_attached = True
+            self._chain_base = self._q_pos
+            self._chain_progress = progress
+            self._epoch[0] += 1
+            return (mv, rows, n, int(self._epoch[0]))
+
+        return ext.make_chain_iter(refill, self._epoch, progress,
+                                   self.quality_schema.OFFSET, out_type,
+                                   is_view)
+
     @_iterable_method
     def views(self) -> Iterator[FastqView]:
+        """Zero-copy record iteration (reference views mode,
+        parser.mojo:628-661). With the C extension, iteration runs through
+        a C chain iterator producing C view objects (one allocation, zero
+        copies per record); otherwise the Python generator below."""
+        ext = native.records_ext()
+        if ext is not None and issubclass(FastqView, ext.View):
+            return self._chain_iter(ext, FastqView, True)
+        return self._views_py()
+
+    def _views_py(self) -> Iterator[FastqView]:
         off = self.quality_schema.OFFSET
         ws = _WS
-        new = FastqView.__new__
+        new = FastqView
+        self._sync_chain()
         while True:
             if self._q_pos >= len(self._q):
                 try:
@@ -761,19 +844,28 @@ class FastqParser:
                         bytes(buf[a:b]).lstrip(b" \t\n\v\f\r\x1c\x1d\x1e"))
                     a += lead
                     b = a + len(stripped)
-                v = new(FastqView)
-                v._id = buf[a:b]
-                v._sequence = buf[s : p - 1]
-                v._quality = buf[q:e]
-                v._phred_offset = off
-                yield v
+                # constructor (not slot writes): works for both the C-based
+                # and pure-Python class variants — this path can run with
+                # C classes when only the scan kernel is unavailable
+                yield new(buf[a:b], buf[s : p - 1], buf[q:e], off)
 
     @_iterable_method
     def records(self) -> Iterator[FastqRecord]:
+        """Owned-record iteration (reference records mode,
+        parser.mojo:662-700). With the C extension, iteration runs through
+        a C chain iterator producing single-block C record objects (one
+        allocation + one copy per record); otherwise the Python generator
+        below."""
+        ext = native.records_ext()
+        if ext is not None and issubclass(FastqRecord, ext.Record):
+            return self._chain_iter(ext, FastqRecord, False)
+        return self._records_py()
+
+    def _records_py(self) -> Iterator[FastqRecord]:
         off = self.quality_schema.OFFSET
         strip = _POSIX_WS_BYTES
-        new = FastqRecord.__new__
-        ext = native.records_ext()
+        new = FastqRecord
+        self._sync_chain()
         while True:
             if self._q_pos >= len(self._q):
                 try:
@@ -785,32 +877,6 @@ class FastqParser:
             mv = self._mv
             if mv is None:
                 mv = self._mv = self._stream.mview()
-            if ext is not None:
-                # C fast path: materialize FastqRecord objects straight from
-                # the offset table (native/records_ext.c). Cursor writes
-                # happen before each yield so mixed iterator/batch usage
-                # stays exact.
-                qid = self._q
-                q_pos0 = self._q_pos
-                n_left = len(qid) - q_pos0
-                rows_np = np.ascontiguousarray(qid[q_pos0:])
-                it = ext.make_record_iter(mv, rows_np, n_left, off,
-                                          FastqRecord)
-                while True:
-                    # re-sync when an interleaved parser call replaced the
-                    # queue or moved the cursor (the C iterator snapshot
-                    # would otherwise serve stale rows)
-                    if (self._q is not qid
-                            or self._q_pos != q_pos0 + it.cursor):
-                        break
-                    try:
-                        r = next(it)
-                    except StopIteration:
-                        break
-                    self._q_pos += 1
-                    self._served += 1
-                    yield r
-                continue
             buf = bytes(mv)
             rows = self._q_rows
             if rows is None:
@@ -821,12 +887,8 @@ class FastqParser:
                 h, s, p, q, e = rows[self._q_pos]
                 self._q_pos += 1
                 self._served += 1
-                r = new(FastqRecord)
-                r._id = buf[h + 1 : s - 1].strip(strip)
-                r._sequence = buf[s : p - 1]
-                r._quality = buf[q:e]
-                r._phred_offset = off
-                yield r
+                yield new(buf[h + 1 : s - 1].strip(strip), buf[s : p - 1],
+                          buf[q:e], phred_offset=off)
 
     @_iterable_method
     def batches(self, max_records: Optional[int] = None) -> Iterator[FastqBatch]:
@@ -848,6 +910,7 @@ class FastqParser:
         records — the views-mode benchmark equivalent (reference runner:
         benchmark/fastq-parser/run_blazeseq.mojo:21-60). Validation flags are
         honored (fused in the native pass)."""
+        self._sync_chain()
         records = 0
         bases = 0
         cfg = self.config

@@ -101,17 +101,11 @@ class _RecordBase:
         writer.write_bytes(self.to_bytes())
 
 
-class FastqView(_RecordBase):
-    """Zero-copy record view into the parser buffer. Invalidated by the next
-    parser read; copy with .to_record() to store."""
+class _ViewMixin:
+    """FastqView conveniences shared by the C-backed and pure-Python
+    storage variants."""
 
-    __slots__ = ("_id", "_sequence", "_quality", "_phred_offset")
-
-    def __init__(self, id_mv, seq_mv, qual_mv, phred_offset: int = 33):
-        self._id = id_mv
-        self._sequence = seq_mv
-        self._quality = qual_mv
-        self._phred_offset = phred_offset
+    __slots__ = ()
 
     def to_record(self) -> "FastqRecord":
         return FastqRecord(
@@ -125,25 +119,12 @@ class FastqView(_RecordBase):
         return self.to_bytes().decode("utf-8", "replace")
 
 
-class FastqRecord(_RecordBase):
-    """Owned FASTQ record. Hash/equality are on the sequence only
+class _RecordMixin:
+    """FastqRecord conveniences shared by the C-backed and pure-Python
+    storage variants. Hash/equality are on the sequence only
     (reference: record.mojo:415-423)."""
 
-    __slots__ = ("_id", "_sequence", "_quality", "_phred_offset")
-
-    def __init__(self, id, sequence, quality, schema: QualitySchema | None = None,
-                 phred_offset: Optional[int] = None):
-        self._id = id.encode() if isinstance(id, str) else bytes(id)
-        self._sequence = (
-            sequence.encode() if isinstance(sequence, str) else bytes(sequence)
-        )
-        self._quality = (
-            quality.encode() if isinstance(quality, str) else bytes(quality)
-        )
-        if phred_offset is not None:
-            self._phred_offset = phred_offset
-        else:
-            self._phred_offset = (schema or GENERIC_SCHEMA).OFFSET
+    __slots__ = ()
 
     @classmethod
     def from_string(cls, fast_str: str) -> "FastqRecord":
@@ -156,18 +137,80 @@ class FastqRecord(_RecordBase):
                    phred_offset=33)
 
     def __hash__(self) -> int:
-        return hash(self._sequence)
+        return hash(bytes(self._sequence))
 
     def __eq__(self, other) -> bool:
-        return isinstance(other, (_RecordBase,)) and bytes(self._sequence) == bytes(
-            other._sequence
-        )
+        return isinstance(other, (_RecordBase, _CBased)) and bytes(
+            self._sequence) == bytes(other._sequence)
 
     def __ne__(self, other) -> bool:
         return not self.__eq__(other)
 
     def __repr__(self) -> str:
         return self.to_bytes().decode("utf-8", "replace")
+
+
+def _load_c_bases():
+    from .. import native
+
+    return native.records_ext()
+
+
+_C = _load_c_bases()
+_CBased: tuple = ()
+
+if _C is not None:
+    # C-native storage (native/records_ext.c): Record is one variable-size
+    # object holding all three byte spans (single allocation per record);
+    # View is a zero-copy triple of (owner, ptr, len) references. The
+    # `_id/_sequence/_quality/_phred_offset` attributes the shared API
+    # reads are C getsets, so every _RecordBase method works unchanged.
+    class FastqView(_C.View, _ViewMixin, _RecordBase):  # type: ignore[misc]
+        """Zero-copy record view into the parser buffer. Invalidated by the
+        next parser read; copy with .to_record() to store."""
+
+        __slots__ = ()
+
+    class FastqRecord(_C.Record, _RecordMixin, _RecordBase):  # type: ignore[misc]
+        """Owned FASTQ record (single-block C storage)."""
+
+        __slots__ = ()
+
+    _CBased = (_C.Record, _C.View)
+else:
+    class FastqView(_ViewMixin, _RecordBase):  # type: ignore[no-redef]
+        """Zero-copy record view into the parser buffer. Invalidated by the
+        next parser read; copy with .to_record() to store."""
+
+        __slots__ = ("_id", "_sequence", "_quality", "_phred_offset")
+
+        def __init__(self, id_mv, seq_mv, qual_mv, phred_offset: int = 33):
+            self._id = id_mv
+            self._sequence = seq_mv
+            self._quality = qual_mv
+            self._phred_offset = phred_offset
+
+    class FastqRecord(_RecordMixin, _RecordBase):  # type: ignore[no-redef]
+        """Owned FASTQ record."""
+
+        __slots__ = ("_id", "_sequence", "_quality", "_phred_offset")
+
+        def __init__(self, id, sequence, quality,
+                     schema: QualitySchema | None = None,
+                     phred_offset: Optional[int] = None):
+            self._id = id.encode() if isinstance(id, str) else bytes(id)
+            self._sequence = (
+                sequence.encode() if isinstance(sequence, str)
+                else bytes(sequence)
+            )
+            self._quality = (
+                quality.encode() if isinstance(quality, str)
+                else bytes(quality)
+            )
+            if phred_offset is not None:
+                self._phred_offset = phred_offset
+            else:
+                self._phred_offset = (schema or GENERIC_SCHEMA).OFFSET
 
 
 class Validator:

@@ -1,18 +1,25 @@
-/* CPython extension: bulk FASTQ record materialization.
+/* CPython extension: C-native FASTQ record/view objects + chain iterator.
  *
- * records()-mode throughput is bounded by per-record CPython work (object
- * allocation + byte slicing in bytecode). This module moves that inner loop
- * to C: `RecordIter` walks a scanned offset table and materializes instances
- * of the *Python* FastqRecord class directly — tp_alloc + direct slot writes
- * (slot offsets discovered from the class's member descriptors), three
- * PyBytes slices, and a POSIX-whitespace id strip. Semantics are identical
- * to the Python loop; only the constant factor changes (~5x).
+ * Per-record-object throughput is bounded by CPython work per record. This
+ * module drops it to a few C operations:
  *
- * Reference behavior spec: blazeseq/fastq/record.mojo:230-428 (owned
- * records), utils.mojo:223-242 (id whitespace strip).
+ *   Record  — owned record as ONE variable-size object: header bytes, the
+ *             id/seq/qual payloads live in the object's tail (single
+ *             allocation + one memcpy per span); `_id/_sequence/_quality`
+ *             materialize lazily as bytes on access. (The roadmap's
+ *             "full C record type": tp_alloc single-block layout, lazy
+ *             field getters.)
+ *   View    — zero-copy record view: three (owner, ptr, len) references
+ *             into the parser window; one allocation, no byte copies.
+ *   ChainIter — iterator serving Record/View instances straight from a
+ *             scanned offset table, pulling (buffer, rows) batches from a
+ *             Python refill callable; an epoch word (int64[1] shared with
+ *             the parser) invalidates the snapshot when the parser's
+ *             queue moves underneath, preserving the exact mixed-usage
+ *             semantics of the Python generators.
  *
- * Build (no libpython link needed on Linux; symbols resolve at import):
- *   g++ -O3 -shared -fPIC -I<python-include> records_ext.c -o _records.so
+ * Reference behavior spec: blazeseq/fastq/record.mojo:230-551 (records and
+ * views), utils.mojo:223-242 (id whitespace strip).
  */
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
@@ -30,193 +37,590 @@ static void init_ws(void) {
     WS[0x1c] = WS[0x1d] = WS[0x1e] = 1;
 }
 
-typedef struct {
-    PyObject_HEAD
-    PyObject *buf_obj;        /* owns the byte buffer (bytes or buffer) */
-    const uint8_t *buf;
-    Py_ssize_t buf_len;
-    PyObject *offsets_obj;    /* owns the int64 offsets memory */
-    const int64_t *offsets;   /* [count, 5] */
-    Py_ssize_t count;
-    Py_ssize_t cursor;
-    long phred_offset;
-    PyTypeObject *rec_type;   /* the Python FastqRecord class */
-    Py_ssize_t off_id, off_seq, off_qual, off_phred; /* slot offsets */
-    Py_buffer buf_view;
-    Py_buffer off_view;
-    int views_held;
-} RecordIter;
+/* ------------------------------------------------------------------ */
+/* Record: owned, single-block                                         */
+/* ------------------------------------------------------------------ */
 
-static Py_ssize_t slot_offset(PyTypeObject *tp, const char *name) {
-    PyObject *d = PyObject_GetAttrString((PyObject *)tp, name);
-    if (d == NULL) return -1;
-    Py_ssize_t off = -1;
-    if (Py_TYPE(d) == &PyMemberDescr_Type) {
-        off = ((PyMemberDescrObject *)d)->d_member->offset;
-    } else {
-        PyErr_Format(PyExc_TypeError, "%s is not a slot descriptor", name);
-    }
-    Py_DECREF(d);
-    return off;
+typedef struct {
+    PyObject_VAR_HEAD           /* ob_size = total tail bytes */
+    long phred_offset;
+    Py_ssize_t id_len, seq_len, qual_len;
+    char data[1];               /* id + seq + qual, contiguous */
+} RecObj;
+
+static PyObject *Rec_alloc_fill(PyTypeObject *subtype, const uint8_t *id,
+                                Py_ssize_t id_len, const uint8_t *seq,
+                                Py_ssize_t seq_len, const uint8_t *qual,
+                                Py_ssize_t qual_len, long phred) {
+    const Py_ssize_t total = id_len + seq_len + qual_len;
+    RecObj *r = (RecObj *)subtype->tp_alloc(subtype, total);
+    if (!r) return NULL;
+    r->phred_offset = phred;
+    r->id_len = id_len;
+    r->seq_len = seq_len;
+    r->qual_len = qual_len;
+    char *d = r->data;
+    memcpy(d, id, (size_t)id_len);
+    memcpy(d + id_len, seq, (size_t)seq_len);
+    memcpy(d + id_len + seq_len, qual, (size_t)qual_len);
+    return (PyObject *)r;
 }
 
-static void RecordIter_dealloc(RecordIter *self) {
-    if (self->views_held) {
-        PyBuffer_Release(&self->buf_view);
-        PyBuffer_Release(&self->off_view);
+/* accepts bytes-like or str; fills (ptr, len) via a held Py_buffer or an
+ * owned temporary bytes object (returned for the caller to decref). */
+static int as_span(PyObject *obj, Py_buffer *view, PyObject **tmp,
+                   const uint8_t **ptr, Py_ssize_t *len) {
+    *tmp = NULL;
+    if (PyUnicode_Check(obj)) {
+        *tmp = PyUnicode_AsEncodedString(obj, "utf-8", "strict");
+        if (!*tmp) return -1;
+        *ptr = (const uint8_t *)PyBytes_AS_STRING(*tmp);
+        *len = PyBytes_GET_SIZE(*tmp);
+        view->obj = NULL;
+        return 0;
     }
-    Py_XDECREF(self->buf_obj);
-    Py_XDECREF(self->offsets_obj);
-    Py_XDECREF((PyObject *)self->rec_type);
+    if (PyObject_GetBuffer(obj, view, PyBUF_SIMPLE) < 0) return -1;
+    *ptr = (const uint8_t *)view->buf;
+    *len = view->len;
+    return 0;
+}
+
+static PyObject *Rec_new(PyTypeObject *subtype, PyObject *args,
+                         PyObject *kwds) {
+    static char *kwlist[] = {"id", "sequence", "quality", "schema",
+                             "phred_offset", NULL};
+    PyObject *id_o, *seq_o, *qual_o;
+    PyObject *schema = Py_None, *phred_o = Py_None;
+    if (!PyArg_ParseTupleAndKeywords(args, kwds, "OOO|OO", kwlist, &id_o,
+                                     &seq_o, &qual_o, &schema, &phred_o))
+        return NULL;
+    long phred = 33;
+    if (phred_o != Py_None) {
+        phred = PyLong_AsLong(phred_o);
+        if (phred == -1 && PyErr_Occurred()) return NULL;
+    } else if (schema != Py_None) {
+        PyObject *off = PyObject_GetAttrString(schema, "OFFSET");
+        if (!off) return NULL;
+        phred = PyLong_AsLong(off);
+        Py_DECREF(off);
+        if (phred == -1 && PyErr_Occurred()) return NULL;
+    }
+    Py_buffer bv[3];
+    PyObject *tmp[3] = {NULL, NULL, NULL};
+    const uint8_t *p[3];
+    Py_ssize_t ln[3];
+    PyObject *objs[3] = {id_o, seq_o, qual_o};
+    PyObject *result = NULL;
+    int held = 0;
+    for (; held < 3; ++held) {
+        if (as_span(objs[held], &bv[held], &tmp[held], &p[held],
+                    &ln[held]) < 0)
+            goto done;
+    }
+    result = Rec_alloc_fill(subtype, p[0], ln[0], p[1], ln[1], p[2], ln[2],
+                            phred);
+done:
+    for (int i = 0; i < held; ++i) {
+        if (tmp[i]) Py_DECREF(tmp[i]);
+        else if (bv[i].obj) PyBuffer_Release(&bv[i]);
+    }
+    return result;
+}
+
+static PyObject *Rec_get_id(RecObj *self, void *_) {
+    return PyBytes_FromStringAndSize(self->data, self->id_len);
+}
+static PyObject *Rec_get_seq(RecObj *self, void *_) {
+    return PyBytes_FromStringAndSize(self->data + self->id_len,
+                                     self->seq_len);
+}
+static PyObject *Rec_get_qual(RecObj *self, void *_) {
+    return PyBytes_FromStringAndSize(self->data + self->id_len +
+                                         self->seq_len,
+                                     self->qual_len);
+}
+static PyObject *Rec_get_phred(RecObj *self, void *_) {
+    return PyLong_FromLong(self->phred_offset);
+}
+
+static PyObject *Rec_id_bytes(RecObj *self, PyObject *_) {
+    return Rec_get_id(self, NULL);
+}
+static PyObject *Rec_seq_bytes(RecObj *self, PyObject *_) {
+    return Rec_get_seq(self, NULL);
+}
+static PyObject *Rec_qual_bytes(RecObj *self, PyObject *_) {
+    return Rec_get_qual(self, NULL);
+}
+static PyObject *Rec_byte_len(RecObj *self, PyObject *_) {
+    return PyLong_FromSsize_t(1 + self->id_len + self->seq_len +
+                              self->qual_len + 5);
+}
+
+static Py_ssize_t Rec_length(RecObj *self) { return self->seq_len; }
+
+static PyGetSetDef Rec_getsets[] = {
+    {"_id", (getter)Rec_get_id, NULL, "id bytes", NULL},
+    {"_sequence", (getter)Rec_get_seq, NULL, "sequence bytes", NULL},
+    {"_quality", (getter)Rec_get_qual, NULL, "quality bytes", NULL},
+    {"_phred_offset", (getter)Rec_get_phred, NULL, "phred offset", NULL},
+    {NULL},
+};
+
+static PyMethodDef Rec_methods[] = {
+    {"id_bytes", (PyCFunction)Rec_id_bytes, METH_NOARGS, NULL},
+    {"sequence_bytes", (PyCFunction)Rec_seq_bytes, METH_NOARGS, NULL},
+    {"quality_bytes", (PyCFunction)Rec_qual_bytes, METH_NOARGS, NULL},
+    {"byte_len", (PyCFunction)Rec_byte_len, METH_NOARGS, NULL},
+    {NULL},
+};
+
+static PySequenceMethods Rec_as_seq = {
+    .sq_length = (lenfunc)Rec_length,
+};
+
+static PyTypeObject RecType = {
+    PyVarObject_HEAD_INIT(NULL, 0)
+    .tp_name = "blazeseq_tpu.native._records.Record",
+    .tp_basicsize = offsetof(RecObj, data),
+    .tp_itemsize = 1,
+    .tp_as_sequence = &Rec_as_seq,
+    .tp_flags = Py_TPFLAGS_DEFAULT | Py_TPFLAGS_BASETYPE,
+    .tp_doc = "Owned FASTQ record (single-block C storage).",
+    .tp_methods = Rec_methods,
+    .tp_getset = Rec_getsets,
+    .tp_new = Rec_new,
+};
+
+/* ------------------------------------------------------------------ */
+/* View: zero-copy                                                     */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    PyObject_HEAD
+    PyObject *own[3];           /* keep-alive owners (may be same object) */
+    const uint8_t *ptr[3];      /* id, seq, qual */
+    Py_ssize_t len[3];
+    Py_buffer bufs[3];          /* held when constructed from Python */
+    int nbufs;
+    long phred_offset;
+} ViewObj;
+
+static void View_dealloc(ViewObj *self) {
+    for (int i = 0; i < self->nbufs; ++i) PyBuffer_Release(&self->bufs[i]);
+    for (int i = 0; i < 3; ++i) Py_XDECREF(self->own[i]);
     Py_TYPE(self)->tp_free((PyObject *)self);
 }
 
-static PyObject *RecordIter_iter(PyObject *self) {
+static PyObject *View_new(PyTypeObject *subtype, PyObject *args,
+                          PyObject *kwds) {
+    static char *kwlist[] = {"id_mv", "seq_mv", "qual_mv", "phred_offset",
+                             NULL};
+    PyObject *o[3];
+    long phred = 33;
+    if (!PyArg_ParseTupleAndKeywords(args, kwds, "OOO|l", kwlist, &o[0],
+                                     &o[1], &o[2], &phred))
+        return NULL;
+    ViewObj *v = (ViewObj *)subtype->tp_alloc(subtype, 0);
+    if (!v) return NULL;
+    v->nbufs = 0;
+    v->phred_offset = phred;
+    v->own[0] = v->own[1] = v->own[2] = NULL;
+    for (int i = 0; i < 3; ++i) {
+        if (PyObject_GetBuffer(o[i], &v->bufs[i], PyBUF_SIMPLE) < 0) {
+            Py_DECREF(v);
+            return NULL;
+        }
+        v->nbufs = i + 1;
+        v->ptr[i] = (const uint8_t *)v->bufs[i].buf;
+        v->len[i] = v->bufs[i].len;
+        Py_INCREF(o[i]);
+        v->own[i] = o[i];
+    }
+    return (PyObject *)v;
+}
+
+static PyObject *View_mv(ViewObj *self, int i) {
+    /* a memoryview tied to the owner's lifetime: slice a fresh view of the
+       owner (cold path — hot accessors below return bytes copies) */
+    if (!self->own[i]) Py_RETURN_NONE;
+    PyObject *full = PyMemoryView_FromObject(self->own[i]);
+    if (!full) return NULL;
+    Py_buffer *fb = PyMemoryView_GET_BUFFER(full);
+    const Py_ssize_t start =
+        (Py_ssize_t)(self->ptr[i] - (const uint8_t *)fb->buf);
+    PyObject *lo = PyLong_FromSsize_t(start);
+    PyObject *hi = PyLong_FromSsize_t(start + self->len[i]);
+    PyObject *slice = (lo && hi) ? PySlice_New(lo, hi, NULL) : NULL;
+    Py_XDECREF(lo);
+    Py_XDECREF(hi);
+    if (!slice) {
+        Py_DECREF(full);
+        return NULL;
+    }
+    PyObject *res = PyObject_GetItem(full, slice);
+    Py_DECREF(slice);
+    Py_DECREF(full);
+    return res;
+}
+
+static PyObject *View_get_id(ViewObj *self, void *_) {
+    return View_mv(self, 0);
+}
+static PyObject *View_get_seq(ViewObj *self, void *_) {
+    return View_mv(self, 1);
+}
+static PyObject *View_get_qual(ViewObj *self, void *_) {
+    return View_mv(self, 2);
+}
+static PyObject *View_get_phred(ViewObj *self, void *_) {
+    return PyLong_FromLong(self->phred_offset);
+}
+
+static PyObject *View_id_bytes(ViewObj *self, PyObject *_) {
+    return PyBytes_FromStringAndSize((const char *)self->ptr[0],
+                                     self->len[0]);
+}
+static PyObject *View_seq_bytes(ViewObj *self, PyObject *_) {
+    return PyBytes_FromStringAndSize((const char *)self->ptr[1],
+                                     self->len[1]);
+}
+static PyObject *View_qual_bytes(ViewObj *self, PyObject *_) {
+    return PyBytes_FromStringAndSize((const char *)self->ptr[2],
+                                     self->len[2]);
+}
+static PyObject *View_byte_len(ViewObj *self, PyObject *_) {
+    return PyLong_FromSsize_t(1 + self->len[0] + self->len[1] +
+                              self->len[2] + 5);
+}
+
+static Py_ssize_t View_length(ViewObj *self) { return self->len[1]; }
+
+static PyGetSetDef View_getsets[] = {
+    {"_id", (getter)View_get_id, NULL, "id memoryview", NULL},
+    {"_sequence", (getter)View_get_seq, NULL, "sequence memoryview", NULL},
+    {"_quality", (getter)View_get_qual, NULL, "quality memoryview", NULL},
+    {"_phred_offset", (getter)View_get_phred, NULL, "phred offset", NULL},
+    {NULL},
+};
+
+static PyMethodDef View_methods[] = {
+    {"id_bytes", (PyCFunction)View_id_bytes, METH_NOARGS, NULL},
+    {"sequence_bytes", (PyCFunction)View_seq_bytes, METH_NOARGS, NULL},
+    {"quality_bytes", (PyCFunction)View_qual_bytes, METH_NOARGS, NULL},
+    {"byte_len", (PyCFunction)View_byte_len, METH_NOARGS, NULL},
+    {NULL},
+};
+
+static PySequenceMethods View_as_seq = {
+    .sq_length = (lenfunc)View_length,
+};
+
+static PyTypeObject ViewType = {
+    PyVarObject_HEAD_INIT(NULL, 0)
+    .tp_name = "blazeseq_tpu.native._records.View",
+    .tp_basicsize = sizeof(ViewObj),
+    .tp_dealloc = (destructor)View_dealloc,
+    .tp_as_sequence = &View_as_seq,
+    .tp_flags = Py_TPFLAGS_DEFAULT | Py_TPFLAGS_BASETYPE,
+    .tp_doc = "Zero-copy FASTQ record view (C storage).",
+    .tp_methods = View_methods,
+    .tp_getset = View_getsets,
+    .tp_new = View_new,
+};
+
+/* ------------------------------------------------------------------ */
+/* ChainIter                                                           */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    PyObject_HEAD
+    PyObject *refill;         /* callable() -> None | (owner, rows, n, epoch) */
+    PyObject *epoch_obj;      /* owner of the shared epoch int64[1] */
+    Py_buffer epoch_view;
+    const int64_t *epoch;
+    int64_t my_epoch;
+    PyObject *progress_obj;   /* owner of the shared progress int64[1] */
+    Py_buffer progress_view;
+    int64_t *progress;        /* mirrors cursor after every serve, so the
+                                 parser can commit without referencing this
+                                 object (no refcycle through the refill
+                                 closure) */
+    int progress_held;
+    PyObject *buf_obj;        /* current batch buffer owner */
+    Py_buffer buf_view;
+    const uint8_t *buf;
+    Py_ssize_t buf_len;
+    PyObject *rows_obj;       /* current batch offsets owner */
+    Py_buffer rows_view;
+    const int64_t *rows;
+    Py_ssize_t count;
+    Py_ssize_t cursor;
+    long phred;
+    PyTypeObject *out_type;   /* View or Record subclass */
+    int is_view;
+    int held;                 /* buf/rows views held */
+    int epoch_held;
+    int exhausted;
+} ChainIter;
+
+static void Chain_drop_batch(ChainIter *self) {
+    if (self->held) {
+        PyBuffer_Release(&self->buf_view);
+        PyBuffer_Release(&self->rows_view);
+        self->held = 0;
+    }
+    Py_CLEAR(self->buf_obj);
+    Py_CLEAR(self->rows_obj);
+    self->rows = NULL;
+    self->buf = NULL;
+    self->count = 0;
+    self->cursor = 0;
+}
+
+static void Chain_dealloc(ChainIter *self) {
+    Chain_drop_batch(self);
+    if (self->epoch_held) PyBuffer_Release(&self->epoch_view);
+    if (self->progress_held) PyBuffer_Release(&self->progress_view);
+    Py_XDECREF(self->epoch_obj);
+    Py_XDECREF(self->progress_obj);
+    Py_XDECREF(self->refill);
+    Py_XDECREF((PyObject *)self->out_type);
+    Py_TYPE(self)->tp_free((PyObject *)self);
+}
+
+static int Chain_refill(ChainIter *self) {
+    /* returns 1 = new batch ready, 0 = EOF (StopIteration), -1 = error.
+     * The refill callable receives the number of records served from the
+     * CURRENT snapshot, so the parser can commit its cursor before
+     * producing the next snapshot (the old buffers stay held across the
+     * call; _scan_more may grow/replace the stream buffer underneath). */
+    if (self->exhausted) return 0;
+    PyObject *served = PyLong_FromSsize_t(self->cursor);
+    if (!served) return -1;
+    PyObject *res = PyObject_CallOneArg(self->refill, served);
+    Py_DECREF(served);
+    Chain_drop_batch(self);
+    if (!res) return -1;
+    if (res == Py_None) {
+        Py_DECREF(res);
+        self->exhausted = 1;
+        return 0;
+    }
+    PyObject *owner, *rows;
+    Py_ssize_t n;
+    long long epoch;
+    if (!PyArg_ParseTuple(res, "OOnL", &owner, &rows, &n, &epoch)) {
+        Py_DECREF(res);
+        return -1;
+    }
+    if (PyObject_GetBuffer(owner, &self->buf_view, PyBUF_SIMPLE) < 0) {
+        Py_DECREF(res);
+        return -1;
+    }
+    if (PyObject_GetBuffer(rows, &self->rows_view, PyBUF_SIMPLE) < 0) {
+        PyBuffer_Release(&self->buf_view);
+        Py_DECREF(res);
+        return -1;
+    }
+    self->held = 1;
+    if ((Py_ssize_t)(n * 5 * (Py_ssize_t)sizeof(int64_t)) >
+        self->rows_view.len) {
+        PyErr_SetString(PyExc_ValueError, "rows buffer too small");
+        Py_DECREF(res);
+        Chain_drop_batch(self);
+        return -1;
+    }
+    self->buf = (const uint8_t *)self->buf_view.buf;
+    self->buf_len = self->buf_view.len;
+    self->rows = (const int64_t *)self->rows_view.buf;
+    self->count = n;
+    self->cursor = 0;
+    self->my_epoch = (int64_t)epoch;
+    Py_INCREF(owner);
+    self->buf_obj = owner;
+    Py_INCREF(rows);
+    self->rows_obj = rows;
+    Py_DECREF(res);
+    return 1;
+}
+
+static PyObject *Chain_next(ChainIter *self) {
+    for (;;) {
+        if (self->cursor >= self->count || self->epoch[0] != self->my_epoch) {
+            const int rc = Chain_refill(self);
+            if (rc < 0) return NULL;
+            if (rc == 0) {
+                PyErr_SetNone(PyExc_StopIteration);
+                return NULL;
+            }
+            continue;
+        }
+        const int64_t *rec = self->rows + self->cursor * 5;
+        const int64_t h = rec[0], s = rec[1], p = rec[2], q = rec[3],
+                      e = rec[4];
+        if (h < 0 || e > self->buf_len || s < h + 2 || p < s + 1 ||
+            q < p + 1 || e < q) {
+            PyErr_SetString(PyExc_ValueError, "corrupt offset row");
+            return NULL;
+        }
+        int64_t a = h + 1, b = s - 1;
+        while (a < b && WS[self->buf[a]]) ++a;
+        while (b > a && WS[self->buf[b - 1]]) --b;
+
+        PyObject *obj;
+        if (self->is_view) {
+            ViewObj *v =
+                (ViewObj *)self->out_type->tp_alloc(self->out_type, 0);
+            if (!v) return NULL;
+            v->nbufs = 0;
+            v->phred_offset = self->phred;
+            v->ptr[0] = self->buf + a;
+            v->len[0] = b - a;
+            v->ptr[1] = self->buf + s;
+            v->len[1] = p - 1 - s;
+            v->ptr[2] = self->buf + q;
+            v->len[2] = e - q;
+            PyObject *owner = self->buf_obj;
+            for (int i = 0; i < 3; ++i) {
+                Py_INCREF(owner);
+                v->own[i] = owner;
+            }
+            obj = (PyObject *)v;
+        } else {
+            obj = Rec_alloc_fill(self->out_type, self->buf + a, b - a,
+                                 self->buf + s, p - 1 - s, self->buf + q,
+                                 e - q, self->phred);
+            if (!obj) return NULL;
+        }
+        self->cursor++;
+        self->progress[0] = (int64_t)self->cursor;
+        /* Python-defined subclasses are GC-tracked heap types; these
+         * objects cannot participate in reference cycles (their referents
+         * never point back), and tracking millions of short-lived records
+         * triggers collector passes mid-iteration. Untrack. */
+        if (PyObject_IS_GC(obj) && PyObject_GC_IsTracked(obj))
+            PyObject_GC_UnTrack(obj);
+        return obj;
+    }
+}
+
+static PyObject *Chain_iter(PyObject *self) {
     Py_INCREF(self);
     return self;
 }
 
-static PyObject *RecordIter_next(RecordIter *self) {
-    if (self->cursor >= self->count) {
-        PyErr_SetNone(PyExc_StopIteration);
-        return NULL;
-    }
-    const int64_t *rec = self->offsets + self->cursor * 5;
-    const int64_t h = rec[0], s = rec[1], p = rec[2], q = rec[3], e = rec[4];
-    /* minimal legal spacing: s >= h+2 (header '@'+'\n'), p >= s+1 (seq
-       newline), q >= p+1; e == q (empty quality) is legal */
-    if (h < 0 || e > self->buf_len || s < h + 2 || p < s + 1 || q < p + 1 ||
-        e < q) {
-        PyErr_SetString(PyExc_ValueError, "corrupt offset row");
-        return NULL;
-    }
-    /* id: header content after '@', POSIX-whitespace-stripped both ends */
-    int64_t a = h + 1, b = s - 1;
-    while (a < b && WS[self->buf[a]]) ++a;
-    while (b > a && WS[self->buf[b - 1]]) --b;
-
-    PyObject *id_b = PyBytes_FromStringAndSize((const char *)self->buf + a,
-                                               (Py_ssize_t)(b - a));
-    PyObject *seq_b = PyBytes_FromStringAndSize((const char *)self->buf + s,
-                                                (Py_ssize_t)(p - 1 - s));
-    PyObject *qual_b = PyBytes_FromStringAndSize((const char *)self->buf + q,
-                                                 (Py_ssize_t)(e - q));
-    PyObject *phred = PyLong_FromLong(self->phred_offset);
-    PyObject *obj = NULL;
-    if (!id_b || !seq_b || !qual_b || !phred) goto fail;
-
-    obj = self->rec_type->tp_alloc(self->rec_type, 0);
-    if (!obj) goto fail;
-    /* direct slot writes (slots are NULL after tp_alloc; no decref needed) */
-    *(PyObject **)((char *)obj + self->off_id) = id_b;
-    *(PyObject **)((char *)obj + self->off_seq) = seq_b;
-    *(PyObject **)((char *)obj + self->off_qual) = qual_b;
-    *(PyObject **)((char *)obj + self->off_phred) = phred;
-    self->cursor++;
-    return obj;
-
-fail:
-    Py_XDECREF(id_b);
-    Py_XDECREF(seq_b);
-    Py_XDECREF(qual_b);
-    Py_XDECREF(phred);
-    Py_XDECREF(obj);
-    return NULL;
-}
-
-static PyMemberDef RecordIter_members[] = {
-    {"cursor", T_PYSSIZET, offsetof(RecordIter, cursor), READONLY,
-     "records served so far (for consumer-abandon bookkeeping)"},
+static PyMemberDef Chain_members[] = {
+    {"cursor", T_PYSSIZET, offsetof(ChainIter, cursor), READONLY,
+     "records served from the current batch snapshot"},
     {NULL},
 };
 
-static PyTypeObject RecordIterType = {
+static PyTypeObject ChainIterType = {
     PyVarObject_HEAD_INIT(NULL, 0)
-    .tp_name = "blazeseq_tpu.native._records.RecordIter",
-    .tp_basicsize = sizeof(RecordIter),
-    .tp_dealloc = (destructor)RecordIter_dealloc,
+    .tp_name = "blazeseq_tpu.native._records.ChainIter",
+    .tp_basicsize = sizeof(ChainIter),
+    .tp_dealloc = (destructor)Chain_dealloc,
     .tp_flags = Py_TPFLAGS_DEFAULT,
-    .tp_iter = RecordIter_iter,
-    .tp_iternext = (iternextfunc)RecordIter_next,
-    .tp_members = RecordIter_members,
+    .tp_iter = Chain_iter,
+    .tp_iternext = (iternextfunc)Chain_next,
+    .tp_members = Chain_members,
 };
 
-/* make_record_iter(buffer, offsets, count, phred_offset, record_type)
- *   buffer:  any object exporting a contiguous byte buffer (bytes, numpy u8)
- *   offsets: contiguous int64 buffer of shape [count, 5]
- */
-static PyObject *make_record_iter(PyObject *mod, PyObject *args) {
-    PyObject *buf_obj, *off_obj, *type_obj;
-    Py_ssize_t count;
+/* make_chain_iter(refill, epoch_arr, progress_arr, phred_offset,
+ *                 out_type, is_view) */
+static PyObject *make_chain_iter(PyObject *mod, PyObject *args) {
+    PyObject *refill, *epoch_obj, *progress_obj, *type_obj;
     long phred;
-    if (!PyArg_ParseTuple(args, "OOnlO", &buf_obj, &off_obj, &count, &phred,
-                          &type_obj))
+    int is_view;
+    if (!PyArg_ParseTuple(args, "OOOlOp", &refill, &epoch_obj, &progress_obj,
+                          &phred, &type_obj, &is_view))
         return NULL;
     if (!PyType_Check(type_obj)) {
-        PyErr_SetString(PyExc_TypeError, "record_type must be a class");
+        PyErr_SetString(PyExc_TypeError, "out_type must be a class");
         return NULL;
     }
     PyTypeObject *tp = (PyTypeObject *)type_obj;
-    Py_ssize_t o_id = slot_offset(tp, "_id");
-    Py_ssize_t o_seq = slot_offset(tp, "_sequence");
-    Py_ssize_t o_qual = slot_offset(tp, "_quality");
-    Py_ssize_t o_ph = slot_offset(tp, "_phred_offset");
-    if (o_id < 0 || o_seq < 0 || o_qual < 0 || o_ph < 0) return NULL;
-
-    RecordIter *it = PyObject_New(RecordIter, &RecordIterType);
+    if (is_view ? !PyType_IsSubtype(tp, &ViewType)
+                : !PyType_IsSubtype(tp, &RecType)) {
+        PyErr_SetString(PyExc_TypeError,
+                        "out_type must subclass the matching C base");
+        return NULL;
+    }
+    ChainIter *it = PyObject_New(ChainIter, &ChainIterType);
     if (!it) return NULL;
-    it->views_held = 0;
+    it->refill = NULL;
+    it->epoch_obj = NULL;
+    it->progress_obj = NULL;
+    it->progress_held = 0;
     it->buf_obj = NULL;
-    it->offsets_obj = NULL;
-    it->rec_type = NULL;
-
-    if (PyObject_GetBuffer(buf_obj, &it->buf_view, PyBUF_SIMPLE) < 0) {
-        Py_DECREF(it);
-        return NULL;
-    }
-    if (PyObject_GetBuffer(off_obj, &it->off_view, PyBUF_SIMPLE) < 0) {
-        PyBuffer_Release(&it->buf_view);
-        Py_DECREF(it);
-        return NULL;
-    }
-    it->views_held = 1;
-    if ((Py_ssize_t)(count * 5 * sizeof(int64_t)) > it->off_view.len) {
-        PyErr_SetString(PyExc_ValueError, "offsets buffer too small");
-        Py_DECREF(it);
-        return NULL;
-    }
-    it->buf = (const uint8_t *)it->buf_view.buf;
-    it->buf_len = it->buf_view.len;
-    it->offsets = (const int64_t *)it->off_view.buf;
-    it->count = count;
+    it->rows_obj = NULL;
+    it->out_type = NULL;
+    it->held = 0;
+    it->epoch_held = 0;
+    it->exhausted = 0;
+    it->count = 0;
     it->cursor = 0;
-    it->phred_offset = phred;
-    Py_INCREF(buf_obj);
-    it->buf_obj = buf_obj;
-    Py_INCREF(off_obj);
-    it->offsets_obj = off_obj;
+    it->rows = NULL;
+    it->buf = NULL;
+    it->phred = phred;
+    it->is_view = is_view;
+    it->my_epoch = -1;  /* forces an initial refill */
+    if (PyObject_GetBuffer(epoch_obj, &it->epoch_view, PyBUF_SIMPLE) < 0) {
+        Py_DECREF(it);
+        return NULL;
+    }
+    it->epoch_held = 1;
+    if (it->epoch_view.len < (Py_ssize_t)sizeof(int64_t)) {
+        PyErr_SetString(PyExc_ValueError, "epoch buffer too small");
+        Py_DECREF(it);
+        return NULL;
+    }
+    it->epoch = (const int64_t *)it->epoch_view.buf;
+    if (PyObject_GetBuffer(progress_obj, &it->progress_view,
+                           PyBUF_WRITABLE) < 0) {
+        Py_DECREF(it);
+        return NULL;
+    }
+    it->progress_held = 1;
+    if (it->progress_view.len < (Py_ssize_t)sizeof(int64_t)) {
+        PyErr_SetString(PyExc_ValueError, "progress buffer too small");
+        Py_DECREF(it);
+        return NULL;
+    }
+    it->progress = (int64_t *)it->progress_view.buf;
+    Py_INCREF(progress_obj);
+    it->progress_obj = progress_obj;
+    Py_INCREF(refill);
+    it->refill = refill;
+    Py_INCREF(epoch_obj);
+    it->epoch_obj = epoch_obj;
     Py_INCREF(type_obj);
-    it->rec_type = tp;
-    it->off_id = o_id;
-    it->off_seq = o_seq;
-    it->off_qual = o_qual;
-    it->off_phred = o_ph;
+    it->out_type = tp;
     return (PyObject *)it;
 }
 
 static PyMethodDef module_methods[] = {
-    {"make_record_iter", make_record_iter, METH_VARARGS,
-     "Iterator materializing FastqRecord objects from an offset table."},
+    {"make_chain_iter", make_chain_iter, METH_VARARGS,
+     "C iterator over scanned offset batches producing Record/View objects."},
     {NULL, NULL, 0, NULL},
 };
 
 static struct PyModuleDef records_module = {
     PyModuleDef_HEAD_INIT, "_records",
-    "C fast path for owned-record iteration", -1, module_methods,
+    "C fast path for record/view iteration", -1, module_methods,
 };
 
 PyMODINIT_FUNC PyInit__records(void) {
     init_ws();
-    if (PyType_Ready(&RecordIterType) < 0) return NULL;
-    return PyModule_Create(&records_module);
+    if (PyType_Ready(&RecType) < 0) return NULL;
+    if (PyType_Ready(&ViewType) < 0) return NULL;
+    if (PyType_Ready(&ChainIterType) < 0) return NULL;
+    PyObject *m = PyModule_Create(&records_module);
+    if (!m) return NULL;
+    Py_INCREF(&RecType);
+    PyModule_AddObject(m, "Record", (PyObject *)&RecType);
+    Py_INCREF(&ViewType);
+    PyModule_AddObject(m, "View", (PyObject *)&ViewType);
+    return m;
 }

@@ -93,9 +93,19 @@ def test_records_ext_rejects_corrupt_offsets():
     if ext is None:
         pytest.skip("no C extension")
     from blazeseq_tpu.fastq.record import FastqRecord
-    buf = b"@a\nAC\n+\nII\n"
+    buf = np.frombuffer(b"@a\nAC\n+\nII\n", dtype=np.uint8)
     bad = np.array([[0, 1, 1, 1, 1]], dtype=np.int64)  # p == s etc.
-    it = ext.make_record_iter(buf, bad, 1, 33, FastqRecord)
+    epoch = np.zeros(1, dtype=np.int64)
+    progress = np.zeros(1, dtype=np.int64)
+    calls = []
+
+    def refill(served):
+        if calls:
+            return None
+        calls.append(1)
+        return (memoryview(buf), bad, 1, int(epoch[0]))
+
+    it = ext.make_chain_iter(refill, epoch, progress, 33, FastqRecord, False)
     with pytest.raises(ValueError):
         next(it)
 
