@@ -47,7 +47,12 @@ def _stats(args):
     it = iter(args)
     for a in it:
         if a == "--adapter":
-            adapters.append(next(it).encode("ascii"))
+            try:
+                adapters.append(next(it).encode("ascii"))
+            except StopIteration:
+                print("usage: stats --adapter SEQUENCE [...] FILE",
+                      file=sys.stderr)
+                raise SystemExit(2)
         elif a == "--duplicates":
             duplicates = True
         elif a == "--json":

@@ -58,28 +58,39 @@ def _gf2_square(mat):
 import functools
 
 
+@functools.lru_cache(maxsize=1)
+def _zero_byte_pows():
+    """Operators for appending 2^k zero BYTES to a CRC, k = 0..63, built
+    once: repeated squaring of the single-zero-bit operator (3 squarings =
+    1 byte, then one per doubling)."""
+    m = [0xEDB88320] + [1 << n for n in range(31)]  # one zero bit
+    for _ in range(3):
+        m = _gf2_square(m)  # 8 zero bits = 1 byte
+    pows = [m]
+    for _ in range(63):
+        m = _gf2_square(m)
+        pows.append(m)
+    return pows
+
+
 @functools.lru_cache(maxsize=64)
 def _combine_matrix(len2: int):
-    """Composed GF(2) operator taking crc(A) to crc(A + len2 zero bytes) —
-    memoized because the chain applies the same tail length every link."""
-    odd = [0xEDB88320] + [1 << n for n in range(31)]
-    even = _gf2_square(odd)   # two bits
-    odd = _gf2_square(even)   # four bits
+    """Composed GF(2) operator taking crc(A) to crc(A + len2 zero bytes).
+
+    Tail lengths are data-dependent (chunk symbol counts), so per-length
+    memoization rarely hits; instead the power-of-two zero operators are
+    built once (_zero_byte_pows) and each length composes from its set
+    bits — popcount(len2) matrix products instead of ~2 squarings per bit
+    on every miss."""
+    pows = _zero_byte_pows()
     mat = [1 << n for n in range(32)]  # identity
     n = len2
-    while True:
-        even = _gf2_square(odd)
+    k = 0
+    while n:
         if n & 1:
-            mat = [_gf2_times(even, row) for row in mat]
+            mat = [_gf2_times(pows[k], row) for row in mat]
         n >>= 1
-        if not n:
-            break
-        odd = _gf2_square(even)
-        if n & 1:
-            mat = [_gf2_times(odd, row) for row in mat]
-        n >>= 1
-        if not n:
-            break
+        k += 1
     return tuple(mat)
 
 

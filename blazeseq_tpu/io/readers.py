@@ -267,9 +267,9 @@ class ParallelGzipReader:
         from .pugz import parallel_inflate_stream
 
         emitted = False
+        mm = self._load_compressed()
         try:
-            for part in parallel_inflate_stream(
-                    self._load_compressed(), self._parallelism):
+            for part in parallel_inflate_stream(mm, self._parallelism):
                 if self._stop.is_set():
                     return True
                 if part:
@@ -279,6 +279,14 @@ class ParallelGzipReader:
             if not emitted:
                 return False
             raise
+        finally:
+            # release the mapping promptly (it can span many GB of address
+            # space); numpy views created inside the stream hold their own
+            # reference via the buffer protocol
+            try:
+                mm.close()
+            except (BufferError, OSError):
+                pass
         return True
 
     def _load_compressed(self):
