@@ -98,14 +98,17 @@ def _build_native_runner(name: str = "run_fastq_native") -> str:
     compiled Mojo runners, benchmark/fastq-parser/run_blazeseq.mojo and
     benchmark/fasta-parser/run_blazeseq_fasta.mojo)."""
     src = os.path.join(REPO, "benchmark", "runners", name + ".cpp")
-    eng = os.path.join(REPO, "blazeseq_tpu", "native", "scan.cpp")
+    engines = [os.path.join(REPO, "blazeseq_tpu", "native", "scan.cpp")]
+    if name == "run_fastq_native":  # gzip mode links the inflate core
+        engines.append(os.path.join(REPO, "blazeseq_tpu", "native",
+                                    "pinflate.cpp"))
     out = os.path.join(_corpus_dir(), name)
-    newest = max(os.path.getmtime(src), os.path.getmtime(eng))
+    newest = max(os.path.getmtime(p) for p in [src] + engines)
     if os.path.exists(out) and os.path.getmtime(out) >= newest:
         return out
     if shutil.which("g++"):
-        r = subprocess.run(["g++", "-O3", "-march=native", "-o", out, src,
-                            eng], capture_output=True)
+        r = subprocess.run(["g++", "-O3", "-march=native", "-o", out, src]
+                           + engines + ["-lz"], capture_output=True)
         if r.returncode == 0:
             return out
     return ""
@@ -235,6 +238,16 @@ def workload_gzip(size_mb, reps):
                          gbps=plain_size / min(times) / 1e9,
                          records=records, base_pairs=bases))
         print("gzip/p%d: %.3fs" % (par, min(times)))
+    native = _build_native_runner()
+    if native:
+        times, out = _time_subprocess(_pin_prefix() + [native, corpus],
+                                      reps=reps)
+        records, bases = map(int, out.split())
+        rows.append(dict(mode="native_gz_count",
+                         mean_s=sum(times) / len(times), min_s=min(times),
+                         times=times, gbps=plain_size / min(times) / 1e9,
+                         records=records, base_pairs=bases))
+        print("gzip/native_gz_count: %.3fs" % min(times))
     comp = _build_competitor()
     if comp:
         times, out = _time_subprocess(_pin_prefix() + [comp, corpus],

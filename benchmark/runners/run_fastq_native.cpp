@@ -17,10 +17,82 @@
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
+#include <zlib.h>
 
-extern "C" int64_t bs_count_fastq(const uint8_t*, int64_t, int64_t, int32_t,
-                                  int32_t, uint8_t, uint8_t, int64_t*,
-                                  int64_t*, int32_t*, int32_t*);
+extern "C" {
+int64_t bs_count_fastq(const uint8_t*, int64_t, int64_t, int32_t, int32_t,
+                       uint8_t, uint8_t, int64_t*, int64_t*, int32_t*,
+                       int32_t*);
+int64_t pz_decode_chunk(const uint8_t*, int64_t, int64_t, int64_t, uint16_t*,
+                        int64_t, int64_t*, int32_t*, int32_t*);
+void pz_narrow(const uint16_t*, int64_t, uint8_t*);
+}
+
+// Inflate a whole (possibly multi-member) gzip buffer with the pinflate
+// decode core (single thread; from the true stream start no markers can
+// occur, so symbols narrow straight to bytes). Returns malloc'd plain
+// bytes + size, or NULL on error. CRC32 of each member is verified.
+static uint8_t* gunzip_all(const uint8_t* comp, int64_t n, int64_t* out_n) {
+  int64_t cap = n * 4 + (1 << 20);
+  uint8_t* plain = (uint8_t*)malloc((size_t)cap);
+  int64_t total = 0;
+  int64_t pos = 0;  // byte offset
+  while (pos + 18 <= n) {
+    if (comp[pos] != 0x1f || comp[pos + 1] != 0x8b || comp[pos + 2] != 8) {
+      free(plain);
+      return NULL;
+    }
+    const uint8_t flg = comp[pos + 3];
+    int64_t p = pos + 10;
+    if (flg & 4) {  // FEXTRA
+      if (p + 2 > n) { free(plain); return NULL; }
+      p += 2 + (comp[p] | (comp[p + 1] << 8));
+    }
+    if (flg & 8) while (p < n && comp[p++]) {}   // FNAME
+    if (flg & 16) while (p < n && comp[p++]) {}  // FCOMMENT
+    if (flg & 2) p += 2;                         // FHCRC
+    if (p >= n) { free(plain); return NULL; }
+    // decode the member's deflate stream
+    int64_t syms_cap = cap - total + 4096;
+    uint16_t* syms = (uint16_t*)malloc((size_t)syms_cap * 2);
+    int64_t end_bit = 0;
+    int32_t fin = 0, err = 0;
+    int64_t n_out = pz_decode_chunk(comp, n * 8, p * 8, n * 8, syms,
+                                    syms_cap, &end_bit, &fin, &err);
+    while (err == 4) {  // output capacity: grow and retry
+      free(syms);
+      syms_cap *= 2;
+      cap = total + syms_cap;
+      plain = (uint8_t*)realloc(plain, (size_t)cap);
+      syms = (uint16_t*)malloc((size_t)syms_cap * 2);
+      n_out = pz_decode_chunk(comp, n * 8, p * 8, n * 8, syms, syms_cap,
+                              &end_bit, &fin, &err);
+    }
+    if (err != 0 || !fin) { free(syms); free(plain); return NULL; }
+    if (total + n_out > cap) {
+      cap = total + n_out + (1 << 20);
+      plain = (uint8_t*)realloc(plain, (size_t)cap);
+    }
+    pz_narrow(syms, n_out, plain + total);
+    free(syms);
+    // trailer: CRC32 + ISIZE
+    const int64_t tpos = (end_bit + 7) / 8;
+    if (tpos + 8 > n) { free(plain); return NULL; }
+    uint32_t want_crc, want_isz;
+    memcpy(&want_crc, comp + tpos, 4);
+    memcpy(&want_isz, comp + tpos + 4, 4);
+    const uint32_t got_crc =
+        (uint32_t)crc32(0, plain + total, (uInt)n_out);
+    if (got_crc != want_crc || (uint32_t)n_out != want_isz) {
+      free(plain);
+      return NULL;
+    }
+    total += n_out;
+    pos = tpos + 8;
+  }
+  *out_n = total;
+  return plain;
+}
 
 int main(int argc, char** argv) {
   if (argc < 2) {
@@ -35,11 +107,26 @@ int main(int argc, char** argv) {
   if (fd < 0) { perror("open"); return 1; }
   struct stat st;
   if (fstat(fd, &st) != 0) { perror("fstat"); return 1; }
-  const int64_t n = (int64_t)st.st_size;
+  int64_t n = (int64_t)st.st_size;
   uint8_t* buf =
       (uint8_t*)mmap(nullptr, (size_t)n, PROT_READ, MAP_PRIVATE, fd, 0);
   if (buf == MAP_FAILED) { perror("mmap"); return 1; }
   madvise(buf, (size_t)n, MADV_SEQUENTIAL);
+
+  // .gz input: inflate with the pinflate core (CRC-verified), then count
+  int64_t nlen = (int64_t)strlen(argv[1]);
+  uint8_t* plain = NULL;
+  if (nlen > 3 && strcmp(argv[1] + nlen - 3, ".gz") == 0) {
+    int64_t pn = 0;
+    plain = gunzip_all(buf, n, &pn);
+    if (!plain) {
+      fprintf(stderr, "gzip decode failed\n");
+      return 1;
+    }
+    munmap(buf, (size_t)n);
+    buf = plain;
+    n = pn;
+  }
 
   // sanger schema bounds (matches the harness corpus)
   const uint8_t q_lower = 33, q_span = 126 - 33;
@@ -68,7 +155,10 @@ int main(int argc, char** argv) {
     if (te != 0) { fprintf(stderr, "tail parse error %d\n", te); return 1; }
   }
   printf("%lld %lld\n", (long long)records, (long long)bases);
-  munmap(buf, (size_t)n);
+  if (plain)
+    free(plain);
+  else
+    munmap(buf, (size_t)n);
   close(fd);
   return 0;
 }
