@@ -4,6 +4,13 @@ structural scanning, and Needleman-Wunsch alignment."""
 from .adapter import AdapterStats, adapter_content, adapter_content_cpu
 from .dedup import (duplication_levels, overrepresented_sequences,
                     read_hashes, read_hashes_cpu)
+from .demux import (demultiplex_counts, demultiplex_to_writers, demux_assign,
+                    demux_assign_host)
+from .merge import MergeResult, merge_pairs, merge_pairs_host
+from .tiles import (PerTileAccumulator, parse_illumina_tiles,
+                    per_tile_qual_sums)
+from .uniform_parse import (UniformLayout, UniformParseResult,
+                            detect_uniform_layout, uniform_parse)
 from .kmer import kmer_counts, kmer_counts_cpu
 from .common import length_mask, round_up, use_interpret
 from .nw import (needleman_wunsch_cpu, nw_scores, nw_scores_pallas,
