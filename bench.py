@@ -277,7 +277,8 @@ def main():
                 r = uniform_parse(
                     c, n_valid, jnp.int32(SANGER_SCHEMA.LOWER),
                     jnp.int32(SANGER_SCHEMA.UPPER), rs=lay.rs, o1=lay.o1,
-                    o2=lay.o2, o3=lay.o3, width=max_len)
+                    o2=lay.o2, o3=lay.o3, width=max_len,
+                    fused_checks=True)
                 st = stats_ops.qc_stats(r.seq, r.qual, r.lengths,
                                         jnp.int32(SANGER_SCHEMA.OFFSET),
                                         n_records=r.n_records)

@@ -103,16 +103,24 @@ class UniformParseResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("rs", "o1", "o2", "o3", "width", "check_ascii",
-                     "check_quality"))
+                     "check_quality", "fused_checks"))
 def uniform_parse(chunk, n_valid, q_lower, q_upper, *, rs: int, o1: int,
                   o2: int, o3: int, width: int, check_ascii: bool = True,
-                  check_quality: bool = True) -> UniformParseResult:
+                  check_quality: bool = True,
+                  fused_checks: bool = False) -> UniformParseResult:
     """Parse a (possibly zero-padded) uint8 chunk under a uniform layout.
 
     chunk: u8[n] with n a multiple of rs (caller pads with zeros; padded
     rows are excluded via n_valid). n_valid: i32 scalar, number of real
     bytes (must be a multiple of rs — callers slice chunks on record
     boundaries, which under a uniform layout are rs-multiples).
+
+    fused_checks=True folds the template / ASCII / quality-range proofs
+    into ONE elementwise pass + reduction (any violation reports as
+    template_ok=False; bad_ascii/bad_quality stay False). Every violation
+    class still rejects the chunk to the byte-exact host path — only the
+    diagnostic split is coarser. The bulk pipeline uses this; keep the
+    default for per-flag diagnostics.
     """
     n = chunk.shape[0]
     assert n % rs == 0, "chunk length must be padded to a multiple of rs"
@@ -123,31 +131,44 @@ def uniform_parse(chunk, n_valid, q_lower, q_upper, *, rs: int, o1: int,
     nrec_valid = (n_valid // rs).astype(jnp.int32)
     row_valid = row_idx < nrec_valid  # [nrec, 1]
 
-    # --- the proof: newline mask == column template, exactly ---------------
     col = jax.lax.broadcasted_iota(jnp.int32, (1, rs), 1)
     tmpl = (col == o1) | (col == o2) | (col == o3) | (col == rs - 1)
     nl = r2 == jnp.uint8(NEWLINE)
-    row_ok = jnp.all(nl == tmpl, axis=1, keepdims=True)
-    # marker columns ('@' header start, '+' separator start)
-    row_ok &= (r2[:, 0:1] == jnp.uint8(AT)) & (r2[:, o2 + 1 : o2 + 2]
-                                               == jnp.uint8(PLUS))
-    template_ok = jnp.all(row_ok | ~row_valid)
-
-    # --- validation (conservative whole-chunk prefilters, like the host
-    # AVX path: a trip means "re-parse on host for exact context") ---------
-    if check_ascii:
-        bad_ascii = jnp.any((r2 & jnp.uint8(0x80)).astype(bool)
-                            & row_valid)
-    else:
-        bad_ascii = jnp.asarray(False)
+    marker_ok = ((r2[:, 0:1] == jnp.uint8(AT))
+                 & (r2[:, o2 + 1 : o2 + 2] == jnp.uint8(PLUS)))
     qual_cols = r2[:, o3 + 1 : rs - 1]
-    if check_quality:
-        lo = q_lower.astype(jnp.uint8)
-        hi = q_upper.astype(jnp.uint8)
-        bad_quality = jnp.any(((qual_cols < lo) | (qual_cols > hi))
-                              & row_valid)
-    else:
+    lo = q_lower.astype(jnp.uint8)
+    hi = q_upper.astype(jnp.uint8)
+
+    if fused_checks:
+        bad = nl != tmpl
+        if check_ascii:
+            bad |= (r2 & jnp.uint8(0x80)) > 0
+        if check_quality:
+            in_qual = (col >= o3 + 1) & (col < rs - 1)
+            bad |= in_qual & ((r2 < lo) | (r2 > hi))
+        row_bad = jnp.any(bad, axis=1, keepdims=True) | ~marker_ok
+        template_ok = ~jnp.any(row_bad & row_valid)
+        bad_ascii = jnp.asarray(False)
         bad_quality = jnp.asarray(False)
+    else:
+        # --- the proof: newline mask == column template, exactly ----------
+        row_ok = jnp.all(nl == tmpl, axis=1, keepdims=True)
+        row_ok &= marker_ok
+        template_ok = jnp.all(row_ok | ~row_valid)
+
+        # --- validation (conservative whole-chunk prefilters, like the
+        # host AVX path: a trip means "re-parse on host for exact context")
+        if check_ascii:
+            bad_ascii = jnp.any((r2 & jnp.uint8(0x80)).astype(bool)
+                                & row_valid)
+        else:
+            bad_ascii = jnp.asarray(False)
+        if check_quality:
+            bad_quality = jnp.any(((qual_cols < lo) | (qual_cols > hi))
+                                  & row_valid)
+        else:
+            bad_quality = jnp.asarray(False)
 
     # --- padded SoA materialization ---------------------------------------
     w = min(seq_len, width)

@@ -138,6 +138,45 @@ def test_clamped_width():
                                   np.asarray(pb.seq)[:64])
 
 
+def test_fused_checks_parity_and_rejection():
+    """fused_checks=True must accept exactly what the detailed mode accepts
+    and reject every violation class (as template_ok=False)."""
+    import jax.numpy as jnp
+
+    buf = _mk(200, 60)
+    lay = detect_uniform_layout(buf)
+
+    def parse(b, fused):
+        arr = np.frombuffer(b, dtype=np.uint8)
+        pad = (-len(arr)) % lay.rs
+        if pad:
+            arr = np.concatenate([arr, np.zeros(pad, np.uint8)])
+        return uniform_parse(jnp.asarray(arr),
+                             jnp.int32(len(b) - (len(b) % lay.rs)),
+                             jnp.int32(33), jnp.int32(126),
+                             rs=lay.rs, o1=lay.o1, o2=lay.o2, o3=lay.o3,
+                             width=64, fused_checks=fused)
+
+    good = parse(buf, True)
+    assert bool(good.template_ok)
+    assert int(good.n_records) == 200
+    np.testing.assert_array_equal(np.asarray(good.seq),
+                                  np.asarray(parse(buf, False).seq))
+
+    for mutate in ("marker", "newline", "quality", "ascii"):
+        b = bytearray(buf)
+        if mutate == "marker":
+            b[17 * lay.rs] = ord("X")
+        elif mutate == "newline":
+            b[11 * lay.rs + lay.o1] = ord("A")  # newline overwritten
+        elif mutate == "quality":
+            b[9 * lay.rs + lay.o3 + 2] = 0x20
+        else:
+            b[5 * lay.rs + lay.o1 + 3] = 0xC8
+        res = parse(bytes(b), True)
+        assert not bool(res.template_ok), mutate
+
+
 def test_qc_stats_from_uniform_parse_match_host_pipeline():
     """End-to-end pipeline B parity: device-parsed batch through qc_stats
     equals the host-fed batch through the same step."""
