@@ -138,6 +138,111 @@ class QCModel:
     def run_file(self, path, parallelism: int = 4) -> QCReport:
         return self.run_reader(open_reader(path, parallelism=parallelism))
 
+    def run_file_device(self, path, chunk_mb: int = 256) -> QCReport:
+        """Pipeline B: raw bytes go straight to HBM and the TPU parses,
+        validates, and computes QC under the uniform-layout template proof
+        (ops/uniform_parse.py) — 13-17 GB/s/chip, no host byte work. Any
+        chunk that fails the proof, and everything after it, streams
+        through the exact host engine instead, so the report is always
+        byte-identical to run_file.
+
+        Covers core QC (stats panels). Adapters, duplication tracking,
+        alignment, and mesh sharding take the host path — call run_file.
+        Gzip inputs and non-uniform layouts silently use the host path."""
+        if (self.adapters or self.track_duplicates or self.mesh is not None
+                or self.align_to is not None):
+            raise ValueError(
+                "run_file_device covers core QC; use run_file for "
+                "adapters/duplicates/alignment/mesh")
+        import jax
+
+        from ..io.readers import MemoryReader, MmapReader
+        from ..ops.stats import qc_stats
+        from ..ops.uniform_parse import detect_uniform_layout, uniform_parse
+
+        p = str(path)
+        if p.endswith(".gz") or p.endswith(".bgz"):
+            return self.run_file(p)
+        reader = MmapReader(p)
+        data = reader.as_array()
+        if data is None or len(data) == 0:
+            return self.run_reader(reader)
+        lay = detect_uniform_layout(data)
+        if lay is None or lay.rs > chunk_mb << 19:
+            return self.run_reader(reader)
+        total = len(data)
+        csize = max((chunk_mb << 20) // lay.rs, 1) * lay.rs
+        width = self.max_read_len
+
+        @jax.jit
+        def uqc(c, n_valid):
+            r = uniform_parse(
+                c, n_valid, jnp.int32(self.schema.LOWER),
+                jnp.int32(self.schema.UPPER), rs=lay.rs, o1=lay.o1,
+                o2=lay.o2, o3=lay.o3, width=width,
+                check_ascii=self.check_ascii,
+                check_quality=self.check_quality, fused_checks=True)
+            st = qc_stats(r.seq, r.qual, r.lengths,
+                          jnp.int32(self.schema.OFFSET),
+                          n_records=r.n_records)
+            return r.template_ok, st
+
+        acc = QCAccumulator()
+        pos = 0
+        buf_np = np.zeros(csize, dtype=np.uint8)
+        while pos < total:
+            b = min(pos + csize, total)
+            n_valid = (b - pos) // lay.rs * lay.rs
+            if n_valid == 0:
+                break  # trailing partial record: host tail
+            buf_np[: b - pos] = data[pos:b]
+            buf_np[b - pos:] = 0
+            ok, st = uqc(jnp.asarray(buf_np), jnp.int32(n_valid))
+            if not bool(ok):
+                break  # proof failed: host engine from this boundary on
+            acc.add(st)
+            pos += n_valid
+        if pos < total:
+            # exact host engine for the remainder (pos is a proven record
+            # boundary: every accepted chunk ends at one). Structure-only
+            # host parse, validation on device via the fused step — the
+            # same division of labor as run_reader, so bad records COUNT
+            # as error_reads instead of raising.
+            parser = FastqParser(MemoryReader(data[pos:]),
+                                 config=ParserConfig())
+            parser.quality_schema = self.schema
+            for pb in parser.padded_batches(self.batch_size,
+                                            max_len=self.max_read_len,
+                                            pad_records_to=self.batch_size):
+                res = self._step(
+                    jnp.asarray(pb.seq), jnp.asarray(pb.qual),
+                    jnp.asarray(pb.lengths, dtype=jnp.int32),
+                    jnp.int32(pb.n_records),
+                    jnp.zeros(TPU_LANE, jnp.uint8),
+                    jnp.int32(self.schema.LOWER),
+                    jnp.int32(self.schema.UPPER),
+                    jnp.int32(self.schema.OFFSET))
+                acc.add(res.stats)
+        if acc.total is None:
+            from ..ops.stats import zero_stats
+
+            acc.add(zero_stats(self.max_read_len))
+        t = acc.total
+        return QCReport(
+            reads=int(t.reads),
+            bases=int(t.bases),
+            error_reads=int(t.error_reads),
+            gc_fraction=acc.gc_fraction(),
+            mean_quality=acc.mean_quality(),
+            base_counts=np.asarray(t.base_counts),
+            per_position_mean_quality=acc.per_position_mean_quality(),
+            qual_hist=np.asarray(t.qual_hist),
+            nw_scores=None,
+            length_hist=np.asarray(t.length_hist),
+            gc_hist=np.asarray(t.gc_hist),
+            mean_qual_hist=np.asarray(t.mean_qual_hist),
+        )
+
     def run_reader(self, reader) -> QCReport:
         parser = FastqParser(reader, config=ParserConfig())
         parser.quality_schema = self.schema

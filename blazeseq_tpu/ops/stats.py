@@ -83,10 +83,19 @@ def _row_partials_impl(mask, qual_phred, seq):
 
 
 def _masked_phred(qual, mask, offset):
-    off_u8 = offset.astype(jnp.uint8)
-    return jnp.minimum(
-        jnp.where(mask & (qual >= off_u8), qual - off_u8, jnp.uint8(0)),
-        jnp.uint8(MAX_PHRED - 1))
+    # COMPILER NOTE: the obvious all-uint8 formulation
+    # (min(where(mask & (qual >= off), qual - off, 0), 63) in u8) is
+    # miscompiled by XLA (jax 0.9.0) on BOTH cpu and tpu when `qual` is a
+    # fused strided producer (e.g. a column slice of a reshaped chunk, the
+    # device-parse pipeline): the subtraction is dropped and every masked
+    # lane clamps to MAX_PHRED-1. Doing the arithmetic in int32 and casting
+    # back compiles correctly everywhere; XLA still fuses it, and TPU VPU
+    # lanes are 32-bit anyway.
+    q = qual.astype(jnp.int32)
+    off = offset.astype(jnp.int32)
+    ph = jnp.minimum(jnp.where(mask & (q >= off), q - off, 0),
+                     MAX_PHRED - 1)
+    return ph.astype(jnp.uint8)
 
 
 @jax.jit
