@@ -33,8 +33,11 @@ _BIG = 1 << 30
 
 
 def _phred(qual, offset):
-    off = offset.astype(jnp.uint8)
-    return jnp.where(qual >= off, qual - off, jnp.uint8(0)).astype(jnp.int32)
+    # int32 arithmetic: the all-uint8 subtraction is miscompiled by XLA
+    # (jax 0.9.0) on fused strided producers — see stats._masked_phred
+    q = qual.astype(jnp.int32)
+    off = offset.astype(jnp.int32)
+    return jnp.where(q >= off, q - off, 0)
 
 
 @jax.jit

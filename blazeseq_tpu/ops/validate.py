@@ -45,7 +45,11 @@ def validate_decode_xla(seq, qual, lengths, q_lower, q_upper, offset,
     if check_ascii:
         bad_a = jnp.any(mask & (((seq | qual) & 0x80) != 0), axis=1)
         codes = jnp.where(bad_a, ASCII_INVALID, codes)
-    phred = jnp.where(mask, qual - offset.astype(jnp.uint8), jnp.uint8(0))
+    # int32 arithmetic, cast back: the all-uint8 subtraction is miscompiled
+    # by XLA (jax 0.9.0) when `qual` is a fused strided producer — see
+    # stats._masked_phred for the full note
+    phred = jnp.where(mask, qual.astype(jnp.int32) - offset.astype(jnp.int32),
+                      0).astype(jnp.uint8)
     return codes, phred
 
 
