@@ -14,6 +14,9 @@ takes argv paths) plus the ecosystem basics:
   fasta-count FILE      records/bases for FASTA
   faidx FILE            build FILE.fai (samtools-compatible)
   fetch FILE NAME [START END]   random-access FASTA subsequence via .fai
+  demux --barcode NAME=SEQ [...] [--mismatches K] [--out DIR] FILE
+                        split reads by 5' barcode (device Hamming
+                        assignment; 'N' in a barcode matches any base)
 """
 
 from __future__ import annotations
@@ -115,12 +118,66 @@ def _fetch(args):
         sys.stdout.write("\n")
 
 
+def _demux(args):
+    """demux --barcode NAME=SEQ [...] [--mismatches K] [--out DIR] FILE"""
+    import os
+
+    import blazeseq_tpu as bt
+    from blazeseq_tpu.io.writers import BufferedWriter, FileWriter
+    from blazeseq_tpu.ops.demux import demultiplex_to_writers
+
+    names = []
+    codes = []
+    max_mm = 1
+    out_dir = "."
+    paths = []
+    it = iter(args)
+    for a in it:
+        try:
+            if a == "--barcode":
+                spec = next(it)
+                name, _, seq = spec.partition("=")
+                if not seq:
+                    name, seq = "sample%d" % (len(names) + 1), name
+                names.append(name)
+                codes.append(seq.encode("ascii"))
+            elif a == "--mismatches":
+                max_mm = int(next(it))
+            elif a == "--out":
+                out_dir = next(it)
+            else:
+                paths.append(a)
+        except StopIteration:
+            print("usage: demux --barcode NAME=SEQ [...] [--mismatches K]"
+                  " [--out DIR] FILE", file=sys.stderr)
+            raise SystemExit(2)
+    if not codes or not paths:
+        print("usage: demux --barcode NAME=SEQ [...] [--mismatches K]"
+              " [--out DIR] FILE", file=sys.stderr)
+        raise SystemExit(2)
+    os.makedirs(out_dir, exist_ok=True)
+    for path in paths:
+        writers = [BufferedWriter(FileWriter(
+            os.path.join(out_dir, "%s.fastq" % n))) for n in names]
+        un = BufferedWriter(FileWriter(
+            os.path.join(out_dir, "unassigned.fastq")))
+        parser = bt.FastqParser(bt.open_reader(path))
+        totals = demultiplex_to_writers(parser, codes, writers,
+                                        unassigned_writer=un,
+                                        max_mismatches=max_mm)
+        for w in writers + [un]:
+            w.close()
+        for n, t in zip(names + ["unassigned"], totals):
+            print("%s\t%s\t%d" % (path, n, t))
+
+
 _COMMANDS = {
     "count": _count,
     "stats": _stats,
     "fasta-count": _fasta_count,
     "faidx": _faidx,
     "fetch": _fetch,
+    "demux": _demux,
 }
 
 
