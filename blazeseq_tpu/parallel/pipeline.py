@@ -212,3 +212,63 @@ def run_qc_align(padded_batch, ref: bytes, schema, mesh: Optional[Mesh] = None,
     return step(seq, qual, lengths, jnp.int32(padded_batch.n_records), refv,
                 jnp.int32(schema.LOWER), jnp.int32(schema.UPPER),
                 jnp.int32(schema.OFFSET))
+
+
+def build_uniform_qc_step(mesh: Optional[Mesh], layout, *,
+                          width: int = 128, check_ascii: bool = True,
+                          check_quality: bool = True,
+                          axis_name: str = DP_AXIS):
+    """Sharded pipeline-B step: device-side uniform-template FASTQ parsing
+    + QC over a mesh (SURVEY §2.5 multi-host scaling applied to the
+    raw-bytes ingest path).
+
+    Returns fn(chunk u8[n], n_valid i32[], q_lower i32[], q_upper i32[],
+               offset i32[]) -> (n_records i32[], bases i32[], ok bool[],
+               QCStats). `n` must be a multiple of layout.rs * mesh.size;
+    the chunk is sharded on the (implicit) record dimension — each device
+    proves the template and computes stats for its row range, scalars and
+    histograms psum over ICI. Every violation rejects (ok=False) exactly
+    like the single-device path, so the host fallback contract carries
+    over unchanged."""
+    from ..ops.uniform_parse import uniform_parse
+
+    rs = layout.rs
+
+    def _local(chunk, n_valid, q_lower, q_upper, offset):
+        if mesh is not None:
+            idx = jax.lax.axis_index(axis_name)
+            rows_local = chunk.shape[0] // rs
+            # rows before this shard; local valid rows within [0, rows_local]
+            start = idx.astype(jnp.int32) * rows_local
+            nrec_valid = (n_valid // rs).astype(jnp.int32)
+            local_valid = jnp.clip(nrec_valid - start, 0, rows_local)
+            local_n_valid = local_valid * rs
+        else:
+            local_n_valid = n_valid
+        r = uniform_parse(chunk, local_n_valid, q_lower, q_upper,
+                          rs=rs, o1=layout.o1, o2=layout.o2, o3=layout.o3,
+                          width=width, check_ascii=check_ascii,
+                          check_quality=check_quality, fused_checks=True)
+        st = stats_ops.qc_stats(r.seq, r.qual, r.lengths, offset,
+                                n_records=r.n_records)
+        ok = r.template_ok
+        n_rec = r.n_records
+        bases = r.bases
+        if mesh is not None:
+            st = jax.lax.psum(st, axis_name)
+            ok = jax.lax.pmin(ok.astype(jnp.int32), axis_name) > 0
+            n_rec = jax.lax.psum(n_rec, axis_name)
+            bases = jax.lax.psum(bases, axis_name)
+        return n_rec, bases, ok, st
+
+    if mesh is None:
+        return jax.jit(_local)
+    stats_specs = jax.tree.map(lambda _: P(), stats_ops.zero_stats(1))
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), stats_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

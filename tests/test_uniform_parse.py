@@ -196,3 +196,59 @@ def test_qc_stats_from_uniform_parse_match_host_pipeline():
                                  n_records=jnp.int32(pb.n_records))
     for a, b in zip(st_dev, st_host):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_uniform_qc_matches_single_device():
+    """build_uniform_qc_step over a dp mesh: sharded device parsing + psum
+    QC must equal the single-device step exactly. Runs in a clean
+    subprocess (the axon harness binds the real single TPU at interpreter
+    start; the virtual 8-CPU mesh needs a fresh interpreter)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+import blazeseq_tpu as bt
+from blazeseq_tpu.ops.uniform_parse import detect_uniform_layout
+from blazeseq_tpu.parallel.mesh import make_mesh
+from blazeseq_tpu.parallel.pipeline import build_uniform_qc_step
+
+n_dev = 4
+mesh = make_mesh(n_dev)
+buf = bytes(bt.generate_synthetic_fastq_buffer(640, 72, 72, 2, 40, "sanger"))
+lay = detect_uniform_layout(buf)
+unit = lay.rs * n_dev
+pad = (-len(buf)) % unit
+arr = np.concatenate([np.frombuffer(buf, np.uint8), np.zeros(pad, np.uint8)])
+n_valid = jnp.int32(len(buf))
+args = (jnp.asarray(arr), n_valid, jnp.int32(33), jnp.int32(126),
+        jnp.int32(33))
+single = build_uniform_qc_step(None, lay, width=128)
+n1, b1, ok1, st1 = single(*args)
+sharded = build_uniform_qc_step(mesh, lay, width=128)
+n2, b2, ok2, st2 = sharded(*args)
+assert bool(ok1) and bool(ok2)
+assert int(n1) == int(n2) == 640
+assert int(b1) == int(b2) == 640 * 72
+for a, b in zip(st1, st2):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+bad = bytearray(buf)
+bad[500 * lay.rs] = ord("X")
+arr2 = np.concatenate([np.frombuffer(bytes(bad), np.uint8),
+                       np.zeros(pad, np.uint8)])
+_, _, ok3, _ = sharded(jnp.asarray(arr2), n_valid, jnp.int32(33),
+                       jnp.int32(126), jnp.int32(33))
+assert not bool(ok3)
+print("SHARDED-UNIFORM-OK")
+"""
+    r = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SHARDED-UNIFORM-OK" in r.stdout
