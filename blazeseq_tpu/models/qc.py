@@ -106,6 +106,27 @@ class QCReport:
         return d
 
 
+class _ChainedReader:
+    """Reader serving buffered leftover bytes first, then an inner reader
+    (used to hand a partially-consumed stream to the host parser)."""
+
+    def __init__(self, leftover: bytes, inner):
+        self._left = memoryview(leftover)
+        self._pos = 0
+        self._inner = inner
+
+    def readinto(self, mv) -> int:
+        if self._pos < len(self._left):
+            n = min(len(mv), len(self._left) - self._pos)
+            mv[:n] = self._left[self._pos : self._pos + n]
+            self._pos += n
+            return n
+        return self._inner.readinto(mv)
+
+    def close(self) -> None:
+        self._inner.close()
+
+
 class QCModel:
     """Streaming QC (and optional alignment) engine."""
 
@@ -138,17 +159,19 @@ class QCModel:
     def run_file(self, path, parallelism: int = 4) -> QCReport:
         return self.run_reader(open_reader(path, parallelism=parallelism))
 
-    def run_file_device(self, path, chunk_mb: int = 256) -> QCReport:
+    def run_file_device(self, path, chunk_mb: int = 256,
+                        parallelism: int = 4) -> QCReport:
         """Pipeline B: raw bytes go straight to HBM and the TPU parses,
         validates, and computes QC under the uniform-layout template proof
         (ops/uniform_parse.py) — 13-17 GB/s/chip, no host byte work. Any
         chunk that fails the proof, and everything after it, streams
         through the exact host engine instead, so the report is always
-        byte-identical to run_file.
+        byte-identical to run_file. Gzip inputs decompress on the host
+        (parallel inflate) and feed the same device parser.
 
         Covers core QC (stats panels). Adapters, duplication tracking,
         alignment, and mesh sharding take the host path — call run_file.
-        Gzip inputs and non-uniform layouts silently use the host path."""
+        Non-uniform layouts silently use the host path."""
         if (self.adapters or self.track_duplicates or self.mesh is not None
                 or self.align_to is not None):
             raise ValueError(
@@ -162,7 +185,7 @@ class QCModel:
 
         p = str(path)
         if p.endswith(".gz") or p.endswith(".bgz"):
-            return self.run_file(p)
+            return self._run_stream_device(p, chunk_mb, parallelism)
         reader = MmapReader(p)
         data = reader.as_array()
         if data is None or len(data) == 0:
@@ -211,18 +234,48 @@ class QCModel:
             parser = FastqParser(MemoryReader(data[pos:]),
                                  config=ParserConfig())
             parser.quality_schema = self.schema
-            for pb in parser.padded_batches(self.batch_size,
-                                            max_len=self.max_read_len,
-                                            pad_records_to=self.batch_size):
-                res = self._step(
-                    jnp.asarray(pb.seq), jnp.asarray(pb.qual),
-                    jnp.asarray(pb.lengths, dtype=jnp.int32),
-                    jnp.int32(pb.n_records),
-                    jnp.zeros(TPU_LANE, jnp.uint8),
-                    jnp.int32(self.schema.LOWER),
-                    jnp.int32(self.schema.UPPER),
-                    jnp.int32(self.schema.OFFSET))
-                acc.add(res.stats)
+            self._host_consume(parser, acc)
+        return self._report_from_acc(acc)
+
+    def _device_uqc(self, lay, width):
+        """Build the jitted device uniform-parse + QC step for a layout."""
+        import jax
+
+        from ..ops.stats import qc_stats
+        from ..ops.uniform_parse import uniform_parse
+
+        @jax.jit
+        def uqc(c, n_valid):
+            r = uniform_parse(
+                c, n_valid, jnp.int32(self.schema.LOWER),
+                jnp.int32(self.schema.UPPER), rs=lay.rs, o1=lay.o1,
+                o2=lay.o2, o3=lay.o3, width=width,
+                check_ascii=self.check_ascii,
+                check_quality=self.check_quality, fused_checks=True)
+            st = qc_stats(r.seq, r.qual, r.lengths,
+                          jnp.int32(self.schema.OFFSET),
+                          n_records=r.n_records)
+            return r.template_ok, st
+
+        return uqc
+
+    def _host_consume(self, parser, acc) -> None:
+        """Core-QC host loop: structure-only host parse, validation +
+        stats on device (the run_reader division of labor)."""
+        for pb in parser.padded_batches(self.batch_size,
+                                        max_len=self.max_read_len,
+                                        pad_records_to=self.batch_size):
+            res = self._step(
+                jnp.asarray(pb.seq), jnp.asarray(pb.qual),
+                jnp.asarray(pb.lengths, dtype=jnp.int32),
+                jnp.int32(pb.n_records),
+                jnp.zeros(TPU_LANE, jnp.uint8),
+                jnp.int32(self.schema.LOWER),
+                jnp.int32(self.schema.UPPER),
+                jnp.int32(self.schema.OFFSET))
+            acc.add(res.stats)
+
+    def _report_from_acc(self, acc) -> QCReport:
         if acc.total is None:
             from ..ops.stats import zero_stats
 
@@ -242,6 +295,69 @@ class QCModel:
             gc_hist=np.asarray(t.gc_hist),
             mean_qual_hist=np.asarray(t.mean_qual_hist),
         )
+
+    def _run_stream_device(self, path, chunk_mb: int,
+                           parallelism: int) -> QCReport:
+        """Pipeline B over a compressed stream: host decompresses (parallel
+        inflate for gzip), decompressed bytes accumulate into rs-aligned
+        chunks and feed the device uniform parser; any proof failure (or a
+        non-uniform head) routes the remaining stream through the exact
+        host engine."""
+        from ..ops.uniform_parse import detect_uniform_layout
+
+        reader = open_reader(path, parallelism=parallelism)
+        acc = QCAccumulator()
+        head = bytearray()
+        scratch = bytearray(1 << 16)
+        while len(head) < (1 << 16):
+            n = reader.readinto(memoryview(scratch))
+            if n == 0:
+                break
+            head += scratch[:n]
+        lay = detect_uniform_layout(bytes(head))
+        if lay is None or lay.rs > chunk_mb << 19:
+            parser = FastqParser(_ChainedReader(bytes(head), reader),
+                                 config=ParserConfig())
+            parser.quality_schema = self.schema
+            self._host_consume(parser, acc)
+            return self._report_from_acc(acc)
+        csize = max((chunk_mb << 20) // lay.rs, 1) * lay.rs
+        uqc = self._device_uqc(lay, self.max_read_len)
+        buf = np.zeros(csize, dtype=np.uint8)
+        fill = len(head)
+        buf[:fill] = np.frombuffer(bytes(head), np.uint8)
+        eof = False
+        rejected = False
+        while True:
+            while fill < csize and not eof:
+                n = reader.readinto(memoryview(buf.data)[fill:])
+                if n == 0:
+                    eof = True
+                else:
+                    fill += n
+            n_valid = fill // lay.rs * lay.rs
+            if n_valid == 0:
+                break
+            if fill < csize:
+                buf[fill:] = 0
+            ok, st = uqc(jnp.asarray(buf), jnp.int32(n_valid))
+            if not bool(ok):
+                rejected = True
+                break
+            acc.add(st)
+            rem = fill - n_valid
+            if rem:
+                buf[:rem] = buf[n_valid:fill]
+            fill = rem
+            if eof and fill == 0:
+                break
+        if fill or not eof or rejected:
+            parser = FastqParser(
+                _ChainedReader(bytes(buf[:fill]), reader),
+                config=ParserConfig())
+            parser.quality_schema = self.schema
+            self._host_consume(parser, acc)
+        return self._report_from_acc(acc)
 
     def run_reader(self, reader) -> QCReport:
         parser = FastqParser(reader, config=ParserConfig())

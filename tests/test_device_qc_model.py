@@ -73,3 +73,32 @@ def test_device_rejects_unsupported_features(tmp_path):
     m = QCModel(adapters=[b"AGATCGGAAGAG"])
     with pytest.raises(ValueError):
         m.run_file_device(path)
+
+
+def test_device_gzip_stream_matches_host(tmp_path):
+    import gzip as _gz
+
+    path, buf = _mk_file(tmp_path, n=2500, L=64, name="z.fastq")
+    gz_path = str(tmp_path / "z.fastq.gz")
+    with open(gz_path, "wb") as f:
+        f.write(_gz.compress(buf, 5))
+    m = QCModel(quality_schema="sanger", check_quality=True,
+                max_read_len=64)
+    host = m.run_file(gz_path)
+    dev = m.run_file_device(gz_path, chunk_mb=1)
+    assert dev.reads == 2500
+    _reports_equal(host, dev)
+
+
+def test_device_gzip_nonuniform_falls_back(tmp_path):
+    import gzip as _gz
+
+    buf = bytes(bt.generate_synthetic_fastq_buffer(400, 30, 90, 2, 40,
+                                                   "sanger"))
+    gz_path = str(tmp_path / "r.fastq.gz")
+    with open(gz_path, "wb") as f:
+        f.write(_gz.compress(buf, 5))
+    m = QCModel(quality_schema="sanger", max_read_len=128)
+    host = m.run_file(gz_path)
+    dev = m.run_file_device(gz_path)
+    _reports_equal(host, dev)
