@@ -5,12 +5,14 @@ takes argv paths) plus the ecosystem basics:
 
   count FILE [...]      records and base_pairs per FASTQ file (the benchmark
                         runner contract, run_blazeseq.mojo:3-5)
-  stats [--adapter SEQ ...] [--duplicates] [--json] FILE [...]
+  stats [--adapter SEQ ...] [--duplicates] [--json] [--device] FILE [...]
                         device QC report (reads, bases, GC, mean quality,
                         distribution panels) — uses the TPU when attached;
                         --adapter adds FastQC adapter-content scans,
                         --duplicates profiles duplication levels and
-                        overrepresented sequences
+                        overrepresented sequences; --device parses on the
+                        TPU (pipeline B: uniform-template proof with exact
+                        host fallback; core QC only)
   fasta-count FILE      records/bases for FASTA
   faidx FILE            build FILE.fai (samtools-compatible)
   fetch FILE NAME [START END]   random-access FASTA subsequence via .fai
@@ -46,6 +48,7 @@ def _stats(args):
     adapters = []
     duplicates = False
     as_json = False
+    device_ingest = False
     paths = []
     it = iter(args)
     for a in it:
@@ -60,13 +63,16 @@ def _stats(args):
             duplicates = True
         elif a == "--json":
             as_json = True
+        elif a == "--device":
+            device_ingest = True
         else:
             paths.append(a)
     for path in paths:
         qc = QCModel(quality_schema="sanger", check_ascii=True,
                      check_quality=True, adapters=adapters or None,
                      track_duplicates=duplicates)
-        report = qc.run_file(path)
+        report = (qc.run_file_device(path) if device_ingest
+                  else qc.run_file(path))
         if as_json:
             import json
 

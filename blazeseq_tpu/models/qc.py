@@ -195,6 +195,8 @@ class QCModel:
             return self.run_reader(reader)
         total = len(data)
         csize = max((chunk_mb << 20) // lay.rs, 1) * lay.rs
+        # never allocate a chunk larger than the (rs-rounded) input
+        csize = min(csize, -(-total // lay.rs) * lay.rs)
         width = self.max_read_len
 
         @jax.jit
@@ -309,9 +311,11 @@ class QCModel:
         acc = QCAccumulator()
         head = bytearray()
         scratch = bytearray(1 << 16)
+        head_eof = False
         while len(head) < (1 << 16):
             n = reader.readinto(memoryview(scratch))
             if n == 0:
+                head_eof = True
                 break
             head += scratch[:n]
         lay = detect_uniform_layout(bytes(head))
@@ -322,6 +326,9 @@ class QCModel:
             self._host_consume(parser, acc)
             return self._report_from_acc(acc)
         csize = max((chunk_mb << 20) // lay.rs, 1) * lay.rs
+        # a stream that ended within the head peek bounds the chunk too
+        if head_eof:
+            csize = max(min(csize, -(-len(head) // lay.rs) * lay.rs), lay.rs)
         uqc = self._device_uqc(lay, self.max_read_len)
         buf = np.zeros(csize, dtype=np.uint8)
         fill = len(head)
