@@ -114,14 +114,13 @@ def _build_native_runner(name: str = "run_fastq_native") -> str:
     return ""
 
 
-def _build_competitor() -> str:
-    """Build the same-host kseq-class C baseline (reference methodology:
-    cross-parser head-to-head with enforced count agreement,
+def _build_competitor(name: str = "kseq_class_runner") -> str:
+    """Build a same-host C baseline (reference methodology: cross-parser
+    head-to-head with enforced count agreement,
     /root/reference/benchmark/fastq-parser/bench.py:113-156). Returns the
     binary path or '' when no C compiler is available."""
-    src = os.path.join(REPO, "benchmark", "competitors",
-                       "kseq_class_runner.c")
-    out = os.path.join(_corpus_dir(), "kseq_class_runner")
+    src = os.path.join(REPO, "benchmark", "competitors", name + ".c")
+    out = os.path.join(_corpus_dir(), name)
     if (os.path.exists(out)
             and os.path.getmtime(out) >= os.path.getmtime(src)):
         return out
@@ -208,17 +207,20 @@ def workload_parser(size_mb, reps):
                              records=records, base_pairs=bases))
             print("parser/%s: %.3fs (%.2f GB/s)"
                   % (name, min(times), size / min(times) / 1e9))
-    comp = _build_competitor()
-    if comp:
+    for cname, label in (("kseq_class_runner", "kseq_class_c"),
+                         ("seqio_class_runner", "seqio_class_c")):
+        comp = _build_competitor(cname)
+        if not comp:
+            continue
         times, out = _time_subprocess(_pin_prefix() + [comp, corpus],
                                       reps=reps)
         records, bases = map(int, out.split())
-        rows.append(dict(mode="kseq_class_c", mean_s=sum(times) / len(times),
+        rows.append(dict(mode=label, mean_s=sum(times) / len(times),
                          min_s=min(times), times=times,
                          gbps=size / min(times) / 1e9,
                          records=records, base_pairs=bases))
-        print("parser/kseq_class_c: %.3fs (%.2f GB/s)"
-              % (min(times), size / min(times) / 1e9))
+        print("parser/%s: %.3fs (%.2f GB/s)"
+              % (label, min(times), size / min(times) / 1e9))
     _check_agreement(rows)
     _record("parser", rows, size)
 
