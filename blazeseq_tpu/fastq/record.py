@@ -162,20 +162,28 @@ _CBased: tuple = ()
 if _C is not None:
     # C-native storage (native/records_ext.c): Record is one variable-size
     # object holding all three byte spans (single allocation per record);
-    # View is a zero-copy triple of (owner, ptr, len) references. The
-    # `_id/_sequence/_quality/_phred_offset` attributes the shared API
-    # reads are C getsets, so every _RecordBase method works unchanged.
-    class FastqView(_C.View, _ViewMixin, _RecordBase):  # type: ignore[misc]
-        """Zero-copy record view into the parser buffer. Invalidated by the
-        next parser read; copy with .to_record() to store."""
+    # View is a zero-copy triple of (owner, ptr, len) references. The FULL
+    # record/view API lives on the C types themselves (no Python subclass:
+    # plain C types allocate without heap-subclass/GC machinery, ~30%
+    # faster per object); the three Python-flavored pieces (Definition
+    # construction, numpy phred decode, from_string parsing) are
+    # registered as helper callables.
+    def _phred_helper(qual_bytes: bytes, offset: int):
+        q = np.frombuffer(qual_bytes, dtype=np.uint8)
+        return q - np.uint8(offset)
 
-        __slots__ = ()
+    def _from_string_helper(cls, fast_str: str):
+        """Build from one 4-line string; the plus line is discarded
+        (reference: record.mojo:293-303)."""
+        seqs = fast_str.strip().split("\n")
+        if len(seqs) > 4:
+            raise ValueError("Sequence does not seem to be valid")
+        return cls(seqs[0].strip(), seqs[1].strip(), seqs[3].strip(),
+                   phred_offset=33)
 
-    class FastqRecord(_C.Record, _RecordMixin, _RecordBase):  # type: ignore[misc]
-        """Owned FASTQ record (single-block C storage)."""
-
-        __slots__ = ()
-
+    _C.set_helpers(_definition_from_id, _phred_helper, _from_string_helper)
+    FastqView = _C.View
+    FastqRecord = _C.Record
     _CBased = (_C.Record, _C.View)
 else:
     class FastqView(_ViewMixin, _RecordBase):  # type: ignore[no-redef]

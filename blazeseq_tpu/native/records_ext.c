@@ -31,6 +31,14 @@
 /* POSIX whitespace per the reference strip set (utils.mojo:223-242) */
 static unsigned char WS[256];
 
+/* Python-side helpers registered by fastq/record.py after import
+ * (np.frombuffer-based phred decode, Definition construction,
+ * from_string parsing) — lets the C types expose the full Python API
+ * without circular imports. */
+static PyObject *H_definition = NULL;   /* f(id_bytes) -> Definition */
+static PyObject *H_phred = NULL;        /* f(qual_bytes, offset) -> ndarray */
+static PyObject *H_from_string = NULL;  /* f(cls, str) -> record */
+
 static void init_ws(void) {
     memset(WS, 0, sizeof(WS));
     WS[' '] = WS['\t'] = WS['\n'] = WS['\v'] = WS['\f'] = WS['\r'] = 1;
@@ -159,6 +167,149 @@ static PyObject *Rec_byte_len(RecObj *self, PyObject *_) {
 
 static Py_ssize_t Rec_length(RecObj *self) { return self->seq_len; }
 
+static PyObject *Rec_to_bytes_raw(const char *id, Py_ssize_t idl,
+                                  const char *seq, Py_ssize_t seql,
+                                  const char *qual, Py_ssize_t quall) {
+    /* '@' + id + '\n' + seq + '\n' + "+\n" + qual + '\n' */
+    const Py_ssize_t total = 1 + idl + 1 + seql + 1 + 2 + quall + 1;
+    PyObject *b = PyBytes_FromStringAndSize(NULL, total);
+    if (!b) return NULL;
+    char *d = PyBytes_AS_STRING(b);
+    *d++ = '@';
+    memcpy(d, id, (size_t)idl); d += idl;
+    *d++ = '\n';
+    memcpy(d, seq, (size_t)seql); d += seql;
+    *d++ = '\n'; *d++ = '+'; *d++ = '\n';
+    memcpy(d, qual, (size_t)quall); d += quall;
+    *d++ = '\n';
+    return b;
+}
+
+static PyObject *generic_write(PyObject *self, PyObject *writer) {
+    PyObject *b = PyObject_CallMethod(self, "to_bytes", NULL);
+    if (!b) return NULL;
+    PyObject *r = PyObject_CallMethod(writer, "write_bytes", "O", b);
+    Py_DECREF(b);
+    if (!r) return NULL;
+    Py_DECREF(r);
+    Py_RETURN_NONE;
+}
+
+static PyObject *generic_repr(PyObject *self) {
+    PyObject *b = PyObject_CallMethod(self, "to_bytes", NULL);
+    if (!b) return NULL;
+    PyObject *u = PyUnicode_DecodeUTF8(PyBytes_AS_STRING(b),
+                                       PyBytes_GET_SIZE(b), "replace");
+    Py_DECREF(b);
+    return u;
+}
+
+static PyObject *generic_definition(PyObject *self, PyObject *noarg) {
+    if (!H_definition) {
+        PyErr_SetString(PyExc_RuntimeError, "helpers not registered");
+        return NULL;
+    }
+    PyObject *idb = PyObject_CallMethod(self, "id_bytes", NULL);
+    if (!idb) return NULL;
+    PyObject *r = PyObject_CallOneArg(H_definition, idb);
+    Py_DECREF(idb);
+    return r;
+}
+
+static PyObject *generic_phred(PyObject *self, PyObject *args,
+                               PyObject *kwds) {
+    static char *kwlist[] = {"offset", NULL};
+    PyObject *off = Py_None;
+    if (!PyArg_ParseTupleAndKeywords(args, kwds, "|O", kwlist, &off))
+        return NULL;
+    if (!H_phred) {
+        PyErr_SetString(PyExc_RuntimeError, "helpers not registered");
+        return NULL;
+    }
+    PyObject *qb = PyObject_CallMethod(self, "quality_bytes", NULL);
+    if (!qb) return NULL;
+    PyObject *offv = off;
+    if (off == Py_None) {
+        offv = PyObject_GetAttrString(self, "_phred_offset");
+        if (!offv) { Py_DECREF(qb); return NULL; }
+    } else {
+        Py_INCREF(offv);
+    }
+    PyObject *r = PyObject_CallFunctionObjArgs(H_phred, qb, offv, NULL);
+    Py_DECREF(qb);
+    Py_DECREF(offv);
+    return r;
+}
+
+static PyObject *generic_from_string(PyObject *cls, PyObject *arg) {
+    if (!H_from_string) {
+        PyErr_SetString(PyExc_RuntimeError, "helpers not registered");
+        return NULL;
+    }
+    return PyObject_CallFunctionObjArgs(H_from_string, cls, arg, NULL);
+}
+
+static PyObject *decode_method(PyObject *self, const char *meth) {
+    PyObject *b = PyObject_CallMethod(self, meth, NULL);
+    if (!b) return NULL;
+    PyObject *u = PyUnicode_DecodeUTF8(PyBytes_AS_STRING(b),
+                                       PyBytes_GET_SIZE(b), "replace");
+    Py_DECREF(b);
+    return u;
+}
+
+static PyObject *Rec_id_str(PyObject *self, PyObject *_) {
+    return decode_method(self, "id_bytes");
+}
+static PyObject *Rec_seq_str(PyObject *self, PyObject *_) {
+    return decode_method(self, "sequence_bytes");
+}
+static PyObject *Rec_qual_str(PyObject *self, PyObject *_) {
+    return decode_method(self, "quality_bytes");
+}
+
+static PyObject *Rec_to_bytes(RecObj *self, PyObject *_) {
+    return Rec_to_bytes_raw(self->data, self->id_len,
+                            self->data + self->id_len, self->seq_len,
+                            self->data + self->id_len + self->seq_len,
+                            self->qual_len);
+}
+
+static Py_hash_t Rec_hash(RecObj *self) {
+    PyObject *b = Rec_get_seq(self, NULL);
+    if (!b) return -1;
+    Py_hash_t h = PyObject_Hash(b);
+    Py_DECREF(b);
+    return h;
+}
+
+/* equality on sequence bytes, accepting any record/view-like object with a
+ * `_sequence` attribute (pure-Python variants included) */
+static PyObject *seq_richcompare(PyObject *self, PyObject *other, int op) {
+    if (op != Py_EQ && op != Py_NE) Py_RETURN_NOTIMPLEMENTED;
+    PyObject *os = PyObject_GetAttrString(other, "_sequence");
+    if (!os) {
+        PyErr_Clear();
+        if (op == Py_EQ) Py_RETURN_FALSE;
+        Py_RETURN_TRUE;
+    }
+    PyObject *ob = PyBytes_FromObject(os);
+    Py_DECREF(os);
+    if (!ob) return NULL;
+    PyObject *ms = PyObject_GetAttrString(self, "_sequence");
+    if (!ms) { Py_DECREF(ob); return NULL; }
+    PyObject *mb = PyBytes_FromObject(ms);
+    Py_DECREF(ms);
+    if (!mb) { Py_DECREF(ob); return NULL; }
+    const int eq = (PyBytes_GET_SIZE(mb) == PyBytes_GET_SIZE(ob)
+                    && memcmp(PyBytes_AS_STRING(mb), PyBytes_AS_STRING(ob),
+                              (size_t)PyBytes_GET_SIZE(mb)) == 0);
+    Py_DECREF(mb);
+    Py_DECREF(ob);
+    if ((op == Py_EQ) == (eq != 0)) Py_RETURN_TRUE;
+    Py_RETURN_FALSE;
+}
+
 static PyGetSetDef Rec_getsets[] = {
     {"_id", (getter)Rec_get_id, NULL, "id bytes", NULL},
     {"_sequence", (getter)Rec_get_seq, NULL, "sequence bytes", NULL},
@@ -172,6 +323,16 @@ static PyMethodDef Rec_methods[] = {
     {"sequence_bytes", (PyCFunction)Rec_seq_bytes, METH_NOARGS, NULL},
     {"quality_bytes", (PyCFunction)Rec_qual_bytes, METH_NOARGS, NULL},
     {"byte_len", (PyCFunction)Rec_byte_len, METH_NOARGS, NULL},
+    {"id", (PyCFunction)Rec_id_str, METH_NOARGS, NULL},
+    {"sequence", (PyCFunction)Rec_seq_str, METH_NOARGS, NULL},
+    {"quality", (PyCFunction)Rec_qual_str, METH_NOARGS, NULL},
+    {"to_bytes", (PyCFunction)Rec_to_bytes, METH_NOARGS, NULL},
+    {"write", (PyCFunction)generic_write, METH_O, NULL},
+    {"definition", (PyCFunction)generic_definition, METH_NOARGS, NULL},
+    {"phred_scores", (PyCFunction)generic_phred,
+     METH_VARARGS | METH_KEYWORDS, NULL},
+    {"from_string", (PyCFunction)generic_from_string,
+     METH_O | METH_CLASS, NULL},
     {NULL},
 };
 
@@ -181,12 +342,15 @@ static PySequenceMethods Rec_as_seq = {
 
 static PyTypeObject RecType = {
     PyVarObject_HEAD_INIT(NULL, 0)
-    .tp_name = "blazeseq_tpu.native._records.Record",
+    .tp_name = "blazeseq_tpu.FastqRecord",
     .tp_basicsize = offsetof(RecObj, data),
     .tp_itemsize = 1,
+    .tp_repr = generic_repr,
     .tp_as_sequence = &Rec_as_seq,
+    .tp_hash = (hashfunc)Rec_hash,
     .tp_flags = Py_TPFLAGS_DEFAULT | Py_TPFLAGS_BASETYPE,
     .tp_doc = "Owned FASTQ record (single-block C storage).",
+    .tp_richcompare = seq_richcompare,
     .tp_methods = Rec_methods,
     .tp_getset = Rec_getsets,
     .tp_new = Rec_new,
@@ -304,11 +468,35 @@ static PyGetSetDef View_getsets[] = {
     {NULL},
 };
 
+static PyObject *View_to_bytes(ViewObj *self, PyObject *_) {
+    return Rec_to_bytes_raw((const char *)self->ptr[0], self->len[0],
+                            (const char *)self->ptr[1], self->len[1],
+                            (const char *)self->ptr[2], self->len[2]);
+}
+
+static PyObject *View_to_record(ViewObj *self, PyObject *_) {
+    /* owned copy: instance of the registered record type (the C Record
+     * itself, or a subclass if one is in use) */
+    PyTypeObject *rt = &RecType;
+    return Rec_alloc_fill(rt, self->ptr[0], self->len[0], self->ptr[1],
+                          self->len[1], self->ptr[2], self->len[2],
+                          self->phred_offset);
+}
+
 static PyMethodDef View_methods[] = {
     {"id_bytes", (PyCFunction)View_id_bytes, METH_NOARGS, NULL},
     {"sequence_bytes", (PyCFunction)View_seq_bytes, METH_NOARGS, NULL},
     {"quality_bytes", (PyCFunction)View_qual_bytes, METH_NOARGS, NULL},
     {"byte_len", (PyCFunction)View_byte_len, METH_NOARGS, NULL},
+    {"id", (PyCFunction)Rec_id_str, METH_NOARGS, NULL},
+    {"sequence", (PyCFunction)Rec_seq_str, METH_NOARGS, NULL},
+    {"quality", (PyCFunction)Rec_qual_str, METH_NOARGS, NULL},
+    {"to_bytes", (PyCFunction)View_to_bytes, METH_NOARGS, NULL},
+    {"to_record", (PyCFunction)View_to_record, METH_NOARGS, NULL},
+    {"write", (PyCFunction)generic_write, METH_O, NULL},
+    {"definition", (PyCFunction)generic_definition, METH_NOARGS, NULL},
+    {"phred_scores", (PyCFunction)generic_phred,
+     METH_VARARGS | METH_KEYWORDS, NULL},
     {NULL},
 };
 
@@ -318,9 +506,10 @@ static PySequenceMethods View_as_seq = {
 
 static PyTypeObject ViewType = {
     PyVarObject_HEAD_INIT(NULL, 0)
-    .tp_name = "blazeseq_tpu.native._records.View",
+    .tp_name = "blazeseq_tpu.FastqView",
     .tp_basicsize = sizeof(ViewObj),
     .tp_dealloc = (destructor)View_dealloc,
+    .tp_repr = generic_repr,
     .tp_as_sequence = &View_as_seq,
     .tp_flags = Py_TPFLAGS_DEFAULT | Py_TPFLAGS_BASETYPE,
     .tp_doc = "Zero-copy FASTQ record view (C storage).",
@@ -600,9 +789,24 @@ static PyObject *make_chain_iter(PyObject *mod, PyObject *args) {
     return (PyObject *)it;
 }
 
+/* set_helpers(definition_fn, phred_fn, from_string_fn) */
+static PyObject *set_helpers(PyObject *mod, PyObject *args) {
+    PyObject *d, *p, *f;
+    if (!PyArg_ParseTuple(args, "OOO", &d, &p, &f)) return NULL;
+    Py_INCREF(d);
+    Py_XSETREF(H_definition, d);
+    Py_INCREF(p);
+    Py_XSETREF(H_phred, p);
+    Py_INCREF(f);
+    Py_XSETREF(H_from_string, f);
+    Py_RETURN_NONE;
+}
+
 static PyMethodDef module_methods[] = {
     {"make_chain_iter", make_chain_iter, METH_VARARGS,
      "C iterator over scanned offset batches producing Record/View objects."},
+    {"set_helpers", set_helpers, METH_VARARGS,
+     "Register Python helper callables (definition, phred, from_string)."},
     {NULL, NULL, 0, NULL},
 };
 
