@@ -171,66 +171,7 @@ def main():
     dev = jax.devices()[0]
     print("# device: %s" % (dev,), file=sys.stderr)
 
-    parser = bt.FastqParser(bt.MemoryReader(buf), config=cfg)
-    pb = parser.next_padded(batch_n, max_len=max_len, pad_records_to=batch_n)
-    raw_bytes_per_batch = parser._stream.stream_position()
-    step = build_qc_align_step(None, check_ascii=True, check_quality=True,
-                               with_alignment=False)
-    seq = jax.device_put(jnp.asarray(pb.seq), dev)
-    qual = jax.device_put(jnp.asarray(pb.qual), dev)
-    lengths = jax.device_put(jnp.asarray(pb.lengths, dtype=jnp.int32), dev)
-    ref = jax.device_put(jnp.zeros(128, jnp.uint8), dev)
-    args = (seq, qual, lengths, jnp.int32(pb.n_records), ref,
-            jnp.int32(SANGER_SCHEMA.LOWER), jnp.int32(SANGER_SCHEMA.UPPER),
-            jnp.int32(SANGER_SCHEMA.OFFSET))
-    int(step(*args).stats.reads)  # compile + drain
-
-    # Slope timing: on remote-attached devices block_until_ready can return
-    # before execution finishes (dispatch pipelining), so raw loop timing
-    # overstates the kernel rate wildly. Dispatch N steps + fetch one scalar
-    # from the LAST result (executions drain FIFO), at two N values; the
-    # difference isolates true per-execution time from RTT/queue effects.
-    def drain(n):
-        t0 = time.perf_counter()
-        last = None
-        for _ in range(n):
-            last = step(*args)
-        _ = int(last.stats.reads)
-        return time.perf_counter() - t0
-
-    # budget the slope loop: on a degraded tunnel a single per-step time can
-    # be 10-50ms, and reps * (n1 + n2) dispatches would outlive any driver
-    # timeout. Probe the per-step cost and shrink reps/steps to fit.
-    probe_per = drain(10) / 10
-    budget_b = float(os.environ.get("BENCH_B_BUDGET_S", "300"))
-    afford_s = max(budget_b - (time.perf_counter() - _T0), 45.0)
-    max_steps = int(afford_s / probe_per) if probe_per > 0 else 1 << 30
-    n1 = 50
-    n2 = n1 + max(min(int(total_bytes / raw_bytes_per_batch), 1200), 100)
-    reps_b = reps
-    while reps_b > 1 and reps_b * (n1 + n2) > max_steps:
-        reps_b -= 1
-    if reps_b * (n1 + n2) > max_steps:
-        n2 = max(n1 + 50, max_steps // reps_b - n1)
-        print("# stage B budget: %.1fms/step probe -> %d reps x %d steps"
-              % (probe_per * 1e3, reps_b, n2), file=sys.stderr)
-    b_per = None
-    for _ in range(reps_b):
-        if b_per is not None and time.perf_counter() - _T0 > budget_b:
-            print("# stage B reps cut short (budget)", file=sys.stderr)
-            break
-        t1 = drain(n1)
-        t2 = drain(n2)
-        per = (t2 - t1) / (n2 - n1)
-        b_per = per if b_per is None else min(b_per, per)
-        print("# stage B: %.3fms/step = %.2f GB/s (slope over %d steps)"
-              % (per * 1e3, raw_bytes_per_batch / per / 1e9, n2 - n1),
-              file=sys.stderr)
-    b_gbps = raw_bytes_per_batch / b_per / 1e9
-
-    pipeline_a = min(a_gbps, b_gbps)
-
-    # ---- stage B2: raw-bytes device-parse pipeline -----------------------
+    # ---- stage B2 (FIRST on device: it is the headline pipeline) ---------
     # TPU-native pipeline B: the host does NO byte work beyond reading the
     # first record's layout; raw bytes go to HBM and the device PARSES them
     # under the uniform-layout template proof (ops/uniform_parse.py:
@@ -366,7 +307,81 @@ def main():
             print("# stage B2: raw-stream device QC %.2f GB/s "
                   "(%d records %d base_pairs)" % (b2_gbps, r_reads, r_bases),
                   file=sys.stderr)
-    pipeline_b = b2_gbps  # host stage is record-aligned slicing (~free)
+
+
+    # ---- stage B (pipeline A's device leg): fused QC over padded batches --
+    # budget-gated as a whole: on a degraded tunnel this stage is purely
+    # informational (the headline already measured above as B2), so it must
+    # never eat into driver timeouts
+    b_gbps = 0.0
+    if time.perf_counter() - _T0 > float(
+            os.environ.get("BENCH_B2_BUDGET_S", "420")):
+        print("# stage B skipped (elapsed budget)", file=sys.stderr)
+    else:
+        parser = bt.FastqParser(bt.MemoryReader(buf), config=cfg)
+        pb = parser.next_padded(batch_n, max_len=max_len,
+                                pad_records_to=batch_n)
+        raw_bytes_per_batch = parser._stream.stream_position()
+        step = build_qc_align_step(None, check_ascii=True, check_quality=True,
+                                   with_alignment=False)
+        seq = jax.device_put(jnp.asarray(pb.seq), dev)
+        qual = jax.device_put(jnp.asarray(pb.qual), dev)
+        lengths = jax.device_put(jnp.asarray(pb.lengths, dtype=jnp.int32),
+                                 dev)
+        ref = jax.device_put(jnp.zeros(128, jnp.uint8), dev)
+        args = (seq, qual, lengths, jnp.int32(pb.n_records), ref,
+                jnp.int32(SANGER_SCHEMA.LOWER), jnp.int32(SANGER_SCHEMA.UPPER),
+                jnp.int32(SANGER_SCHEMA.OFFSET))
+        int(step(*args).stats.reads)  # compile + drain
+
+        # Slope timing: on remote-attached devices block_until_ready can
+        # return before execution finishes (dispatch pipelining), so raw
+        # loop timing overstates the kernel rate wildly. Dispatch N steps +
+        # fetch one scalar from the LAST result (executions drain FIFO), at
+        # two N values; the difference isolates true per-execution time
+        # from RTT/queue effects.
+        def drain(n):
+            t0 = time.perf_counter()
+            last = None
+            for _ in range(n):
+                last = step(*args)
+            _ = int(last.stats.reads)
+            return time.perf_counter() - t0
+
+        # budget the slope loop: on a degraded tunnel a single per-step time
+        # can be 10-50ms, and reps * (n1 + n2) dispatches would outlive any
+        # driver timeout. Probe the per-step cost and shrink reps/steps.
+        probe_per = drain(10) / 10
+        budget_b = float(os.environ.get("BENCH_B_BUDGET_S", "300"))
+        afford_s = max(budget_b - (time.perf_counter() - _T0), 45.0)
+        max_steps = int(afford_s / probe_per) if probe_per > 0 else 1 << 30
+        n1 = 50
+        n2 = n1 + max(min(int(total_bytes / raw_bytes_per_batch), 1200), 100)
+        reps_b = reps
+        while reps_b > 1 and reps_b * (n1 + n2) > max_steps:
+            reps_b -= 1
+        if reps_b * (n1 + n2) > max_steps:
+            n2 = max(n1 + 50, max_steps // reps_b - n1)
+            print("# stage B budget: %.1fms/step probe -> %d reps x %d steps"
+                  % (probe_per * 1e3, reps_b, n2), file=sys.stderr)
+        b_per = None
+        for _ in range(reps_b):
+            if b_per is not None and time.perf_counter() - _T0 > budget_b:
+                print("# stage B reps cut short (budget)", file=sys.stderr)
+                break
+            t1 = drain(n1)
+            t2 = drain(n2)
+            per = (t2 - t1) / (n2 - n1)
+            b_per = per if b_per is None else min(b_per, per)
+            print("# stage B: %.3fms/step = %.2f GB/s (slope over %d steps)"
+                  % (per * 1e3, raw_bytes_per_batch / per / 1e9, n2 - n1),
+                  file=sys.stderr)
+        if b_per:
+            b_gbps = raw_bytes_per_batch / b_per / 1e9
+
+    pipeline_a = min(a_gbps, b_gbps)
+
+    pipeline_b = b2_gbps
 
     # re-sample stage A in later time windows: this host's throughput
     # weather swings ~2x over minutes, and best-of across windows is a far
