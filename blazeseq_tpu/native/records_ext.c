@@ -268,6 +268,22 @@ static PyObject *Rec_qual_str(PyObject *self, PyObject *_) {
     return decode_method(self, "quality_bytes");
 }
 
+static PyObject *Rec_reduce(RecObj *self, PyObject *_) {
+    /* pickle support (the pure-Python record pickles; keep parity):
+     * reconstruct via the constructor from the three byte spans */
+    PyObject *id_b = Rec_get_id(self, NULL);
+    PyObject *seq_b = Rec_get_seq(self, NULL);
+    PyObject *qual_b = Rec_get_qual(self, NULL);
+    if (!id_b || !seq_b || !qual_b) {
+        Py_XDECREF(id_b); Py_XDECREF(seq_b); Py_XDECREF(qual_b);
+        return NULL;
+    }
+    PyObject *args = Py_BuildValue("(NNNOl)", id_b, seq_b, qual_b, Py_None,
+                                   self->phred_offset);
+    if (!args) return NULL;
+    return Py_BuildValue("(ON)", (PyObject *)Py_TYPE(self), args);
+}
+
 static PyObject *Rec_to_bytes(RecObj *self, PyObject *_) {
     return Rec_to_bytes_raw(self->data, self->id_len,
                             self->data + self->id_len, self->seq_len,
@@ -333,6 +349,7 @@ static PyMethodDef Rec_methods[] = {
      METH_VARARGS | METH_KEYWORDS, NULL},
     {"from_string", (PyCFunction)generic_from_string,
      METH_O | METH_CLASS, NULL},
+    {"__reduce__", (PyCFunction)Rec_reduce, METH_NOARGS, NULL},
     {NULL},
 };
 

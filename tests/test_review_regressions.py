@@ -157,3 +157,19 @@ def test_to_padded_max_len_is_a_hard_cap():
     seq2d, lengths = fp.next_batch(10).to_padded(max_len=64)
     assert seq2d.shape[1] == 128  # lane-rounded
     assert int(lengths[0]) == 128
+
+
+def test_c_record_pickles():
+    """The C-native FastqRecord must pickle like the pure-Python variant
+    (multiprocessing feeds pass records between processes)."""
+    import pickle
+
+    from blazeseq_tpu.fastq.record import FastqRecord
+
+    r = FastqRecord("id desc", "ACGTN", "IIIII", phred_offset=64)
+    r2 = pickle.loads(pickle.dumps(r))
+    assert r2.id_bytes() == b"id desc"
+    assert r2.sequence_bytes() == b"ACGTN"
+    assert r2.quality_bytes() == b"IIIII"
+    assert r2._phred_offset == 64
+    assert r2 == r and hash(r2) == hash(r)
