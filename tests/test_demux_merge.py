@@ -147,3 +147,23 @@ def test_merge_rejects_non_overlapping():
     res = merge_pairs(seq1, qual1, len1, seq2, qual2, len2, min_overlap=10)
     assert int(res.overlap[0]) == 0
     assert int(res.merged_len[0]) == 0
+
+
+def test_demux_cli_splits_files(tmp_path):
+    from blazeseq_tpu.__main__ import main
+
+    recs = []
+    for i, bc in enumerate([b"ACGTAC", b"TTGGCA"]):
+        for j in range(3):
+            s = bc + b"ACGTACGTAC"
+            recs.append(b"@c%d_%d\n%s\n+\n%s\n" % (i, j, s, b"I" * len(s)))
+    recs.append(b"@junk\nCCCCCCCCCCCCCCCC\n+\nIIIIIIIIIIIIIIII\n")
+    src = tmp_path / "in.fastq"
+    src.write_bytes(b"".join(recs))
+    out = tmp_path / "out"
+    rc = main(["demux", "--barcode", "s1=ACGTAC", "--barcode", "s2=TTGGCA",
+               "--out", str(out), str(src)])
+    assert rc == 0
+    assert (out / "s1.fastq").read_bytes().count(b"@c0_") == 3
+    assert (out / "s2.fastq").read_bytes().count(b"@c1_") == 3
+    assert b"@junk" in (out / "unassigned.fastq").read_bytes()
