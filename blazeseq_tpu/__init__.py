@@ -78,7 +78,7 @@ from .utils import (
     generate_synthetic_fastq_to_writer,
 )
 
-__version__ = "0.3.0"
+__version__ = "0.5.0"
 
 
 def parser(path, quality_schema: str = "generic", parallelism: int = 4,
@@ -96,13 +96,10 @@ def parser(path, quality_schema: str = "generic", parallelism: int = 4,
 
 # Lazy imports for heavier / jax-dependent subpackages.
 def __getattr__(name):
-    if name == "ops":
-        from . import ops as m
-        return m
-    if name == "parallel":
-        from . import parallel as m
-        return m
-    if name == "models":
-        from . import models as m
-        return m
+    # NOTE: must go through importlib — a `from . import X` here re-enters
+    # this __getattr__ via _handle_fromlist and recurses forever.
+    if name in ("ops", "parallel", "models"):
+        import importlib
+
+        return importlib.import_module("." + name, __name__)
     raise AttributeError(name)
