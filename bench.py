@@ -174,16 +174,16 @@ def main():
     # ---- stage B2 (FIRST on device: it is the headline pipeline) ---------
     # TPU-native pipeline B: the host does NO byte work beyond reading the
     # first record's layout; raw bytes go to HBM and the device PARSES them
-    # under the uniform-layout template proof (ops/uniform_parse.py:
-    # reshape [nrec, rs] + exact newline-template equality + '@'/'+' marker,
-    # ASCII and quality-range validation), materializes the padded SoA and
-    # runs the same fused QC statistics step as pipeline A. Chunks that fail
-    # the proof fall back to the dense raw-stream QC (ops/raw_stats.py).
-    # The sustainable rate is the device rate.
+    # in ONE fused pass (ops/uniform_qc.py: reshape [nrec, rs] + exact
+    # newline-template equality + '@'/'+' marker, ASCII and quality-range
+    # validation, and every QC panel computed directly on column slices —
+    # no padded SoA is ever materialized). Chunks that fail the proof fall
+    # back to the dense raw-stream QC (ops/raw_stats.py). The sustainable
+    # rate is the device rate.
     from blazeseq_tpu.ops import stats as stats_ops
     from blazeseq_tpu.ops.raw_stats import raw_stream_qc
-    from blazeseq_tpu.ops.uniform_parse import (detect_uniform_layout,
-                                                uniform_parse)
+    from blazeseq_tpu.ops.uniform_parse import detect_uniform_layout
+    from blazeseq_tpu.ops.uniform_qc import uniform_qc
 
     b2_gbps = 0.0
     # skip the optional pipeline-B measurement when the run is already slow
@@ -213,18 +213,13 @@ def main():
                 chunks.append((jax.device_put(jnp.asarray(arr), dev),
                                jnp.int32(n_valid)))
 
-            @jax.jit
             def uqc(c, n_valid):
-                r = uniform_parse(
-                    c, n_valid, jnp.int32(SANGER_SCHEMA.LOWER),
-                    jnp.int32(SANGER_SCHEMA.UPPER), rs=lay.rs, o1=lay.o1,
-                    o2=lay.o2, o3=lay.o3, width=max_len,
-                    fused_checks=True)
-                st = stats_ops.qc_stats(r.seq, r.qual, r.lengths,
-                                        jnp.int32(SANGER_SCHEMA.OFFSET),
-                                        n_records=r.n_records)
-                ok = (r.template_ok & ~r.bad_ascii & ~r.bad_quality)
-                return r.n_records, r.bases, ok, st
+                ok, st = uniform_qc(
+                    c, n_valid, rs=lay.rs, o1=lay.o1, o2=lay.o2, o3=lay.o3,
+                    width=max_len, q_lo=int(SANGER_SCHEMA.LOWER),
+                    q_hi=int(SANGER_SCHEMA.UPPER),
+                    offset=int(SANGER_SCHEMA.OFFSET))
+                return st.reads, st.bases, ok, st
 
             r_reads = 0
             r_bases = 0

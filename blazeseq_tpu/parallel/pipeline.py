@@ -214,27 +214,32 @@ def run_qc_align(padded_batch, ref: bytes, schema, mesh: Optional[Mesh] = None,
                 jnp.int32(schema.OFFSET))
 
 
-def build_uniform_qc_step(mesh: Optional[Mesh], layout, *,
+def build_uniform_qc_step(mesh: Optional[Mesh], layout, schema, *,
                           width: int = 128, check_ascii: bool = True,
                           check_quality: bool = True,
                           axis_name: str = DP_AXIS):
     """Sharded pipeline-B step: device-side uniform-template FASTQ parsing
     + QC over a mesh (SURVEY §2.5 multi-host scaling applied to the
-    raw-bytes ingest path).
+    raw-bytes ingest path), built on the one-pass fused kernel
+    (ops/uniform_qc.py — no padded SoA is materialized on any shard).
 
-    Returns fn(chunk u8[n], n_valid i32[], q_lower i32[], q_upper i32[],
-               offset i32[]) -> (n_records i32[], bases i32[], ok bool[],
-               QCStats). `n` must be a multiple of layout.rs * mesh.size;
-    the chunk is sharded on the (implicit) record dimension — each device
-    proves the template and computes stats for its row range, scalars and
-    histograms psum over ICI. Every violation rejects (ok=False) exactly
-    like the single-device path, so the host fallback contract carries
-    over unchanged."""
-    from ..ops.uniform_parse import uniform_parse
+    `schema` is the QualitySchema (static: the fused kernel's histogram
+    width is derived from its bounds at trace time).
+
+    Returns fn(chunk u8[n], n_valid i32[]) -> (n_records i32[],
+               bases i32[], ok bool[], QCStats). `n` must be a multiple of
+    layout.rs * mesh.size; the chunk is sharded on the (implicit) record
+    dimension — each device proves the template and computes stats for its
+    row range, scalars and histograms psum over ICI. Every violation
+    rejects (ok=False) exactly like the single-device path, so the host
+    fallback contract carries over unchanged."""
+    from ..ops.uniform_qc import uniform_qc
 
     rs = layout.rs
+    q_lo, q_hi = int(schema.LOWER), int(schema.UPPER)
+    offset = int(schema.OFFSET)
 
-    def _local(chunk, n_valid, q_lower, q_upper, offset):
+    def _local(chunk, n_valid):
         if mesh is not None:
             idx = jax.lax.axis_index(axis_name)
             rows_local = chunk.shape[0] // rs
@@ -245,15 +250,13 @@ def build_uniform_qc_step(mesh: Optional[Mesh], layout, *,
             local_n_valid = local_valid * rs
         else:
             local_n_valid = n_valid
-        r = uniform_parse(chunk, local_n_valid, q_lower, q_upper,
-                          rs=rs, o1=layout.o1, o2=layout.o2, o3=layout.o3,
-                          width=width, check_ascii=check_ascii,
-                          check_quality=check_quality, fused_checks=True)
-        st = stats_ops.qc_stats(r.seq, r.qual, r.lengths, offset,
-                                n_records=r.n_records)
-        ok = r.template_ok
-        n_rec = r.n_records
-        bases = r.bases
+        ok, st = uniform_qc(chunk, local_n_valid, rs=rs, o1=layout.o1,
+                            o2=layout.o2, o3=layout.o3, width=width,
+                            q_lo=q_lo, q_hi=q_hi, offset=offset,
+                            check_ascii=check_ascii,
+                            check_quality=check_quality)
+        n_rec = st.reads
+        bases = st.bases
         if mesh is not None:
             st = jax.lax.psum(st, axis_name)
             ok = jax.lax.pmin(ok.astype(jnp.int32), axis_name) > 0
@@ -267,7 +270,7 @@ def build_uniform_qc_step(mesh: Optional[Mesh], layout, *,
     sharded = shard_map(
         _local,
         mesh=mesh,
-        in_specs=(P(axis_name), P(), P(), P(), P()),
+        in_specs=(P(axis_name), P()),
         out_specs=(P(), P(), P(), stats_specs),
         check_vma=False,
     )

@@ -61,6 +61,7 @@ def main():
         import jax.numpy as jnp
         import numpy as np
 
+        from blazeseq_tpu.fastq.quality import parse_schema
         from blazeseq_tpu.ops.uniform_parse import detect_uniform_layout
         from blazeseq_tpu.parallel.mesh import make_mesh
         from blazeseq_tpu.parallel.pipeline import build_uniform_qc_step
@@ -73,10 +74,9 @@ def main():
             padded = -(-len(data) // unit) * unit
             arr = np.zeros(padded, np.uint8)
             arr[: len(data)] = np.frombuffer(data, np.uint8)
-            step = build_uniform_qc_step(make_mesh(ndev), lay, width=256)
-            n_r, b_r, ok, st = step(jnp.asarray(arr), jnp.int32(len(data)),
-                                    jnp.int32(33), jnp.int32(126),
-                                    jnp.int32(33))
+            step = build_uniform_qc_step(make_mesh(ndev), lay,
+                                         parse_schema("generic"), width=256)
+            n_r, b_r, ok, st = step(jnp.asarray(arr), jnp.int32(len(data)))
             print("mesh   : %d devices parsed %d reads / %d bases (ok=%s)"
                   % (ndev, int(n_r), int(b_r), bool(ok)))
 

@@ -216,23 +216,24 @@ def test_sharded_uniform_qc_matches_single_device():
     code = """
 import numpy as np, jax, jax.numpy as jnp
 import blazeseq_tpu as bt
+from blazeseq_tpu.fastq.quality import parse_schema
 from blazeseq_tpu.ops.uniform_parse import detect_uniform_layout
 from blazeseq_tpu.parallel.mesh import make_mesh
 from blazeseq_tpu.parallel.pipeline import build_uniform_qc_step
 
 n_dev = 4
 mesh = make_mesh(n_dev)
+schema = parse_schema("generic")
 buf = bytes(bt.generate_synthetic_fastq_buffer(640, 72, 72, 2, 40, "sanger"))
 lay = detect_uniform_layout(buf)
 unit = lay.rs * n_dev
 pad = (-len(buf)) % unit
 arr = np.concatenate([np.frombuffer(buf, np.uint8), np.zeros(pad, np.uint8)])
 n_valid = jnp.int32(len(buf))
-args = (jnp.asarray(arr), n_valid, jnp.int32(33), jnp.int32(126),
-        jnp.int32(33))
-single = build_uniform_qc_step(None, lay, width=128)
+args = (jnp.asarray(arr), n_valid)
+single = build_uniform_qc_step(None, lay, schema, width=128)
 n1, b1, ok1, st1 = single(*args)
-sharded = build_uniform_qc_step(mesh, lay, width=128)
+sharded = build_uniform_qc_step(mesh, lay, schema, width=128)
 n2, b2, ok2, st2 = sharded(*args)
 assert bool(ok1) and bool(ok2)
 assert int(n1) == int(n2) == 640
@@ -243,8 +244,7 @@ bad = bytearray(buf)
 bad[500 * lay.rs] = ord("X")
 arr2 = np.concatenate([np.frombuffer(bytes(bad), np.uint8),
                        np.zeros(pad, np.uint8)])
-_, _, ok3, _ = sharded(jnp.asarray(arr2), n_valid, jnp.int32(33),
-                       jnp.int32(126), jnp.int32(33))
+_, _, ok3, _ = sharded(jnp.asarray(arr2), n_valid)
 assert not bool(ok3)
 print("SHARDED-UNIFORM-OK")
 """
