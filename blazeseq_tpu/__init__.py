@@ -76,6 +76,7 @@ from .utils import (
     generate_synthetic_fasta_buffer,
     generate_synthetic_fastq_buffer,
     generate_synthetic_fastq_to_writer,
+    generate_variable_id_fastq_buffer,
 )
 
 __version__ = "0.5.0"

@@ -118,6 +118,7 @@ from .utils import (
     generate_synthetic_fasta_buffer as generate_synthetic_fasta_buffer,
     generate_synthetic_fastq_buffer as generate_synthetic_fastq_buffer,
     generate_synthetic_fastq_to_writer as generate_synthetic_fastq_to_writer,
+    generate_variable_id_fastq_buffer as generate_variable_id_fastq_buffer,
 )
 
 __version__: str

@@ -172,7 +172,10 @@ class QCModel:
 
         Covers core QC (stats panels). Adapters, duplication tracking,
         alignment, and mesh sharding take the host path — call run_file.
-        Non-uniform layouts silently use the host path."""
+        Non-uniform layouts (varying header widths / read lengths) use the
+        general ragged device engine (ops/ragged_qc.py) — still a full
+        device parse; only layouts outside its proven tier (records
+        smaller than max_read_len bytes) drop to the host."""
         if (self.adapters or self.track_duplicates or self.mesh is not None
                 or self.align_to is not None):
             raise ValueError(
@@ -190,7 +193,7 @@ class QCModel:
             return self.run_reader(reader)
         lay = detect_uniform_layout(data)
         if lay is None or lay.rs > chunk_mb << 19:
-            return self.run_reader(reader)
+            return self._run_ragged_mmap(data, chunk_mb)
         total = len(data)
         csize = max((chunk_mb << 20) // lay.rs, 1) * lay.rs
         # never allocate a chunk larger than the (rs-rounded) input
@@ -218,6 +221,51 @@ class QCModel:
             # host parse, validation on device via the fused step — the
             # same division of labor as run_reader, so bad records COUNT
             # as error_reads instead of raising.
+            parser = FastqParser(MemoryReader(data[pos:]),
+                                 config=ParserConfig())
+            parser.quality_schema = self.schema
+            self._host_consume(parser, acc)
+        return self._report_from_acc(acc)
+
+    def _device_rqc(self, c, n_valid):
+        """The general (ragged-layout) fused device step — full parse +
+        validate + QC for chunks whose header widths and read lengths vary
+        per record (ops/ragged_qc.py)."""
+        from ..ops.ragged_qc import ragged_qc
+
+        return ragged_qc(
+            c, n_valid, width=self.max_read_len,
+            q_lo=int(self.schema.LOWER), q_hi=int(self.schema.UPPER),
+            offset=int(self.schema.OFFSET), check_ascii=self.check_ascii,
+            check_quality=self.check_quality)
+
+    def _run_ragged_mmap(self, data, chunk_mb: int) -> QCReport:
+        """Pipeline B, general tier: device-parse a non-uniform mmap'd file
+        in 2*max_read_len-aligned chunks; the device reports each chunk's
+        trailing partial record (`tail_start`) so the next chunk resumes at
+        an exact record boundary. Validation failures and out-of-tier
+        layouts stream the remainder through the exact host engine."""
+        from ..io.readers import MemoryReader
+
+        K = 2 * self.max_read_len
+        total = len(data)
+        csize = max((chunk_mb << 20) // K, 1) * K
+        csize = min(csize, -(-total // K) * K)
+        acc = QCAccumulator()
+        pos = 0
+        buf_np = np.zeros(csize, dtype=np.uint8)
+        while pos < total:
+            b = min(pos + csize, total)
+            nv = b - pos
+            buf_np[:nv] = data[pos:b]
+            buf_np[nv:] = 0
+            r = self._device_rqc(jnp.asarray(buf_np), jnp.int32(nv))
+            tail = int(r.tail_start)
+            if bool(r.fallback) or not bool(r.ok) or tail == 0:
+                break  # out of tier / invalid / no complete record: host
+            acc.add(r.stats)
+            pos += tail
+        if pos < total:
             parser = FastqParser(MemoryReader(data[pos:]),
                                  config=ParserConfig())
             parser.quality_schema = self.schema
@@ -300,11 +348,8 @@ class QCModel:
             head += scratch[:n]
         lay = detect_uniform_layout(bytes(head))
         if lay is None or lay.rs > chunk_mb << 19:
-            parser = FastqParser(_ChainedReader(bytes(head), reader),
-                                 config=ParserConfig())
-            parser.quality_schema = self.schema
-            self._host_consume(parser, acc)
-            return self._report_from_acc(acc)
+            return self._run_ragged_stream(bytes(head), reader, chunk_mb,
+                                           acc)
         csize = max((chunk_mb << 20) // lay.rs, 1) * lay.rs
         # a stream that ended within the head peek bounds the chunk too
         if head_eof:
@@ -342,6 +387,56 @@ class QCModel:
             parser = FastqParser(
                 _ChainedReader(bytes(buf[:fill]), reader),
                 config=ParserConfig())
+            parser.quality_schema = self.schema
+            self._host_consume(parser, acc)
+        return self._report_from_acc(acc)
+
+    def _run_ragged_stream(self, head: bytes, reader, chunk_mb: int,
+                           acc) -> QCReport:
+        """General-tier device parse over a decompressed stream: chunks
+        accumulate host-side, the device parses/validates/QCs each and
+        reports its trailing partial record, which is carried into the next
+        fill. Any out-of-tier layout or validation failure chains the
+        unconsumed bytes back into the exact host engine."""
+        K = 2 * self.max_read_len
+        csize = max((chunk_mb << 20) // K, 1) * K
+        buf = np.zeros(csize, dtype=np.uint8)
+        fill = len(head)
+        if fill > csize:  # enormous max_read_len vs tiny chunk_mb: host
+            parser = FastqParser(_ChainedReader(head, reader),
+                                 config=ParserConfig())
+            parser.quality_schema = self.schema
+            self._host_consume(parser, acc)
+            return self._report_from_acc(acc)
+        buf[:fill] = np.frombuffer(head, np.uint8)
+        eof = False
+        stop = False
+        while True:
+            while fill < csize and not eof:
+                n = reader.readinto(memoryview(buf.data)[fill:])
+                if n == 0:
+                    eof = True
+                else:
+                    fill += n
+            if fill == 0:
+                break
+            if fill < csize:
+                buf[fill:] = 0
+            r = self._device_rqc(jnp.asarray(buf), jnp.int32(fill))
+            tail = int(r.tail_start)
+            if bool(r.fallback) or not bool(r.ok) or tail == 0:
+                stop = True
+                break
+            acc.add(r.stats)
+            rem = fill - tail
+            if rem:
+                buf[:rem] = buf[tail:fill]
+            fill = rem
+            if eof and fill == 0:
+                break
+        if fill or not eof or stop:
+            parser = FastqParser(_ChainedReader(bytes(buf[:fill]), reader),
+                                 config=ParserConfig())
             parser.quality_schema = self.schema
             self._host_consume(parser, acc)
         return self._report_from_acc(acc)

@@ -23,6 +23,7 @@ from .scan import (
     record_offsets_device,
     structural_bitmaps,
 )
+from .ragged_qc import RaggedQC, ragged_qc
 from .raw_stats import RawStreamQC, raw_stream_qc
 from .trim import (bwa_trim, bwa_trim_cpu, clip_ends, clip_ends_cpu,
                    sliding_window_trim, sliding_window_trim_cpu)

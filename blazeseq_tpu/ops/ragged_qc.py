@@ -1,0 +1,362 @@
+"""General (ragged-layout) on-device FASTQ parse + validate + QC.
+
+`ops/uniform_qc.py` needs a layout-uniform chunk (fixed read length AND fixed
+header width). This module removes that restriction: it computes the full
+QCStats panel set for chunks whose header widths and read lengths VARY per
+record (real coordinate-bearing Illumina ids), entirely on device, using only
+dense TPU-friendly primitives — no gather, no scatter, no sort (all three are
+pathological on TPU: scatters serialize at ~48ns/update and ragged byte
+gathers run ~0.1 GB/s on this hardware).
+
+Design (three dense sub-engines over one [tiles, K] view of the chunk):
+
+1. **Byte-phase classification** (reference `_scan_record` recast as tensor
+   algebra, blazeseq/utils.mojo:472-551): a byte's line index is the number
+   of newlines before it, so phase = (newline-count mod 4) via per-tile uint8
+   cumsums plus a tiny per-tile carry scan — uint8 wrap is exact because
+   256 ≡ 0 (mod 4). This yields sequence/quality masks for all global panels
+   (base composition, Phred histogram via the cumulative ge-trick, reads,
+   bases, structure/ASCII/quality validation — Validator semantics,
+   blazeseq/fastq/record.mojo:77-148).
+
+2. **Per-position panels as MXU cross-correlations**: for lag p,
+   per_pos_count[p] = sum_i seq_start[i] * seq_mask[i+p], and likewise per
+   base class and for quality sums — cross-correlations of dense masks,
+   evaluated EXACTLY on the MXU by reshaping to [Tc, Kc] tiles and taking
+   lag-p diagonal sums of G1 = S^T M and G2 = S[:-1]^T M[1:] (int8 inputs,
+   int32 accumulation). This is exact whenever no two same-class line starts
+   are closer than `width` bytes (lags never reach the next record), which
+   holds whenever every record spans >= width bytes — true for any real
+   corpus when width ~ max read length; the kernel PROVES the condition on
+   device (min start-to-start gap) and reports `fallback` otherwise.
+
+3. **Per-read panels via rank-compacted line boundaries**: per-tile newline
+   ranks (<= B) compact each newline's (position, cumulative-GC,
+   cumulative-Phred) into a dense [T, B] slot structure — a one-hot masked
+   sum per slot, no scatter. Tiny associative carry scans over the tile axis
+   recover each entry's 1..4-previous boundary, giving per-line lengths and
+   per-line value sums as slot differences. Role = line-index mod 4 assigns
+   lines to records; read-length / GC%% / mean-quality histograms then bin
+   the [T, B] structure (compare-reduce, scatter-free), and per-record
+   seq-len == qual-len validation is a slot equality.
+
+The returned stats are bit-identical to the host engine's
+(`FastqParser.padded_batches` + `ops/stats.qc_stats`) whenever
+`fallback == False` and `ok == True`; tests/test_ragged_qc.py holds this
+parity oracle over variable-id and mixed-length corpora.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .common import round_up
+from .stats import GC_BINS, LEN_BINS, MAX_PHRED, QCStats
+
+NEWLINE = 10
+AT = 64
+PLUS = 43
+
+_BASES = b"ACGT"
+
+# max line boundaries per compaction tile; tiles are 2*width wide and the
+# no-leak tier requires records >= width bytes, so a tile overlaps at most
+# ceil(2W/W)+1 = 3 records = 12 line ends (checked at runtime -> fallback)
+_B = 12
+
+
+class RaggedQC(NamedTuple):
+    ok: jnp.ndarray          # bool[] validation passed (stats trustworthy)
+    fallback: jnp.ndarray    # bool[] layout outside device tier -> host path
+    tail_start: jnp.ndarray  # i32[] offset of the trailing partial record
+    stats: QCStats
+
+
+def _excl_scan(x):
+    """Exclusive prefix sum along axis 0 (tiny [T] arrays)."""
+    inc = jnp.cumsum(x, axis=0)
+    return inc - x
+
+
+def _carry_prev(vals, m_t, B):
+    """Previous-entry value for every slot of a [T, B] rank-compacted
+    structure whose valid slots are the first m_t of each tile row.
+
+    Entry (t, b)'s predecessor is slot b-1 of the same tile, or the last
+    valid slot of the nearest earlier tile with any entry — recovered with an
+    O(T) associative carry scan, no gather."""
+    T = vals.shape[0]
+    mt = jnp.clip(m_t, 0, B)
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    within = jnp.concatenate(
+        [jnp.zeros((T, 1), vals.dtype), vals[:, : B - 1]], axis=1)
+    # last valid entry per tile, via a B-wide one-hot reduce
+    lastv = jnp.sum(jnp.where(bcol == (mt[:, None] - 1), vals, 0), axis=1)
+    has = mt > 0
+
+    def combine(a, b):
+        ah, av = a
+        bh, bv = b
+        return ah | bh, jnp.where(bh, bv, av)
+
+    inc_h, inc_v = jax.lax.associative_scan(combine, (has, lastv))
+    carried = jnp.concatenate([jnp.zeros((1,), vals.dtype), inc_v[:-1]])
+    return jnp.where(bcol > 0, within, carried[:, None])
+
+
+def _diag_sums(G1, G2, Kc, C, width):
+    """per_pos[c][p] = sum_k G1[k, c, k+p] + sum_k G2[k, c, k+p-Kc].
+
+    G1/G2: [Kc, C*Kc] int32 from the correlation matmuls. Static index
+    matrices on [Kc, width]-sized operands — negligible next to the matmuls.
+    """
+    import numpy as np
+
+    g1 = G1.reshape(Kc, C, Kc)
+    g2 = G2.reshape(Kc, C, Kc)
+    k = np.arange(Kc)[:, None]
+    p = np.arange(width)[None, :]
+    kp = k + p
+    in1 = kp < Kc
+    idx1 = np.where(in1, kp, 0)
+    d1 = jnp.sum(jnp.where(jnp.asarray(in1)[:, None, :],
+                           g1[jnp.arange(Kc)[:, None], :, jnp.asarray(idx1)]
+                           .transpose(0, 2, 1),
+                           0), axis=0)  # [C, width]
+    kp2 = kp - Kc
+    in2 = kp2 >= 0
+    idx2 = np.where(in2, kp2, 0)
+    d2 = jnp.sum(jnp.where(jnp.asarray(in2)[:, None, :],
+                           g2[jnp.arange(Kc)[:, None], :, jnp.asarray(idx2)]
+                           .transpose(0, 2, 1),
+                           0), axis=0)
+    return d1 + d2
+
+
+def _corr(S, M_flat, Kc):
+    """G1/G2 correlation matmuls: S [Tc, Kc] i8, M_flat [Tc, C*Kc] i8.
+    int8 x int8 -> int32 rides the MXU natively on TPU; exact everywhere."""
+    dn = (((0,), (0,)), ((), ()))
+    G1 = jax.lax.dot_general(S, M_flat, dn,
+                             preferred_element_type=jnp.int32)
+    G2 = jax.lax.dot_general(S[:-1], M_flat[1:], dn,
+                             preferred_element_type=jnp.int32)
+    return G1, G2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "q_lo", "q_hi", "offset", "check_ascii",
+                     "check_quality"))
+def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
+              offset: int, check_ascii: bool = True,
+              check_quality: bool = True) -> RaggedQC:
+    """Parse+validate+QC a general FASTQ chunk on device.
+
+    chunk: u8[n] starting at a record boundary, zero-padded to a multiple of
+    2*round_up(width, 128); n_valid: real byte count. Schema bounds static.
+
+    Device tier bounds (reported via `fallback`, stats then untrusted):
+      * every record spans >= the longest seq/qual line in the chunk
+        (no-leak correlation condition — holds for any real corpus short of
+        pathological length mixes like 10bp reads next to 300bp reads),
+      * every line fits in `width` (no truncation semantics on device),
+      * <= 12 line ends per 2*round_up(width,128) tile (rank-compaction
+        capacity: records below ~width/2 bytes overflow it).
+    """
+    Wc = round_up(width, 128)
+    K = 2 * Wc
+    n = chunk.shape[0]
+    assert n % K == 0, "pad chunk to a multiple of 2*round_up(width, 128)"
+    B = _B
+    T = n // K
+    r2 = chunk.reshape(T, K)
+    n_valid = n_valid.astype(jnp.int32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, K), 0)
+    idx2 = row * K + col
+    valid = idx2 < n_valid
+
+    nl = (r2 == jnp.uint8(NEWLINE)) & valid
+    nl_u8 = nl.astype(jnp.uint8)
+    c_nl = jnp.cumsum(nl_u8, axis=1)          # u8 wrap ≡ exact mod 4
+    m_t = jnp.sum(nl, axis=1, dtype=jnp.int32)
+    offs = _excl_scan(m_t)                    # newlines before tile t
+    offs_u8 = offs.astype(jnp.uint8)[:, None]
+
+    g_mod4 = (offs_u8 + c_nl) & jnp.uint8(3)  # inclusive count mod 4
+    phase = (g_mod4 - nl_u8) & jnp.uint8(3)
+    rec_end = nl & (g_mod4 == 0)
+    tail_start = jnp.max(jnp.where(rec_end, idx2 + 1, 0), initial=0)
+    complete = idx2 < tail_start
+
+    seq_m = (phase == 1) & (~nl) & complete
+    qual_m = (phase == 3) & (~nl) & complete
+
+    # ---- global panels (raw_stream_qc semantics) --------------------------
+    upper = r2 & jnp.uint8(0xDF)
+    acgt = [jnp.sum(seq_m & (upper == jnp.uint8(b)), dtype=jnp.int32)
+            for b in _BASES]
+    bases = jnp.sum(seq_m, dtype=jnp.int32)
+    base_counts = jnp.stack(acgt + [bases - sum(acgt)])
+    reads = jnp.sum(rec_end, dtype=jnp.int32)
+    qual_bytes = jnp.sum(qual_m, dtype=jnp.int32)
+
+    n_bins = min(q_hi - offset, MAX_PHRED - 1) + 1 if check_quality \
+        else MAX_PHRED
+    n_bins = max(1, min(n_bins, MAX_PHRED))
+    # cumulative ge-trick off raw quality bytes (see ops/uniform_qc.py)
+    qm_b = jnp.where(qual_m, r2, jnp.uint8(0))  # 0 < offset always
+    ge = [qual_bytes]
+    ge += [jnp.sum(qm_b >= jnp.uint8(offset + k), dtype=jnp.int32)
+           for k in range(1, n_bins)]
+    ge.append(jnp.zeros((), jnp.int32))
+    qual_hist = jnp.zeros(MAX_PHRED, jnp.int32).at[:n_bins].set(
+        jnp.stack([ge[k] - ge[k + 1] for k in range(n_bins)]))
+
+    # ---- validation flags -------------------------------------------------
+    nl_flat = nl.reshape(n)
+    prev_nl = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), nl_flat[:-1]]).reshape(T, K)
+    start_m = prev_nl & complete
+    bad = jnp.any(start_m & (phase == 0) & (r2 != jnp.uint8(AT)))
+    bad |= jnp.any(start_m & (phase == 2) & (r2 != jnp.uint8(PLUS)))
+    if check_ascii:
+        bad |= jnp.any(valid & complete & ((r2 & jnp.uint8(0x80)) > 0))
+    if check_quality:
+        bad |= jnp.any(qual_m & ((r2 < jnp.uint8(q_lo))
+                                 | (r2 > jnp.uint8(q_hi))))
+
+    # ---- per-line slot compaction ----------------------------------------
+    cg = seq_m & ((upper == jnp.uint8(ord("C")))
+                  | (upper == jnp.uint8(ord("G"))))
+    c_cg = jnp.cumsum(cg.astype(jnp.uint16), axis=1)
+    # u8->i32 phred arithmetic: the all-u8 form miscompiles on fused strided
+    # producers (ops/stats._masked_phred has the full story)
+    ph_i = jnp.clip(r2.astype(jnp.int32) - offset, 0, MAX_PHRED - 1)
+    ph_i = jnp.where(qual_m, ph_i, 0)
+    if 63 * K <= 65535:
+        c_ph = jnp.cumsum(ph_i.astype(jnp.uint16), axis=1)
+    else:
+        c_ph = jnp.cumsum(ph_i, axis=1)
+    offs_cg = _excl_scan(c_cg[:, -1].astype(jnp.int32))
+    offs_ph = _excl_scan(c_ph[:, -1].astype(jnp.int32))
+
+    rank = (c_nl - jnp.uint8(1))  # rank of a newline within its tile
+    pos_s, cg_s, ph_s = [], [], []
+    for b in range(B):
+        m_b = nl & (rank == jnp.uint8(b))
+        pos_s.append(jnp.sum(jnp.where(m_b, col, 0), axis=1,
+                             dtype=jnp.int32))
+        cg_s.append(jnp.sum(jnp.where(m_b, c_cg, jnp.uint16(0))
+                            .astype(jnp.int32), axis=1))
+        ph_s.append(jnp.sum(jnp.where(m_b, c_ph, c_ph.dtype.type(0))
+                            .astype(jnp.int32), axis=1))
+    pos_slot = jnp.stack(pos_s, axis=1) + (jnp.arange(T, dtype=jnp.int32)
+                                           * K)[:, None]
+    cg_slot = jnp.stack(cg_s, axis=1) + offs_cg[:, None]
+    ph_slot = jnp.stack(ph_s, axis=1) + offs_ph[:, None]
+
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (T, B), 1)
+    l_idx = offs[:, None] + bcol                      # global line index
+    entry = (bcol < jnp.minimum(m_t, B)[:, None]) & (pos_slot < tail_start)
+    role = l_idx & 3
+
+    p1 = _carry_prev(pos_slot, m_t, B)
+    p2 = _carry_prev(p1, m_t, B)
+    p3 = _carry_prev(p2, m_t, B)
+    p4 = _carry_prev(p3, m_t, B)
+    pcg = _carry_prev(cg_slot, m_t, B)
+    pph = _carry_prev(ph_slot, m_t, B)
+    p1e = jnp.where(l_idx == 0, -1, p1)
+
+    line_len = pos_slot - p1e - 1
+    line_cg = cg_slot - jnp.where(l_idx == 0, 0, pcg)
+    line_ph = ph_slot - jnp.where(l_idx == 0, 0, pph)
+
+    e_r1 = entry & (role == 1)
+    e_r3 = entry & (role == 3)
+
+    # per-record seq/qual length equality (always an error in the reference:
+    # CorruptedFile, parser.mojo:452-522)
+    seq_len_at3 = p2 - p3 - 1
+    bad |= jnp.any(e_r3 & (line_len != seq_len_at3))
+
+    # ---- device-tier bounds ----------------------------------------------
+    # Correlation leakage (a lag reaching the NEXT record's same-class line)
+    # exists only at lags >= min start-to-start gap; true panel values are
+    # zero at lags >= the longest seq/qual line. So min_gap >= max_line
+    # makes every leaked lag land in the provably-zero region, which is
+    # zeroed explicitly below — records merely >= the longest read stay in
+    # tier, not records >= width.
+    big = jnp.int32(1 << 30)
+    gap_mask = entry & ((role == 0) | (role == 2)) & (l_idx >= 4)
+    min_gap = jnp.min(jnp.where(gap_mask, pos_slot - p4, big), initial=big)
+    max_line = jnp.max(jnp.where(e_r1 | e_r3, line_len, 0), initial=0)
+    fallback = (jnp.max(m_t, initial=0) > B) | (min_gap < max_line) \
+        | (max_line > width)
+
+    # ---- per-read histograms on the slot structure ------------------------
+    flat = lambda x: x.reshape(-1)
+    lens_f = flat(jnp.where(e_r1, jnp.minimum(line_len, LEN_BINS - 1), -1))
+    safe_len = jnp.maximum(line_len, 1)
+    gcb_f = flat(jnp.where(e_r1 & (line_len > 0),
+                           (200 * line_cg + line_len) // (2 * safe_len), -1))
+    mqb_f = flat(jnp.where(
+        e_r3 & (line_len > 0),
+        jnp.minimum((2 * line_ph + line_len) // (2 * safe_len),
+                    MAX_PHRED - 1), -1))
+
+    def onehot_hist(v, nb):
+        bins = jnp.arange(nb, dtype=jnp.int32)
+        return jnp.sum(v[:, None] == bins[None, :], axis=0, dtype=jnp.int32)
+
+    length_hist = onehot_hist(lens_f, LEN_BINS)
+    gc_hist = onehot_hist(gcb_f, GC_BINS)
+    mq_hist = onehot_hist(mqb_f, MAX_PHRED)
+
+    # ---- per-position panels: MXU cross-correlations ----------------------
+    Tc = n // Wc
+    resh = lambda x: x.reshape(Tc, Wc)
+    sstart = resh(start_m & (phase == 1) & (~nl)).astype(jnp.int8)
+    qstart = resh(start_m & (phase == 3) & (~nl)).astype(jnp.int8)
+    seq_chans = [resh(seq_m & (upper == jnp.uint8(b))).astype(jnp.int8)
+                 for b in _BASES] + [resh(seq_m).astype(jnp.int8)]
+    M_seq = jnp.concatenate(seq_chans, axis=1)        # [Tc, 5*Wc]
+    M_q = resh(ph_i).astype(jnp.int8)                  # phred 0..63 fits i8
+    G1s, G2s = _corr(sstart, M_seq, Wc)
+    G1q, G2q = _corr(qstart, M_q, Wc)
+    d_seq = _diag_sums(G1s, G2s, Wc, 5, width)         # [5, width]
+    d_q = _diag_sums(G1q, G2q, Wc, 1, width)[0]        # [width]
+
+    # zero the provably-empty lag region (see the tier-bound comment): any
+    # cross-record leakage lands at lags >= min_gap >= max_line only
+    in_line = jax.lax.broadcasted_iota(jnp.int32, (width,), 0) < max_line
+    d_seq = jnp.where(in_line[None, :], d_seq, 0)
+    d_q = jnp.where(in_line, d_q, 0)
+
+    per_pos_count = d_seq[4]
+    per_pos_base = jnp.concatenate(
+        [d_seq[:4], (per_pos_count - jnp.sum(d_seq[:4], axis=0))[None, :]])
+
+    stats = QCStats(
+        reads=reads,
+        bases=bases,
+        base_counts=base_counts,
+        per_pos_base_counts=per_pos_base,
+        per_pos_qual_sum=d_q,
+        per_pos_count=per_pos_count,
+        qual_hist=qual_hist,
+        gc_count=base_counts[1] + base_counts[2],
+        error_reads=jnp.zeros((), jnp.int32),
+        length_hist=length_hist,
+        gc_hist=gc_hist,
+        mean_qual_hist=mq_hist,
+    )
+    return RaggedQC(ok=~bad, fallback=fallback, tail_start=tail_start,
+                    stats=stats)

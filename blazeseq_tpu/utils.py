@@ -258,3 +258,58 @@ def generate_synthetic_fasta_buffer(num_reads: int, min_length: int,
     finally:
         np.seterr(**err)
     return out
+
+
+def generate_variable_id_fastq_buffer(
+    num_reads: int,
+    min_length: int,
+    max_length: int,
+    min_phred: int,
+    max_phred: int,
+    quality_schema: str,
+    gc_bias: float = 0.5,
+    seed: int = 0,
+    _chunk_reads: int = 65536,
+) -> bytearray:
+    """Generate a realistic VARIABLE-LAYOUT FASTQ buffer: Illumina-style
+    coordinate-bearing ids (`@SIM:1:FCX:1:<lane>:<x>:<y> <read>:N:0:<i>`)
+    whose widths vary per record, plus per-read lengths drawn from
+    [min_length, max_length]. This is the corpus the uniform-template device
+    path can NEVER accept (header widths differ), exercising the general
+    ragged device engine (ops/ragged_qc.py). Deterministic in `seed`.
+
+    Unlike generate_synthetic_fastq_buffer (bit-identical to the reference
+    generator, utils.mojo:831-917, fixed-width ids), this generator has no
+    reference counterpart: the reference benchmarks only uniform synthetic
+    corpora, which is exactly the weakness being closed here.
+    """
+    if num_reads <= 0:
+        return bytearray()
+    if min_length > max_length or min_length < 0:
+        raise ValueError("generate_variable_id_fastq_buffer: bad lengths")
+    schema = parse_schema(quality_schema)
+    lo = schema.OFFSET + max(min_phred, schema.LOWER - schema.OFFSET)
+    hi = min(schema.OFFSET + max_phred, schema.UPPER)
+    lo = min(lo, hi)
+    base_lut = _gc_biased_base_lut(gc_bias)
+    rng = np.random.default_rng(seed)
+    out = bytearray()
+    for c0 in range(0, num_reads, _chunk_reads):
+        c1 = min(c0 + _chunk_reads, num_reads)
+        n = c1 - c0
+        lens = rng.integers(min_length, max_length + 1, n)
+        xs = rng.integers(1, 30000, n)
+        ys = rng.integers(1, 30000, n)
+        total = int(lens.sum())
+        seq_all = base_lut[rng.integers(0, 8, total)]
+        qual_all = rng.integers(lo, hi + 1, total, dtype=np.uint8)
+        off = 0
+        for j in range(n):
+            L = int(lens[j])
+            i = c0 + j
+            out += b"@SIM:1:FCX:1:%d:%d:%d %d:N:0:%d\n" % (
+                i % 8 + 1, xs[j], ys[j], i % 2 + 1, i % 12 + 1)
+            out += seq_all[off:off + L].tobytes() + b"\n+\n"
+            out += qual_all[off:off + L].tobytes() + b"\n"
+            off += L
+    return out

@@ -1,0 +1,207 @@
+"""Parity oracle for the general (ragged-layout) device QC engine.
+
+ops/ragged_qc.py must produce bit-identical QCStats to the host engine
+(FastqParser.padded_batches + ops/stats.qc_stats) on every in-tier corpus,
+flag every invalid corpus, and report `fallback` for layouts outside its
+proven tier. Model-level tests hold run_file_device == run_file over
+multi-chunk streaming with device-reported record-boundary tails.
+"""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+import blazeseq_tpu as bt
+from blazeseq_tpu.fastq.quality import parse_schema
+from blazeseq_tpu.ops.ragged_qc import ragged_qc
+from blazeseq_tpu.ops.stats import QCAccumulator, qc_stats
+
+
+def gen(n_reads, min_len=80, max_len=110, seed=0, schema="sanger"):
+    return bytes(bt.generate_variable_id_fastq_buffer(
+        n_reads, min_len, max_len, 2, 40, schema, seed=seed))
+
+
+def host_stats(buf, width, schema="sanger", check=True):
+    cfg = bt.ParserConfig(check_ascii=check, check_quality=check,
+                          quality_schema=schema)
+    parser = bt.FastqParser(bt.MemoryReader(buf), config=cfg)
+    acc = QCAccumulator()
+    sch = parse_schema(schema)
+    for pb in parser.padded_batches(1024, max_len=width,
+                                    pad_records_to=1024):
+        acc.add(qc_stats(jnp.asarray(pb.seq), jnp.asarray(pb.qual),
+                         jnp.asarray(pb.lengths, dtype=jnp.int32),
+                         jnp.int32(sch.OFFSET),
+                         n_records=jnp.int32(pb.n_records)))
+    return acc.total
+
+
+def dev_qc(buf, width, schema="sanger", check=True):
+    sch = parse_schema(schema)
+    K = 2 * ((width + 127) // 128) * 128
+    n = max((len(buf) + K - 1) // K, 1) * K
+    arr = np.zeros(n, np.uint8)
+    arr[: len(buf)] = np.frombuffer(buf, np.uint8)
+    return ragged_qc(jnp.asarray(arr), jnp.int32(len(buf)), width=width,
+                     q_lo=int(sch.LOWER), q_hi=int(sch.UPPER),
+                     offset=int(sch.OFFSET), check_ascii=check,
+                     check_quality=check)
+
+
+def assert_stats_equal(h, d):
+    for name in h._fields:
+        a = np.asarray(getattr(h, name), dtype=np.int64)
+        b = np.asarray(getattr(d, name), dtype=np.int64)
+        assert np.array_equal(a, b), (name, a, b)
+
+
+@pytest.mark.parametrize("width", [128, 256])
+def test_parity_variable_ids_mixed_lengths(width):
+    buf = gen(1200, 80, 120)
+    r = dev_qc(buf, width)
+    assert bool(r.ok) and not bool(r.fallback)
+    assert int(r.tail_start) == len(buf)
+    assert_stats_equal(host_stats(buf, width), r.stats)
+
+
+def test_parity_uniform_corpus_also_in_tier():
+    buf = bytes(bt.generate_synthetic_fastq_buffer(
+        800, 100, 100, 2, 40, "sanger"))
+    r = dev_qc(buf, 128)
+    assert bool(r.ok) and not bool(r.fallback)
+    assert_stats_equal(host_stats(buf, 128), r.stats)
+
+
+def test_parity_other_schema_and_lowercase():
+    buf = bytearray(gen(400, 90, 100, seed=3, schema="illumina_1.3"))
+    # lowercase some sequence bytes: find a seq line and twiddle case
+    buf[buf.index(b"\n") + 1] |= 0x20
+    buf = bytes(buf)
+    r = dev_qc(buf, 128, schema="illumina_1.3")
+    assert bool(r.ok) and not bool(r.fallback)
+    assert_stats_equal(host_stats(buf, 128, schema="illumina_1.3"), r.stats)
+
+
+def test_parity_checks_off():
+    buf = gen(300, 64, 90, seed=5)
+    r = dev_qc(buf, 128, check=False)
+    assert bool(r.ok) and not bool(r.fallback)
+    assert_stats_equal(host_stats(buf, 128, check=False), r.stats)
+
+
+def test_tail_partial_record_excluded():
+    buf = gen(100, 80, 100, seed=7)
+    cut = buf[: len(buf) - 37]  # chop inside the final record
+    r = dev_qc(cut, 128)
+    assert bool(r.ok) and not bool(r.fallback)
+    tail = int(r.tail_start)
+    assert 0 < tail < len(cut)
+    assert_stats_equal(host_stats(buf[:tail], 128), r.stats)
+
+
+def test_invalid_quality_and_ascii_flagged():
+    buf = bytearray(gen(50, 80, 100))
+    buf[-2] = 200  # corrupt the last quality byte (non-ascii + out of range)
+    assert not bool(dev_qc(bytes(buf), 128).ok)
+    buf[-2] = 10  # schema-invalid but ascii: premature newline
+    assert not bool(dev_qc(bytes(buf), 128).ok)
+
+
+def test_invalid_markers_flagged():
+    buf = bytearray(gen(50, 80, 100, seed=9))
+    buf[0] = ord("X")  # header must start with '@'
+    assert not bool(dev_qc(bytes(buf), 128).ok)
+
+    buf = bytearray(gen(50, 80, 100, seed=9))
+    plus = buf.index(b"\n+\n") + 1
+    buf[plus] = ord("-")  # separator must start with '+'
+    assert not bool(dev_qc(bytes(buf), 128).ok)
+
+
+def test_per_record_len_mismatch_flagged_even_when_totals_match():
+    # two records: seq lens (90, 92) but qual lens (92, 90) — global
+    # seq/qual totals agree, so only a PER-RECORD check catches it
+    sch = parse_schema("sanger")
+    q = chr(sch.OFFSET + 30).encode()
+    rec = b"@r1 x:1\n" + b"A" * 90 + b"\n+\n" + q * 92 + b"\n" \
+        + b"@r2 xx:22\n" + b"C" * 92 + b"\n+\n" + q * 90 + b"\n"
+    r = dev_qc(rec, 128)
+    assert not bool(r.ok)
+
+
+def test_fallback_small_records_and_long_reads():
+    tiny = gen(200, 10, 20, seed=11)  # records far below width bytes
+    assert bool(dev_qc(tiny, 128).fallback)
+    # a read longer than width: device has no truncation semantics
+    longr = gen(50, 200, 300, seed=12)
+    assert bool(dev_qc(longr, 128).fallback)
+    # but a wider window brings it back in tier
+    r = dev_qc(longr, 384)
+    assert not bool(r.fallback) and bool(r.ok)
+    assert_stats_equal(host_stats(longr, 384), r.stats)
+
+
+def test_empty_chunk():
+    r = dev_qc(b"", 128)
+    assert int(r.stats.reads) == 0 and int(r.tail_start) == 0
+
+
+def _reports_equal(a, b):
+    da, db = a.to_dict(), b.to_dict()
+    assert set(da) == set(db)
+    for k in da:
+        va, vb = da[k], db[k]
+        if isinstance(va, float):
+            assert va == pytest.approx(vb, rel=1e-12), k
+        elif isinstance(va, list):
+            assert np.allclose(np.asarray(va), np.asarray(vb)), k
+        else:
+            assert va == vb, k
+
+
+def test_model_run_file_device_matches_host_multichunk(tmp_path):
+    # ~2.6 MB over 1 MB chunks: several device chunks, tails carried at
+    # device-reported record boundaries
+    buf = gen(9000, 80, 120, seed=21)
+    p = tmp_path / "var.fastq"
+    p.write_bytes(buf)
+    mk = lambda: bt.models.QCModel(quality_schema="sanger",
+                                   max_read_len=128)
+    _reports_equal(mk().run_file_device(str(p), chunk_mb=1),
+                   mk().run_file(str(p)))
+
+
+def test_model_run_file_device_invalid_midfile_counts_errors(tmp_path):
+    buf = bytearray(gen(3000, 80, 120, seed=23))
+    buf[len(buf) // 2 - (len(buf) // 2 % 1)] = 200  # corrupt one byte
+    p = tmp_path / "bad.fastq"
+    p.write_bytes(bytes(buf))
+    mk = lambda: bt.models.QCModel(quality_schema="sanger",
+                                   max_read_len=128)
+    _reports_equal(mk().run_file_device(str(p), chunk_mb=1),
+                   mk().run_file(str(p)))
+
+
+def test_model_run_file_device_gzip_ragged(tmp_path):
+    buf = gen(4000, 80, 120, seed=25)
+    p = tmp_path / "var.fastq.gz"
+    p.write_bytes(gzip.compress(buf, 1))
+    mk = lambda: bt.models.QCModel(quality_schema="sanger",
+                                   max_read_len=128)
+    _reports_equal(mk().run_file_device(str(p), chunk_mb=1),
+                   mk().run_file(str(p)))
+
+
+def test_model_out_of_tier_falls_back_to_host(tmp_path):
+    buf = gen(2000, 10, 20, seed=27)  # records below width: host path
+    p = tmp_path / "tiny.fastq"
+    p.write_bytes(buf)
+    mk = lambda: bt.models.QCModel(quality_schema="sanger",
+                                   max_read_len=128)
+    _reports_equal(mk().run_file_device(str(p), chunk_mb=1),
+                   mk().run_file(str(p)))
