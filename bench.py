@@ -304,6 +304,120 @@ def main():
                   file=sys.stderr)
 
 
+    # ---- stage R: ragged device parse on a variable-id corpus -------------
+    # The general-tier engine (ops/ragged_qc.py): realistic coordinate-id
+    # headers + mixed read lengths, which the uniform template can never
+    # accept. Informational (the headline corpus above is the reference's
+    # own benchmark shape); prints device rate vs the host feed on the SAME
+    # corpus. Budget-gated like the other device stages.
+    if time.perf_counter() - _T0 > float(
+            os.environ.get("BENCH_B2_BUDGET_S", "420")) or \
+            os.environ.get("BENCH_RAGGED", "1") != "1":
+        print("# stage R skipped (budget)", file=sys.stderr)
+    else:
+        from blazeseq_tpu.ops.ragged_qc import ragged_qc
+
+        rsize_mb = int(os.environ.get("BENCH_RAGGED_MB", "512"))
+        rcache = "/tmp/blazeseq_bench_varid_%dmb.fastq" % rsize_mb
+        if os.environ.get("BENCH_CACHE", "1") == "1" and os.path.exists(rcache):
+            with open(rcache, "rb") as f:
+                rbuf = f.read()
+        else:
+            n_r = bt.compute_num_reads_for_size(rsize_mb << 20, 90, 110) \
+                * 160 // 190  # variable ids are ~30 B wider than the
+            # fixed-width generator's headers this sizing model assumes
+            t0 = time.perf_counter()
+            rbuf = bytes(bt.generate_variable_id_fastq_buffer(
+                n_r, 90, 110, 2, 40, "sanger", seed=7))
+            print("# ragged corpus: %d reads, %.1f MB in %.1fs"
+                  % (n_r, len(rbuf) / 1e6, time.perf_counter() - t0),
+                  file=sys.stderr)
+            if os.environ.get("BENCH_CACHE", "1") == "1":
+                try:
+                    with open(rcache, "wb") as f:
+                        f.write(rbuf)
+                except OSError:
+                    pass
+        rtotal = len(rbuf)
+        # host feed rate on THIS corpus (the bar the device must beat)
+        rhost_best = None
+        for _ in range(max(reps - 2, 2)):
+            t0 = time.perf_counter()
+            parser = bt.FastqParser(bt.MemoryReader(rbuf), config=cfg)
+            rr = rb_ = 0
+            for pb in parser.padded_batches(batch_n, max_len=max_len,
+                                            pad_records_to=batch_n,
+                                            reuse_buffers=True):
+                rr += pb.n_records
+                rb_ += int(np.asarray(pb.lengths[: pb.n_records],
+                                      dtype=np.int64).sum())
+            dt = time.perf_counter() - t0
+            rhost_best = dt if rhost_best is None else min(rhost_best, dt)
+        rhost_gbps = rtotal / rhost_best / 1e9
+        # device: record-aligned chunks resident in HBM, slope-timed
+        from blazeseq_tpu.parallel.sharding import find_record_boundary
+
+        K = 2 * max_len
+        chunk_b = int(os.environ.get("BENCH_RAW_CHUNK_MB", "256")) << 20
+        rpath = rcache if os.path.exists(rcache) else None
+        if rpath is None:
+            rpath = "/tmp/blazeseq_bench_varid_tmp.fastq"
+            with open(rpath, "wb") as f:
+                f.write(rbuf)
+        bounds = [0]
+        while bounds[-1] + chunk_b < rtotal:
+            bounds.append(find_record_boundary(rpath, bounds[-1] + chunk_b))
+        bounds.append(rtotal)
+        shape = -(-max(b - a for a, b in zip(bounds, bounds[1:])) // K) * K
+        rbuf_np = np.frombuffer(rbuf, dtype=np.uint8)
+        rchunks = []
+        for a, b in zip(bounds, bounds[1:]):
+            arr = np.zeros(shape, dtype=np.uint8)
+            arr[: b - a] = rbuf_np[a:b]
+            rchunks.append((jax.device_put(jnp.asarray(arr), dev),
+                            jnp.int32(b - a)))
+
+        def rqc(c, nv):
+            r = ragged_qc(c, nv, width=max_len,
+                          q_lo=int(SANGER_SCHEMA.LOWER),
+                          q_hi=int(SANGER_SCHEMA.UPPER),
+                          offset=int(SANGER_SCHEMA.OFFSET))
+            return r
+
+        rr = rb_ = 0
+        rok = True
+        for c, nv in rchunks:
+            r = rqc(c, nv)
+            rok &= bool(r.ok) and not bool(r.fallback) \
+                and int(r.tail_start) == int(nv)
+            rr += int(r.stats.reads)
+            rb_ += int(r.stats.bases)
+        if not rok:
+            print("# stage R: corpus rejected by device tier?!",
+                  file=sys.stderr)
+        else:
+            def drainr(n):
+                t0 = time.perf_counter()
+                last = None
+                for i in range(n):
+                    c, nv = rchunks[i % len(rchunks)]
+                    last = rqc(c, nv)
+                _ = int(last.stats.reads)
+                return time.perf_counter() - t0
+
+            drainr(4)
+            per = None
+            for _ in range(3):
+                t1 = drainr(6)
+                t2 = drainr(18)
+                p = (t2 - t1) / 12
+                per = p if per is None else min(per, p)
+            r_gbps = rtotal / (len(rchunks) * per) / 1e9
+            print("# stage R: ragged device %.2f GB/s vs host feed %.2f "
+                  "GB/s on variable-id corpus (%d records %d base_pairs)"
+                  % (r_gbps, rhost_gbps, rr, rb_), file=sys.stderr)
+        del rchunks
+
     # ---- stage B (pipeline A's device leg): fused QC over padded batches --
     # budget-gated as a whole: on a degraded tunnel this stage is purely
     # informational (the headline already measured above as B2), so it must
