@@ -418,6 +418,79 @@ def main():
                   % (r_gbps, rhost_gbps, rr, rb_), file=sys.stderr)
         del rchunks
 
+    # ---- stage I: overlapped ingest (feed | transfer | kernel) ------------
+    # The sustained pipeline-B rate WITH bytes actually arriving: host fill
+    # -> device_put -> fused parse-QC, overlapped through
+    # parallel/ingest.OverlappedIngest. Reports each component rate and
+    # min(feed, transfer, kernel) = the steady-state bound, plus the
+    # measured overlapped wall rate over a sub-corpus. On this dev harness
+    # the transfer leg rides an HTTP tunnel (~50 MB/s), so the component
+    # decomposition is the honest number for real PCIe-attached hardware;
+    # the headline stays transfer-exclusive (see module docstring).
+    if time.perf_counter() - _T0 > float(
+            os.environ.get("BENCH_B2_BUDGET_S", "420")) or \
+            os.environ.get("BENCH_INGEST", "1") != "1" or b2_gbps <= 0:
+        print("# stage I skipped (budget/disabled/no-B2)", file=sys.stderr)
+    else:
+        from blazeseq_tpu.ops.uniform_qc import uniform_qc as _uqc_fn
+        from blazeseq_tpu.parallel.ingest import OverlappedIngest
+
+        ing_mb = int(os.environ.get("BENCH_INGEST_MB", "64"))
+        lay_i = detect_uniform_layout(buf)
+        if lay_i is None:
+            print("# stage I skipped (no uniform layout)", file=sys.stderr)
+        else:
+            isize = min(ing_mb << 20, total_bytes)
+            csize_i = max((32 << 20) // lay_i.rs, 1) * lay_i.rs
+            csize_i = min(csize_i, isize // lay_i.rs * lay_i.rs)
+            sub = buf_np[: isize // lay_i.rs * lay_i.rs]
+
+            def uqc_i(c, nv):
+                return _uqc_fn(
+                    c, nv, rs=lay_i.rs, o1=lay_i.o1, o2=lay_i.o2,
+                    o3=lay_i.o3, width=max_len,
+                    q_lo=int(SANGER_SCHEMA.LOWER),
+                    q_hi=int(SANGER_SCHEMA.UPPER),
+                    offset=int(SANGER_SCHEMA.OFFSET))
+
+            step_i = lambda c, nv: uqc_i(c, jnp.int32(nv))
+            # component: feed (staging memcpy of every chunk)
+            stage = np.empty(csize_i, dtype=np.uint8)
+            t0 = time.perf_counter()
+            for a in range(0, len(sub) - csize_i + 1, csize_i):
+                stage[:] = sub[a : a + csize_i]
+            feed_gbps = len(sub) / (time.perf_counter() - t0) / 1e9
+            # component: transfer (device_put + ready, slope over 2 counts)
+            jax.block_until_ready(jax.device_put(stage, dev))
+            def put_n(n):
+                t0 = time.perf_counter()
+                last = None
+                for _ in range(n):
+                    last = jax.device_put(stage, dev)
+                jax.block_until_ready(last)
+                return time.perf_counter() - t0
+            tr_per = (put_n(3) - put_n(1)) / 2
+            tr_gbps = csize_i / tr_per / 1e9
+            # end-to-end overlapped wall rate over the sub-corpus
+            jax.block_until_ready(step_i(jax.device_put(stage, dev),
+                                         csize_i))  # compile
+            t0 = time.perf_counter()
+            ing = OverlappedIngest(step_i, csize_i)
+            n_reads_i = 0
+            for a in range(0, len(sub) - csize_i + 1, csize_i):
+                b_ = ing.acquire()
+                b_[:] = sub[a : a + csize_i]
+                for _m, (ok, st) in ing.feed(b_, csize_i):
+                    n_reads_i += int(st.reads)
+            for _m, (ok, st) in ing.drain():
+                n_reads_i += int(st.reads)
+            e2e_gbps = len(sub) / (time.perf_counter() - t0) / 1e9
+            bound = min(feed_gbps, tr_gbps, b2_gbps)
+            print("# stage I: feed %.2f | transfer %.2f | kernel %.2f GB/s "
+                  "-> min %.2f; overlapped end-to-end %.2f GB/s "
+                  "(%d records)" % (feed_gbps, tr_gbps, b2_gbps, bound,
+                                    e2e_gbps, n_reads_i), file=sys.stderr)
+
     # ---- stage B (pipeline A's device leg): fused QC over padded batches --
     # budget-gated as a whole: on a degraded tunnel this stage is purely
     # informational (the headline already measured above as B2), so it must

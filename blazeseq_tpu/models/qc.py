@@ -200,21 +200,45 @@ class QCModel:
         csize = min(csize, -(-total // lay.rs) * lay.rs)
         uqc = self._device_uqc(lay, self.max_read_len)
 
+        # Overlapped ingest (SURVEY §7.3): full-size chunks are read-only
+        # slices of the mmap fed zero-copy; the device works `depth` chunks
+        # behind the dispatch front, so its compute overlaps the host's
+        # slicing/transfer of the next chunks. A chunk's template verdict
+        # arrives late; chunks dispatched after a failure are discarded and
+        # the host engine resumes from the failed chunk's start.
+        from ..parallel.ingest import OverlappedIngest
+
+        ing = OverlappedIngest(lambda c, nv: uqc(c, jnp.int32(nv)), csize)
         acc = QCAccumulator()
+        fail_pos = None
+
+        def consume(ready):
+            nonlocal fail_pos
+            for meta, (ok, st) in ready:
+                if fail_pos is not None:
+                    continue
+                if bool(ok):
+                    acc.add(st)
+                else:
+                    fail_pos = meta  # proof failed: host from this boundary
         pos = 0
-        buf_np = np.zeros(csize, dtype=np.uint8)
-        while pos < total:
+        while pos < total and fail_pos is None:
             b = min(pos + csize, total)
             n_valid = (b - pos) // lay.rs * lay.rs
             if n_valid == 0:
                 break  # trailing partial record: host tail
-            buf_np[: b - pos] = data[pos:b]
-            buf_np[b - pos:] = 0
-            ok, st = uqc(jnp.asarray(buf_np), jnp.int32(n_valid))
-            if not bool(ok):
-                break  # proof failed: host engine from this boundary on
-            acc.add(st)
+            if b - pos == csize:
+                consume(ing.feed(data[pos:b], n_valid, meta=pos,
+                                 owned=False))
+            else:
+                buf = ing.acquire()
+                buf[: b - pos] = data[pos:b]
+                buf[b - pos:] = 0
+                consume(ing.feed(buf, n_valid, meta=pos))
             pos += n_valid
+        consume(ing.drain())
+        if fail_pos is not None:
+            pos = fail_pos
         if pos < total:
             # exact host engine for the remainder (pos is a proven record
             # boundary: every accepted chunk ends at one). Structure-only
@@ -355,12 +379,42 @@ class QCModel:
         if head_eof:
             csize = max(min(csize, -(-len(head) // lay.rs) * lay.rs), lay.rs)
         uqc = self._device_uqc(lay, self.max_read_len)
-        buf = np.zeros(csize, dtype=np.uint8)
+
+        # Overlapped ingest over rotating staging buffers (SURVEY §7.3):
+        # the host inflates into buffer k+1 while the device parses chunk k.
+        # A chunk's tail (bytes past the last whole record) is copied into
+        # the NEXT buffer's head, so each buffer's content is
+        # `carry` duplicated bytes + fresh stream bytes — on a late template
+        # failure the unconsumed stream is rebuilt from the failed chunk's
+        # full content plus every later chunk's fresh part.
+        from ..parallel.ingest import OverlappedIngest
+        from collections import deque
+
+        ing = OverlappedIngest(lambda c, nv: uqc(c, jnp.int32(nv)), csize)
+        pending = deque()  # dispatch-ordered (buf, fill, carry) per chunk
+        fail_parts = None  # bytes of the stream the device did not consume
+
+        def consume(ready):
+            nonlocal fail_parts
+            for _meta, (ok, st) in ready:
+                b, f, ci = pending.popleft()
+                if fail_parts is not None:
+                    continue
+                if bool(ok):
+                    acc.add(st)
+                else:
+                    # failed chunk contributes ALL its bytes (its carry-in
+                    # was never consumed either); later in-flight chunks
+                    # contribute only their fresh (non-duplicated) bytes
+                    fail_parts = [bytes(b[:f])]
+                    fail_parts += [bytes(pb[pci:pf])
+                                   for pb, pf, pci in pending]
+        buf = ing.acquire()
         fill = len(head)
+        carry = 0  # head bytes are fresh stream bytes
         buf[:fill] = np.frombuffer(bytes(head), np.uint8)
-        eof = False
-        rejected = False
-        while True:
+        eof = head_eof
+        while fail_parts is None:
             while fill < csize and not eof:
                 n = reader.readinto(memoryview(buf.data)[fill:])
                 if n == 0:
@@ -372,20 +426,33 @@ class QCModel:
                 break
             if fill < csize:
                 buf[fill:] = 0
-            ok, st = uqc(jnp.asarray(buf), jnp.int32(n_valid))
-            if not bool(ok):
-                rejected = True
+            pending.append((buf, fill, carry))
+            consume(ing.feed(buf, n_valid))
+            if fail_parts is not None:
+                # this buffer was dispatched: it is in `pending`'s
+                # reconstruction, not an undispatched remainder
+                buf, fill, carry = None, 0, 0
                 break
-            acc.add(st)
             rem = fill - n_valid
-            if rem:
-                buf[:rem] = buf[n_valid:fill]
-            fill = rem
-            if eof and fill == 0:
+            if eof and rem == 0:
+                buf, fill, carry = None, 0, 0
                 break
-        if fill or not eof or rejected:
+            nbuf = ing.acquire()
+            if rem:
+                # reading the in-flight buffer is safe; only writes race
+                nbuf[:rem] = buf[n_valid:fill]
+            buf, fill, carry = nbuf, rem, rem
+        consume(ing.drain())
+        if fail_parts is not None:
+            # current (undispatched) buffer holds fresh bytes past `carry`
+            if buf is not None and fill > carry:
+                fail_parts.append(bytes(buf[carry:fill]))
+            leftover = b"".join(fail_parts)
+        else:
+            leftover = bytes(buf[:fill]) if buf is not None and fill else b""
+        if leftover or not eof:
             parser = FastqParser(
-                _ChainedReader(bytes(buf[:fill]), reader),
+                _ChainedReader(leftover, reader),
                 config=ParserConfig())
             parser.quality_schema = self.schema
             self._host_consume(parser, acc)

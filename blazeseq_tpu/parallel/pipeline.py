@@ -217,7 +217,8 @@ def run_qc_align(padded_batch, ref: bytes, schema, mesh: Optional[Mesh] = None,
 def build_uniform_qc_step(mesh: Optional[Mesh], layout, schema, *,
                           width: int = 128, check_ascii: bool = True,
                           check_quality: bool = True,
-                          axis_name: str = DP_AXIS):
+                          axis_name: str = DP_AXIS,
+                          per_shard: bool = False):
     """Sharded pipeline-B step: device-side uniform-template FASTQ parsing
     + QC over a mesh (SURVEY §2.5 multi-host scaling applied to the
     raw-bytes ingest path), built on the one-pass fused kernel
@@ -232,7 +233,16 @@ def build_uniform_qc_step(mesh: Optional[Mesh], layout, schema, *,
     dimension — each device proves the template and computes stats for its
     row range, scalars and histograms psum over ICI. Every violation
     rejects (ok=False) exactly like the single-device path, so the host
-    fallback contract carries over unchanged."""
+    fallback contract carries over unchanged.
+
+    With per_shard=True (mesh runs only) the contract becomes
+    shard-granular: fn returns (n_records i32[D], bases i32[D], ok bool[D],
+    QCStats) where index d is shard d's verdict/counts and the psum'd stats
+    include ONLY passing shards (failed shards' contributions are masked
+    out before the collective). The host re-parses just the byte ranges of
+    failing shards through the exact engine and merges — the multi-chip
+    analog of the single-chip chunk fallback (reference resume analog:
+    blazeseq/fastq/parser.mojo:452-522)."""
     from ..ops.uniform_qc import uniform_qc
 
     rs = layout.rs
@@ -257,6 +267,11 @@ def build_uniform_qc_step(mesh: Optional[Mesh], layout, schema, *,
                             check_quality=check_quality)
         n_rec = st.reads
         bases = st.bases
+        if mesh is not None and per_shard:
+            oki = ok.astype(jnp.int32)
+            st = jax.lax.psum(jax.tree.map(lambda x: x * oki, st),
+                              axis_name)
+            return (n_rec.reshape(1), bases.reshape(1), ok.reshape(1), st)
         if mesh is not None:
             st = jax.lax.psum(st, axis_name)
             ok = jax.lax.pmin(ok.astype(jnp.int32), axis_name) > 0
@@ -267,11 +282,12 @@ def build_uniform_qc_step(mesh: Optional[Mesh], layout, schema, *,
     if mesh is None:
         return jax.jit(_local)
     stats_specs = jax.tree.map(lambda _: P(), stats_ops.zero_stats(1))
+    shard_spec = P(axis_name) if per_shard else P()
     sharded = shard_map(
         _local,
         mesh=mesh,
         in_specs=(P(axis_name), P()),
-        out_specs=(P(), P(), P(), stats_specs),
+        out_specs=(shard_spec, shard_spec, shard_spec, stats_specs),
         check_vma=False,
     )
     return jax.jit(sharded)
