@@ -43,6 +43,12 @@ def run_mode(buf, mode, check_ascii, check_quality, schema):
         for b in parser.batches(4096):
             records += len(b)
             bases += b.seq_len()
+    elif mode == "batch_reuse":
+        # zero-allocation bulk feed: batches view parser-owned staging
+        # (valid until the next batch) — the device-feed configuration
+        for b in parser.batches(4096, reuse_buffers=True):
+            records += len(b)
+            bases += b.seq_len()
     elif mode == "padded":
         # device-feed configuration: 16K rows, double-buffered reuse
         for pb in parser.padded_batches(16384, max_len=256,
@@ -57,7 +63,8 @@ def run_mode(buf, mode, check_ascii, check_quality, schema):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("file")
-    ap.add_argument("--modes", default="count,views,padded,batch,records")
+    ap.add_argument("--modes",
+                    default="count,views,padded,batch,batch_reuse,records")
     ap.add_argument("--validations", default="none,ascii,ascii_quality")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--schema", default="sanger")

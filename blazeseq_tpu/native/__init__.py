@@ -221,6 +221,33 @@ def aligned_empty(shape, dtype=np.uint8, align: int = 64) -> np.ndarray:
     return raw[off : off + size].view(dtype).reshape(shape)
 
 
+_fast_scan_mod = None
+_fast_scan_tried = False
+
+
+def _fast_scan():
+    """records_ext METH_FASTCALL trampolines bound to the scan library.
+    The ctypes bindings cost ~25us per call (measured; pointer wrappers +
+    byref cells); the trampolines take the same numpy buffers through the
+    buffer protocol at ~1us — material at one call per batch window."""
+    global _fast_scan_mod, _fast_scan_tried
+    if _fast_scan_tried:
+        return _fast_scan_mod
+    _fast_scan_tried = True
+    lib = _load()
+    mod = records_ext()
+    if lib is None or mod is None or not hasattr(mod, "bind_scan"):
+        return None
+    try:
+        mod.bind_scan(
+            ctypes.cast(lib.bs_scan_gather_soa, ctypes.c_void_p).value,
+            ctypes.cast(lib.bs_scan_gather_padded, ctypes.c_void_p).value)
+        _fast_scan_mod = mod
+    except Exception:
+        _fast_scan_mod = None
+    return _fast_scan_mod
+
+
 def _ptr_u8(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
@@ -535,6 +562,15 @@ def scan_gather_padded(window: np.ndarray, start: int, max_records: int,
     lib = _load()
     if lib is None:
         return None
+    fm = _fast_scan()
+    if fm is not None:
+        try:
+            return fm.scan_gather_padded(
+                window, start, max_records, width, check_ascii,
+                check_quality, q_lower, q_upper, max_rec_size, out_seq,
+                out_qual, out_len)
+        except BufferError:
+            pass  # non-contiguous buffer: ctypes path below
     consumed = ctypes.c_int64(0)
     err_code = ctypes.c_int32(0)
     err_phase = ctypes.c_int32(0)
@@ -720,6 +756,15 @@ def scan_gather_soa(window: np.ndarray, start: int, max_records: int,
     lib = _load()
     if lib is None:
         return None
+    fm = _fast_scan()
+    if fm is not None:
+        try:
+            return fm.scan_gather_soa(
+                window, start, max_records, check_ascii, check_quality,
+                q_lower, q_upper, seq_out, qual_out, ends_out, id_out,
+                id_ends_out)
+        except BufferError:
+            pass  # non-contiguous buffer: ctypes path below
     total = ctypes.c_int64(0)
     id_total = ctypes.c_int64(0)
     consumed = ctypes.c_int64(0)

@@ -387,9 +387,25 @@ typedef struct {
     long phred_offset;
 } ViewObj;
 
+/* Freelist for exact-type View objects: in views-mode iteration every view
+ * dies immediately after inspection, so the malloc/free round-trip in
+ * tp_alloc/tp_free is pure overhead on the per-record floor. The chain
+ * iterator pops from here; dealloc pushes back (bounded). */
+#define VIEW_FREELIST_MAX 64
+static ViewObj *view_freelist[VIEW_FREELIST_MAX];
+static int view_freelist_n = 0;
+/* set to &ViewType at module init (the type object is defined below;
+ * builds as C++ too, where a tentative definition is unavailable) */
+static PyTypeObject *ViewTypeExact = NULL;
+
 static void View_dealloc(ViewObj *self) {
     for (int i = 0; i < self->nbufs; ++i) PyBuffer_Release(&self->bufs[i]);
     for (int i = 0; i < 3; ++i) Py_XDECREF(self->own[i]);
+    if (Py_IS_TYPE(self, ViewTypeExact) &&
+        view_freelist_n < VIEW_FREELIST_MAX) {
+        view_freelist[view_freelist_n++] = self;
+        return;
+    }
     Py_TYPE(self)->tp_free((PyObject *)self);
 }
 
@@ -676,9 +692,14 @@ static PyObject *Chain_next(ChainIter *self) {
 
         PyObject *obj;
         if (self->is_view) {
-            ViewObj *v =
-                (ViewObj *)self->out_type->tp_alloc(self->out_type, 0);
-            if (!v) return NULL;
+            ViewObj *v;
+            if (self->out_type == ViewTypeExact && view_freelist_n > 0) {
+                v = view_freelist[--view_freelist_n];
+                PyObject_Init((PyObject *)v, ViewTypeExact);
+            } else {
+                v = (ViewObj *)self->out_type->tp_alloc(self->out_type, 0);
+                if (!v) return NULL;
+            }
             v->nbufs = 0;
             v->phred_offset = self->phred;
             v->ptr[0] = self->buf + a;
@@ -687,11 +708,12 @@ static PyObject *Chain_next(ChainIter *self) {
             v->len[1] = p - 1 - s;
             v->ptr[2] = self->buf + q;
             v->len[2] = e - q;
-            PyObject *owner = self->buf_obj;
-            for (int i = 0; i < 3; ++i) {
-                Py_INCREF(owner);
-                v->own[i] = owner;
-            }
+            /* one keep-alive reference suffices: all three spans share the
+             * parser window (own[1]/own[2] stay NULL for XDECREF) */
+            Py_INCREF(self->buf_obj);
+            v->own[0] = self->buf_obj;
+            v->own[1] = NULL;
+            v->own[2] = NULL;
             obj = (PyObject *)v;
         } else {
             obj = Rec_alloc_fill(self->out_type, self->buf + a, b - a,
@@ -819,11 +841,135 @@ static PyObject *set_helpers(PyObject *mod, PyObject *args) {
     Py_RETURN_NONE;
 }
 
+/* -------- fast trampolines into libblazeseq_scan ------------------------
+ * The ctypes bindings cost ~25us per call (pointer wrapper objects, byref
+ * cells); at batch granularity (one call per 4K-record window) that is ~10%
+ * of the whole parse. These METH_FASTCALL trampolines take the same numpy
+ * buffers through the buffer protocol and call the scan library's entry
+ * points directly (~1us). Addresses are bound once via bind_scan(). */
+typedef int64_t (*soa_fn_t)(const uint8_t *, int64_t, int64_t, int64_t,
+                            int64_t, int64_t, int32_t, int32_t, uint8_t,
+                            uint8_t, uint8_t *, uint8_t *, int64_t *,
+                            uint8_t *, int64_t *, int64_t *, int64_t *,
+                            int64_t *, int32_t *, int32_t *);
+typedef int64_t (*padded_fn_t)(const uint8_t *, int64_t, int64_t, int64_t,
+                               int64_t, int32_t, int32_t, uint8_t, uint8_t,
+                               int64_t, uint8_t *, uint8_t *, int32_t *,
+                               int64_t *, int32_t *, int32_t *);
+static soa_fn_t S_soa = NULL;
+static padded_fn_t S_padded = NULL;
+
+static PyObject *bind_scan(PyObject *mod, PyObject *args) {
+    unsigned long long a_soa = 0, a_padded = 0;
+    if (!PyArg_ParseTuple(args, "KK", &a_soa, &a_padded)) return NULL;
+    S_soa = (soa_fn_t)(uintptr_t)a_soa;
+    S_padded = (padded_fn_t)(uintptr_t)a_padded;
+    Py_RETURN_NONE;
+}
+
+/* scan_gather_soa(window, start, max_records, check_ascii, check_quality,
+ *                 q_lower, q_upper, seq_out, qual_out, ends_out, id_out,
+ *                 id_ends_out) -> (count, total, id_total, consumed,
+ *                                  err_code, err_phase) */
+static PyObject *soa_fast(PyObject *mod, PyObject *const *a, Py_ssize_t n) {
+    if (!S_soa || n != 12) {
+        PyErr_SetString(PyExc_TypeError, "bind_scan not called / need 12 args");
+        return NULL;
+    }
+    Py_buffer w, so, qo, eo, io, ieo;
+    if (PyObject_GetBuffer(a[0], &w, PyBUF_SIMPLE) < 0) return NULL;
+    if (PyObject_GetBuffer(a[7], &so, PyBUF_WRITABLE) < 0) goto e1;
+    if (PyObject_GetBuffer(a[8], &qo, PyBUF_WRITABLE) < 0) goto e2;
+    if (PyObject_GetBuffer(a[9], &eo, PyBUF_WRITABLE) < 0) goto e3;
+    if (PyObject_GetBuffer(a[10], &io, PyBUF_WRITABLE) < 0) goto e4;
+    if (PyObject_GetBuffer(a[11], &ieo, PyBUF_WRITABLE) < 0) goto e5;
+    {
+        int64_t start = PyLong_AsLongLong(a[1]);
+        int64_t maxr = PyLong_AsLongLong(a[2]);
+        int ca = PyObject_IsTrue(a[3]);
+        int cq = PyObject_IsTrue(a[4]);
+        long ql = PyLong_AsLong(a[5]);
+        long qu = PyLong_AsLong(a[6]);
+        int64_t total = 0, id_total = 0, consumed = 0;
+        int32_t err = 0, phase = 0;
+        int64_t count;
+        if (PyErr_Occurred()) goto e6;
+        count = S_soa((const uint8_t *)w.buf, (int64_t)w.len, start, maxr,
+                      (int64_t)so.len, (int64_t)io.len, ca, cq, (uint8_t)ql,
+                      (uint8_t)(qu - ql), (uint8_t *)so.buf,
+                      (uint8_t *)qo.buf, (int64_t *)eo.buf,
+                      (uint8_t *)io.buf, (int64_t *)ieo.buf, &total,
+                      &id_total, &consumed, &err, &phase);
+        PyBuffer_Release(&ieo); PyBuffer_Release(&io); PyBuffer_Release(&eo);
+        PyBuffer_Release(&qo); PyBuffer_Release(&so); PyBuffer_Release(&w);
+        return Py_BuildValue("(LLLLii)", (long long)count, (long long)total,
+                             (long long)id_total, (long long)consumed,
+                             (int)err, (int)phase);
+    }
+e6: PyBuffer_Release(&ieo);
+e5: PyBuffer_Release(&io);
+e4: PyBuffer_Release(&eo);
+e3: PyBuffer_Release(&qo);
+e2: PyBuffer_Release(&so);
+e1: PyBuffer_Release(&w);
+    return NULL;
+}
+
+/* scan_gather_padded(window, start, max_records, width, check_ascii,
+ *                    check_quality, q_lower, q_upper, max_rec_size,
+ *                    out_seq, out_qual, out_len)
+ *     -> (count, consumed, err_code, err_phase) */
+static PyObject *padded_fast(PyObject *mod, PyObject *const *a,
+                             Py_ssize_t n) {
+    if (!S_padded || n != 12) {
+        PyErr_SetString(PyExc_TypeError, "bind_scan not called / need 12 args");
+        return NULL;
+    }
+    Py_buffer w, so, qo, lo;
+    if (PyObject_GetBuffer(a[0], &w, PyBUF_SIMPLE) < 0) return NULL;
+    if (PyObject_GetBuffer(a[9], &so, PyBUF_WRITABLE) < 0) goto p1;
+    if (PyObject_GetBuffer(a[10], &qo, PyBUF_WRITABLE) < 0) goto p2;
+    if (PyObject_GetBuffer(a[11], &lo, PyBUF_WRITABLE) < 0) goto p3;
+    {
+        int64_t start = PyLong_AsLongLong(a[1]);
+        int64_t maxr = PyLong_AsLongLong(a[2]);
+        int64_t width = PyLong_AsLongLong(a[3]);
+        int ca = PyObject_IsTrue(a[4]);
+        int cq = PyObject_IsTrue(a[5]);
+        long ql = PyLong_AsLong(a[6]);
+        long qu = PyLong_AsLong(a[7]);
+        int64_t mrs = PyLong_AsLongLong(a[8]);
+        int64_t consumed = 0;
+        int32_t err = 0, phase = 0;
+        int64_t count;
+        if (PyErr_Occurred()) goto p4;
+        count = S_padded((const uint8_t *)w.buf, (int64_t)w.len, start, maxr,
+                         width, ca, cq, (uint8_t)ql, (uint8_t)(qu - ql), mrs,
+                         (uint8_t *)so.buf, (uint8_t *)qo.buf,
+                         (int32_t *)lo.buf, &consumed, &err, &phase);
+        PyBuffer_Release(&lo); PyBuffer_Release(&qo);
+        PyBuffer_Release(&so); PyBuffer_Release(&w);
+        return Py_BuildValue("(LLii)", (long long)count, (long long)consumed,
+                             (int)err, (int)phase);
+    }
+p4: PyBuffer_Release(&lo);
+p3: PyBuffer_Release(&qo);
+p2: PyBuffer_Release(&so);
+p1: PyBuffer_Release(&w);
+    return NULL;
+}
+
 static PyMethodDef module_methods[] = {
     {"make_chain_iter", make_chain_iter, METH_VARARGS,
      "C iterator over scanned offset batches producing Record/View objects."},
     {"set_helpers", set_helpers, METH_VARARGS,
      "Register Python helper callables (definition, phred, from_string)."},
+    {"bind_scan", bind_scan, METH_VARARGS,
+     "Bind libblazeseq_scan entry addresses for the fast trampolines."},
+    {"scan_gather_soa", (PyCFunction)soa_fast, METH_FASTCALL,
+     "Fast trampoline for bs_scan_gather_soa."},
+    {"scan_gather_padded", (PyCFunction)padded_fast, METH_FASTCALL,
+     "Fast trampoline for bs_scan_gather_padded."},
     {NULL, NULL, 0, NULL},
 };
 
@@ -834,6 +980,7 @@ static struct PyModuleDef records_module = {
 
 PyMODINIT_FUNC PyInit__records(void) {
     init_ws();
+    ViewTypeExact = &ViewType;
     if (PyType_Ready(&RecType) < 0) return NULL;
     if (PyType_Ready(&ViewType) < 0) return NULL;
     if (PyType_Ready(&ChainIterType) < 0) return NULL;

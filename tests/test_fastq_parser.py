@@ -185,6 +185,48 @@ def test_batch_ends_cumulative():
     assert b._id_ends.tolist() == [2, 14]
 
 
+def test_batch_reuse_buffers_parity():
+    # reuse_buffers=True serves views into parser-owned staging; contents
+    # must match the owned path batch-for-batch (valid until the next call)
+    buf = bt.generate_synthetic_fastq_buffer(5000, 40, 200, 2, 40, "sanger")
+    cfg = bt.ParserConfig(check_ascii=True, check_quality=True,
+                          quality_schema="sanger")
+    p1 = bt.FastqParser(bt.MemoryReader(buf), config=cfg)
+    p2 = bt.FastqParser(bt.MemoryReader(buf), config=cfg)
+    total = 0
+    while True:
+        a = p1.next_batch(1000)
+        b = p2.next_batch(1000, reuse_buffers=True)
+        assert a.num_records() == b.num_records()
+        if a.num_records() == 0:
+            break
+        a._finalize(), b._finalize()
+        for f in ("_sequence_bytes", "_quality_bytes", "_id_bytes",
+                  "_ends", "_id_ends"):
+            assert np.array_equal(getattr(a, f), getattr(b, f)), f
+        total += a.num_records()
+    assert total == 5000
+
+
+def test_batch_adaptive_sizing_growing_records():
+    # bytes-per-record learned from short early records must not corrupt
+    # later batches of much longer records (the -8 continue path refills
+    # with fresh, larger buffers)
+    short = bt.generate_synthetic_fastq_buffer(300, 50, 50, 2, 40, "sanger")
+    llong = bt.generate_synthetic_fastq_buffer(300, 420, 420, 2, 40,
+                                               "sanger")
+    buf = bytes(short) + bytes(llong)
+    for reuse in (False, True):
+        p = bt.FastqParser(bt.MemoryReader(buf))
+        seen = 0
+        bases = 0
+        for b in p.batches(64, reuse_buffers=reuse):
+            seen += len(b)
+            bases += b.seq_len()
+        assert seen == 600
+        assert bases == 300 * 50 + 300 * 420
+
+
 def test_buffer_capacity_exceeded():
     big = b"@r1\n" + b"A" * 5000 + b"\n+\n" + b"I" * 5000 + b"\n"
     cfg = bt.ParserConfig(buffer_capacity=4096)
