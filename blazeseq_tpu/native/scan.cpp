@@ -1485,8 +1485,58 @@ int64_t bs_count_fasta(const uint8_t* buf, int64_t n, int64_t start,
   int64_t n_headers = 0;
   int64_t first_nonws = -1;
 
-  for (int64_t base = start; base < end; base += 64) {
+  // Fast tier: a 256-byte group whose every byte is printable (>= 33) or
+  // '\n' — true for all pure sequence/bare-header content — needs only the
+  // newline mask: no whitespace classes exist (ws/controls are all < 33),
+  // so nonws = ~nl, the `bad` rules can't trigger, and '>'-headers are
+  // found by scalar checks at the (rare) line-start bits. Any group with a
+  // byte < 33 besides '\n' (header descriptions with spaces, indented or
+  // blank-with-space lines, controls) drops to the exact per-block tier
+  // below for one block. This tripled the count rate on this host (the
+  // 5-compare byte classification dominated the loop).
+  const __m512i lo33 = _mm512_set1_epi8(33);
+  int64_t base = start;
+  while (base < end) {
     const int64_t rem = end - base;
+    if (rem >= 256) {
+      uint64_t nls[4], lows[4];
+#pragma GCC unroll 4
+      for (int j = 0; j < 4; ++j) {
+        const __m512i vj =
+            _mm512_loadu_si512((const void*)(buf + base + j * 64));
+        nls[j] = _mm512_cmpeq_epi8_mask(vj, nlv);
+        lows[j] = _mm512_cmp_epu8_mask(vj, lo33, _MM_CMPINT_LT);
+      }
+      if (((lows[0] ^ nls[0]) | (lows[1] ^ nls[1]) | (lows[2] ^ nls[2]) |
+           (lows[3] ^ nls[3])) == 0) {
+        // a whitespace byte ending the previous block followed by content
+        // here is interior whitespace (same rule as the exact tier)
+        bad |= prev_last_ws & ~nls[0] & 1;
+        int64_t nlp = 0;
+#pragma GCC unroll 4
+        for (int j = 0; j < 4; ++j) {
+          const uint64_t nl_j = nls[j];
+          uint64_t ls = (nl_j << 1) | (prev_last_nl & 1);
+          prev_last_nl = nl_j >> 63;
+          while (ls) {
+            const int64_t p = base + j * 64 + (int64_t)_tzcnt_u64(ls);
+            if (buf[p] == '>') {
+              if (n_headers >= HCAP) { *fallback = 1; return 0; }
+              headers[n_headers++] = p;
+            }
+            ls &= ls - 1;
+          }
+          if (first_nonws < 0 && ~nl_j)
+            first_nonws = base + j * 64 + (int64_t)_tzcnt_u64(~nl_j);
+          nlp += (int64_t)_mm_popcnt_u64(nl_j);
+        }
+        nl_total += nlp;
+        nonws_total += 256 - nlp;
+        prev_last_ws = 0;
+        base += 256;
+        continue;
+      }
+    }
     __m512i v;
     __mmask64 lane_m = ~(uint64_t)0;
     if (rem >= 64) {
@@ -1526,6 +1576,7 @@ int64_t bs_count_fasta(const uint8_t* buf, int64_t n, int64_t start,
     prev_last_nl = nl >> 63;
     prev_last_ws = (ws_nonl >> 63) & 1;
     if (rem < 64) break;
+    base += 64;
   }
   if (bad) { *fallback = 1; return 0; }
   if (n_headers == 0) {

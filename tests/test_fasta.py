@@ -127,6 +127,35 @@ def test_count_and_batches():
         [(r.id_bytes(), r.sequence_bytes()) for r in recs]
 
 
+def test_count_fast_tier_differential_fuzz():
+    # the 256-byte clean-group counting tier (scan.cpp bs_count_fasta) must
+    # agree with the exact record parse on inputs that straddle group
+    # boundaries with whitespace quirks: trailing spaces at line ends,
+    # descriptions, CRLF, blank lines, and headers landing at every
+    # alignment. Counts must equal the records() accounting byte-for-byte.
+    import random
+
+    rng = random.Random(42)
+    for trial in range(30):
+        parts = []
+        for i in range(rng.randrange(1, 40)):
+            desc = rng.choice(["", " desc here", "\tx", "  "])
+            parts.append((">r%d%s\n" % (i, desc)).encode())
+            n_lines = rng.randrange(1, 5)
+            for _ in range(n_lines):
+                line = "ACGT" * rng.randrange(1, 40)
+                tail = rng.choice(["", " ", "\r", "  "])
+                parts.append((line + tail + "\n").encode())
+            if rng.random() < 0.3:
+                parts.append(b"\n")  # blank line between records
+        # random leading pad shifts every group/block boundary
+        buf = b"\n" * rng.randrange(0, 3) + b"".join(parts)
+        recs = list(FastaParser(bt.MemoryReader(buf)).records())
+        records, bases = FastaParser(bt.MemoryReader(buf)).count()
+        assert records == len(recs), trial
+        assert bases == sum(len(r) for r in recs), trial
+
+
 def test_batch_to_padded():
     import numpy as np
 
