@@ -207,7 +207,8 @@ def workload_parser(size_mb, reps):
                              records=records, base_pairs=bases))
             print("parser/%s: %.3fs (%.2f GB/s)"
                   % (name, min(times), size / min(times) / 1e9))
-    for cname, label in (("kseq_class_runner", "kseq_class_c"),
+    for cname, label in (("kseq_real_runner", "kseq_real"),
+                         ("kseq_class_runner", "kseq_class_c"),
                          ("seqio_class_runner", "seqio_class_c")):
         comp = _build_competitor(cname)
         if not comp:
@@ -250,16 +251,19 @@ def workload_gzip(size_mb, reps):
                          times=times, gbps=plain_size / min(times) / 1e9,
                          records=records, base_pairs=bases))
         print("gzip/native_gz_count: %.3fs" % min(times))
-    comp = _build_competitor()
-    if comp:
+    for cname, label in (("kseq_real_runner", "kseq_real_gz"),
+                         ("kseq_class_runner", "kseq_class_c_gz")):
+        comp = _build_competitor(cname)
+        if not comp:
+            continue
         times, out = _time_subprocess(_pin_prefix() + [comp, corpus],
                                       reps=reps)
         records, bases = map(int, out.split())
-        rows.append(dict(mode="kseq_class_c_gz",
+        rows.append(dict(mode=label,
                          mean_s=sum(times) / len(times), min_s=min(times),
                          times=times, gbps=plain_size / min(times) / 1e9,
                          records=records, base_pairs=bases))
-        print("gzip/kseq_class_c: %.3fs" % min(times))
+        print("gzip/%s: %.3fs" % (label, min(times)))
     _check_agreement(rows)
     _record("gzip", rows, plain_size)
 
@@ -311,6 +315,18 @@ def workload_fasta(size_mb, reps):
                              records=records, base_pairs=bases))
             print("fasta_native_count: %.3fs (%.2f GB/s)"
                   % (min(times), rows[-1]["gbps"]))
+    comp = _build_competitor("kseq_real_runner")
+    if comp:
+        # the real upstream kseq parses FASTA too (quality-less records)
+        times, out = _time_subprocess(_pin_prefix() + [comp, corpus],
+                                      reps=reps)
+        records, bases = map(int, out.split())
+        rows.append(dict(mode="kseq_real_fasta",
+                         mean_s=sum(times) / len(times), min_s=min(times),
+                         times=times, gbps=size / min(times) / 1e9,
+                         records=records, base_pairs=bases))
+        print("fasta/kseq_real: %.3fs (%.2f GB/s)"
+              % (min(times), rows[-1]["gbps"]))
     _check_agreement(rows)
     _record("fasta", rows, size)
 
