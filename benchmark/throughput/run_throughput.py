@@ -50,8 +50,20 @@ def run_mode(buf, mode, check_ascii, check_quality, schema):
             records += len(b)
             bases += b.seq_len()
     elif mode == "padded":
-        # device-feed configuration: 16K rows, double-buffered reuse
-        for pb in parser.padded_batches(16384, max_len=256,
+        # device-feed configuration: 16K rows, double-buffered reuse. Row
+        # width sized to the corpus (max read length over a 1000-record
+        # peek, rounded up to the 128-byte TPU lane) like bench.py stage A:
+        # a fixed 256 doubles the write traffic for <=100bp corpora.
+        import numpy as np
+
+        peek = bt.FastqParser(bt.MemoryReader(buf),
+                              config=cfg).next_batch(1000)
+        ml = 128
+        if peek.num_records():
+            lens = np.diff(np.concatenate(
+                [np.zeros(1, np.int64), np.asarray(peek._ends)]))
+            ml = max(128, -(-int(lens.max()) // 128) * 128)
+        for pb in parser.padded_batches(16384, max_len=ml,
                                         pad_records_to=16384,
                                         reuse_buffers=True):
             records += pb.n_records
