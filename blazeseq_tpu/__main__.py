@@ -19,6 +19,17 @@ takes argv paths) plus the ecosystem basics:
   demux --barcode NAME=SEQ [...] [--mismatches K] [--out DIR] FILE
                         split reads by 5' barcode (device Hamming
                         assignment; 'N' in a barcode matches any base)
+  trim [--mode window|bwa|ends] [--q N] [--window N] [--out FILE] FILE
+                        quality trimming on device (Trimmomatic
+                        SLIDINGWINDOW / BWA -q / LEADING+TRAILING
+                        semantics); writes trimmed FASTQ (reads trimmed
+                        to zero length are dropped)
+  merge [--min-overlap N] [--out FILE] R1 R2
+                        PEAR-style paired-end overlap merging on device;
+                        writes assembled reads, prints pair/merge counts
+  tiles FILE [...]      FastQC per-tile sequence quality: per-tile mean
+                        Phred and deviation from the per-position mean
+                        (Illumina coordinate ids)
 """
 
 from __future__ import annotations
@@ -177,6 +188,206 @@ def _demux(args):
             print("%s\t%s\t%d" % (path, n, t))
 
 
+def _write_read(w, rid, seq, qual):
+    w.write(b"@")
+    w.write(rid)
+    w.write(b"\n")
+    w.write(seq)
+    w.write(b"\n+\n")
+    w.write(qual)
+    w.write(b"\n")
+
+
+def _batch_rows(batch):
+    """(id, seq, qual) byte views per record of a SoA batch."""
+    batch._finalize()
+    ids, ide = batch._id_bytes, batch._id_ends
+    seqs, ends = batch._sequence_bytes, batch._ends
+    quals = batch._quality_bytes
+    i0 = s0 = 0
+    for k in range(len(ends)):
+        i1, s1 = int(ide[k]), int(ends[k])
+        yield (ids[i0:i1].tobytes(), seqs[s0:s1].tobytes(),
+               quals[s0:s1].tobytes())
+        i0, s0 = i1, s1
+
+
+def _trim(args):
+    """trim [--mode window|bwa|ends] [--q N] [--window N] [--out FILE] FILE"""
+    import numpy as np
+
+    import blazeseq_tpu as bt
+    from blazeseq_tpu.io.writers import BufferedWriter, FileWriter
+    from blazeseq_tpu.ops import trim as trim_ops
+
+    mode, q, window, out_path = "window", None, 4, None
+    paths = []
+    it = iter(args)
+    for a in it:
+        try:
+            if a == "--mode":
+                mode = next(it)
+            elif a == "--q":
+                q = int(next(it))
+            elif a == "--window":
+                window = int(next(it))
+            elif a == "--out":
+                out_path = next(it)
+            else:
+                paths.append(a)
+        except StopIteration:
+            paths = []
+            break
+    if not paths or mode not in ("window", "bwa", "ends"):
+        print("usage: trim [--mode window|bwa|ends] [--q N] [--window N]"
+              " [--out FILE] FILE", file=sys.stderr)
+        raise SystemExit(2)
+    import jax.numpy as jnp
+
+    for path in paths:
+        parser = bt.FastqParser(bt.open_reader(path))
+        off = parser.quality_schema.OFFSET
+        w = BufferedWriter(FileWriter(out_path)) if out_path else None
+        total = kept = 0
+        bases_in = bases_out = 0
+        for batch in parser.batches(4096):
+            pb = batch.to_padded(max_len=1024)
+            qual = jnp.asarray(pb.qual)
+            lens = jnp.asarray(pb.lengths, jnp.int32)
+            starts = None
+            if mode == "window":
+                new = trim_ops.sliding_window_trim(
+                    qual, lens, off, q if q is not None else 15,
+                    window=window)
+            elif mode == "bwa":
+                new = trim_ops.bwa_trim(qual, lens, off,
+                                        q if q is not None else 20)
+            else:
+                st, new = trim_ops.clip_ends(
+                    qual, lens, off, leading=q if q is not None else 3,
+                    trailing=q if q is not None else 3)
+                starts = np.asarray(st)[: pb.n_records]
+            new = np.asarray(new)[: pb.n_records]
+            for k, (rid, seq, ql) in enumerate(_batch_rows(batch)):
+                total += 1
+                bases_in += len(seq)
+                ln = int(new[k])
+                if ln <= 0:
+                    continue
+                a = int(starts[k]) if starts is not None else 0
+                kept += 1
+                bases_out += ln
+                if w is not None:
+                    _write_read(w, rid, seq[a:a + ln], ql[a:a + ln])
+        if w is not None:
+            w.close()
+        print("%s\treads %d -> kept %d\tbases %d -> %d"
+              % (path, total, kept, bases_in, bases_out))
+
+
+def _merge(args):
+    """merge [--min-overlap N] [--out FILE] R1 R2"""
+    import numpy as np
+
+    import blazeseq_tpu as bt
+    from blazeseq_tpu.io.writers import BufferedWriter, FileWriter
+    from blazeseq_tpu.ops.merge import merge_pairs
+
+    min_ov, out_path = 10, None
+    paths = []
+    it = iter(args)
+    for a in it:
+        try:
+            if a == "--min-overlap":
+                min_ov = int(next(it))
+            elif a == "--out":
+                out_path = next(it)
+            else:
+                paths.append(a)
+        except StopIteration:
+            paths = []
+            break
+    if len(paths) != 2:
+        print("usage: merge [--min-overlap N] [--out FILE] R1 R2",
+              file=sys.stderr)
+        raise SystemExit(2)
+    import jax.numpy as jnp
+
+    p1 = bt.FastqParser(bt.open_reader(paths[0]))
+    p2 = bt.FastqParser(bt.open_reader(paths[1]))
+    w = BufferedWriter(FileWriter(out_path)) if out_path else None
+    pairs = merged = 0
+    while True:
+        b1 = p1.next_batch(4096)
+        b2 = p2.next_batch(4096)
+        if b1.num_records() != b2.num_records():
+            print("merge: mate files have unequal record counts",
+                  file=sys.stderr)
+            raise SystemExit(1)
+        if b1.num_records() == 0:
+            break
+        pb1 = b1.to_padded(max_len=512)
+        pb2 = b2.to_padded(max_len=512)
+        res = merge_pairs(
+            jnp.asarray(pb1.seq), jnp.asarray(pb1.qual),
+            jnp.asarray(pb1.lengths, jnp.int32),
+            jnp.asarray(pb2.seq), jnp.asarray(pb2.qual),
+            jnp.asarray(pb2.lengths, jnp.int32), min_overlap=min_ov)
+        lens = np.asarray(res.merged_len)[: pb1.n_records]
+        seqs = np.asarray(res.seq)
+        quals = np.asarray(res.qual)
+        for k, (rid, _s, _q) in enumerate(_batch_rows(b1)):
+            pairs += 1
+            ln = int(lens[k])
+            if ln <= 0:
+                continue
+            merged += 1
+            if w is not None:
+                _write_read(w, rid, seqs[k, :ln].tobytes(),
+                            quals[k, :ln].tobytes())
+    if w is not None:
+        w.close()
+    print("%s + %s\tpairs %d\tmerged %d (%.1f%%)"
+          % (paths[0], paths[1], pairs, merged,
+             100.0 * merged / pairs if pairs else 0.0))
+
+
+def _tiles(args):
+    import blazeseq_tpu as bt
+    from blazeseq_tpu.ops.tiles import (PerTileAccumulator,
+                                        parse_illumina_tiles)
+
+    if not args:
+        print("usage: tiles FILE [...]", file=sys.stderr)
+        raise SystemExit(2)
+    for path in args:
+        parser = bt.FastqParser(bt.open_reader(path))
+        off = parser.quality_schema.OFFSET
+        acc = PerTileAccumulator()
+        for batch in parser.batches(4096):
+            batch._finalize()
+            pb = batch.to_padded(max_len=1024)
+            tiles = parse_illumina_tiles(batch._id_bytes, batch._id_ends)
+            acc.add_batch(tiles, pb.qual, pb.lengths, off,
+                          n_records=pb.n_records)
+        ts, mean = acc.mean()
+        _ts, dev = acc.deviation()
+        if not len(ts):
+            print("%s\t(no Illumina coordinate ids)" % path)
+            continue
+        import numpy as np
+
+        for k, t in enumerate(ts.tolist()):
+            m = mean[k]
+            d = dev[k]
+            finite = np.isfinite(m)
+            print("%s\ttile %d\tmeanQ %.2f\tmax|dev| %.2f"
+                  % (path, t,
+                     float(m[finite].mean()) if finite.any() else float("nan"),
+                     float(np.nanmax(np.abs(d))) if finite.any()
+                     else float("nan")))
+
+
 _COMMANDS = {
     "count": _count,
     "stats": _stats,
@@ -184,6 +395,9 @@ _COMMANDS = {
     "faidx": _faidx,
     "fetch": _fetch,
     "demux": _demux,
+    "trim": _trim,
+    "merge": _merge,
+    "tiles": _tiles,
 }
 
 

@@ -56,13 +56,49 @@ typedef struct {
     char data[1];               /* id + seq + qual, contiguous */
 } RecObj;
 
+/* Freelist for exact-type Records in one size class: records up to
+ * REC_FL_CAP tail bytes (id+seq+qual; covers short-read data) allocate a
+ * fixed-capacity block so dead shells can be recycled without the
+ * malloc + memset round-trip — records-mode iteration creates and
+ * destroys one per record. Set at module init (C++-friendly, same
+ * pattern as ViewTypeExact). */
+#define REC_FL_CAP 256
+#define REC_FREELIST_MAX 64
+static RecObj *rec_freelist[REC_FREELIST_MAX];
+static int rec_freelist_n = 0;
+static PyTypeObject *RecTypeExact = NULL;
+
+static void Rec_dealloc(PyObject *self) {
+    /* only exact-type objects with size <= REC_FL_CAP were allocated with
+     * the padded fixed-capacity tail (see Rec_alloc_fill), so only those
+     * are safe to recycle for any payload up to the cap */
+    if (Py_IS_TYPE(self, RecTypeExact) && Py_SIZE(self) <= REC_FL_CAP &&
+        rec_freelist_n < REC_FREELIST_MAX) {
+        rec_freelist[rec_freelist_n++] = (RecObj *)self;
+        return;
+    }
+    Py_TYPE(self)->tp_free(self);
+}
+
 static PyObject *Rec_alloc_fill(PyTypeObject *subtype, const uint8_t *id,
                                 Py_ssize_t id_len, const uint8_t *seq,
                                 Py_ssize_t seq_len, const uint8_t *qual,
                                 Py_ssize_t qual_len, long phred) {
     const Py_ssize_t total = id_len + seq_len + qual_len;
-    RecObj *r = (RecObj *)subtype->tp_alloc(subtype, total);
-    if (!r) return NULL;
+    RecObj *r;
+    if (subtype == RecTypeExact && total <= REC_FL_CAP) {
+        if (rec_freelist_n > 0) {
+            r = rec_freelist[--rec_freelist_n];
+            PyObject_InitVar((PyVarObject *)r, RecTypeExact, total);
+        } else {
+            r = (RecObj *)subtype->tp_alloc(subtype, REC_FL_CAP);
+            if (!r) return NULL;
+            Py_SET_SIZE(r, total);
+        }
+    } else {
+        r = (RecObj *)subtype->tp_alloc(subtype, total);
+        if (!r) return NULL;
+    }
     r->phred_offset = phred;
     r->id_len = id_len;
     r->seq_len = seq_len;
@@ -362,6 +398,7 @@ static PyTypeObject RecType = {
     .tp_name = "blazeseq_tpu.FastqRecord",
     .tp_basicsize = offsetof(RecObj, data),
     .tp_itemsize = 1,
+    .tp_dealloc = Rec_dealloc,
     .tp_repr = generic_repr,
     .tp_as_sequence = &Rec_as_seq,
     .tp_hash = (hashfunc)Rec_hash,
@@ -981,6 +1018,7 @@ static struct PyModuleDef records_module = {
 PyMODINIT_FUNC PyInit__records(void) {
     init_ws();
     ViewTypeExact = &ViewType;
+    RecTypeExact = &RecType;
     if (PyType_Ready(&RecType) < 0) return NULL;
     if (PyType_Ready(&ViewType) < 0) return NULL;
     if (PyType_Ready(&ChainIterType) < 0) return NULL;

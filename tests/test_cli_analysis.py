@@ -1,0 +1,120 @@
+"""CLI coverage for the analysis subcommands (trim / merge / tiles).
+
+These run in-process through blazeseq_tpu.__main__.main on the CPU
+backend (conftest forces JAX_PLATFORMS=cpu), mirroring
+tests/test_demux_merge.py::test_demux_cli_splits_files.
+"""
+
+import blazeseq_tpu as bt
+from blazeseq_tpu.__main__ import main
+
+
+def _fastq(recs):
+    out = []
+    for rid, seq, qual in recs:
+        out.append(b"@%s\n%s\n+\n%s\n" % (rid, seq, qual))
+    return b"".join(out)
+
+
+def _read_fastq(path):
+    recs = []
+    p = bt.FastqParser(bt.open_reader(str(path)))
+    for r in p.records():
+        recs.append((r.id_bytes(), r.sequence_bytes(), r.quality_bytes()))
+    return recs
+
+
+def test_trim_cli_window(tmp_path, capsys):
+    # 10 high-quality bases then 10 low-quality ones: SLIDINGWINDOW:4:q
+    # keeps the good prefix and drops the bad tail.
+    src = tmp_path / "in.fastq"
+    src.write_bytes(_fastq([
+        (b"r0", b"ACGTACGTAC" + b"TTTTTTTTTT", b"I" * 10 + b"#" * 10),
+        (b"r1", b"GGGG", b"IIII"),
+        (b"r2", b"CCCC", b"####"),  # all-bad: dropped entirely
+    ]))
+    out = tmp_path / "out.fastq"
+    rc = main(["trim", "--mode", "window", "--q", "20",
+               "--out", str(out), str(src)])
+    assert rc == 0
+    got = _read_fastq(out)
+    assert [r[0] for r in got] == [b"r0", b"r1"]
+    # windows of 4 starting at 0..8 have mean Q >= 20 (the window at 8
+    # spans I,I,#,# = 21); the window at 9 drops to 11.5 -> cut at 9.
+    assert got[0][1] == b"ACGTACGTA"
+    assert got[0][2] == b"I" * 9
+    assert got[1][1] == b"GGGG"
+    text = capsys.readouterr().out
+    assert "reads 3 -> kept 2" in text
+
+
+def test_trim_cli_ends(tmp_path):
+    # LEADING/TRAILING clip of quality <= threshold from both ends.
+    src = tmp_path / "in.fastq"
+    src.write_bytes(_fastq([(b"r0", b"AACGTACGTT", b"##IIIIII##")]))
+    out = tmp_path / "out.fastq"
+    rc = main(["trim", "--mode", "ends", "--q", "5",
+               "--out", str(out), str(src)])
+    assert rc == 0
+    ((rid, seq, qual),) = _read_fastq(out)
+    assert (rid, seq, qual) == (b"r0", b"CGTACG", b"IIIIII")
+
+
+def test_merge_cli(tmp_path, capsys):
+    # R1 suffix overlaps rc(R2) prefix by 12 bases.
+    r1s = b"ACGTACGTACGTAAAACCCC"
+    rc2 = b"ACGTAAAACCCCGGTTGGTT"  # starts at r1s offset 8 -> overlap 12
+    comp = dict(zip(b"ACGT", b"TGCA"))
+    r2s = bytes(comp[b] for b in reversed(rc2))
+    src1 = tmp_path / "r1.fastq"
+    src2 = tmp_path / "r2.fastq"
+    src1.write_bytes(_fastq([(b"p0/1", r1s, b"I" * len(r1s))]))
+    src2.write_bytes(_fastq([(b"p0/2", r2s, b"I" * len(r2s))]))
+    out = tmp_path / "m.fastq"
+    rc = main(["merge", "--min-overlap", "10", "--out", str(out),
+               str(src1), str(src2)])
+    assert rc == 0
+    ((rid, seq, qual),) = _read_fastq(out)
+    assert rid == b"p0/1"
+    assert seq == r1s[:8] + rc2
+    assert len(qual) == len(seq)
+    text = capsys.readouterr().out
+    assert "pairs 1" in text and "merged 1" in text
+
+
+def test_merge_cli_unequal_counts(tmp_path, capsys):
+    src1 = tmp_path / "r1.fastq"
+    src2 = tmp_path / "r2.fastq"
+    src1.write_bytes(_fastq([(b"a", b"ACGT", b"IIII"),
+                             (b"b", b"ACGT", b"IIII")]))
+    src2.write_bytes(_fastq([(b"a", b"ACGT", b"IIII")]))
+    try:
+        rc = main(["merge", str(src1), str(src2)])
+    except SystemExit as e:
+        rc = e.code
+    assert rc == 1
+
+
+def test_tiles_cli(tmp_path, capsys):
+    recs = []
+    for tile, q in ((2101, b"I"), (2102, b"5")):
+        for i in range(3):
+            rid = b"M00001:1:FC:1:%d:%d:%d" % (tile, 1000 + i, 2000 + i)
+            recs.append((rid, b"ACGTACGT", q * 8))
+    src = tmp_path / "in.fastq"
+    src.write_bytes(_fastq(recs))
+    rc = main(["tiles", str(src)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "tile 2101" in text and "tile 2102" in text
+    # sanger 'I' = Q40, '5' = Q20
+    assert "meanQ 40.00" in text
+    assert "meanQ 20.00" in text
+
+
+def test_tiles_cli_non_illumina(tmp_path, capsys):
+    src = tmp_path / "in.fastq"
+    src.write_bytes(_fastq([(b"read_0", b"ACGT", b"IIII")]))
+    rc = main(["tiles", str(src)])
+    assert rc == 0
+    assert "no Illumina coordinate ids" in capsys.readouterr().out
