@@ -347,9 +347,11 @@ def main():
 
         rsize_mb = int(os.environ.get("BENCH_RAGGED_MB", "512"))
         rcache = "/tmp/blazeseq_bench_varid_%dmb.fastq" % rsize_mb
+        rpath = None  # a file whose bytes are EXACTLY rbuf (for boundary scan)
         if os.environ.get("BENCH_CACHE", "1") == "1" and os.path.exists(rcache):
             with open(rcache, "rb") as f:
                 rbuf = f.read()
+            rpath = rcache
         else:
             n_r = bt.compute_num_reads_for_size(rsize_mb << 20, 90, 110) \
                 * 160 // 190  # variable ids are ~30 B wider than the
@@ -364,6 +366,7 @@ def main():
                 try:
                     with open(rcache, "wb") as f:
                         f.write(rbuf)
+                    rpath = rcache
                 except OSError:
                     pass
         rtotal = len(rbuf)
@@ -387,8 +390,10 @@ def main():
 
         K = 2 * max_len
         chunk_b = int(os.environ.get("BENCH_RAW_CHUNK_MB", "256")) << 20
-        rpath = rcache if os.path.exists(rcache) else None
         if rpath is None:
+            # never reuse a cache file we did not just read or write: its
+            # bytes may be from an older generator and the boundary offsets
+            # would not match rbuf
             rpath = "/tmp/blazeseq_bench_varid_tmp.fastq"
             with open(rpath, "wb") as f:
                 f.write(rbuf)

@@ -244,14 +244,18 @@ def _trim(args):
         raise SystemExit(2)
     import jax.numpy as jnp
 
+    # one writer across all inputs (FileWriter truncates on open, so a
+    # per-path writer would keep only the last input's reads)
+    w = BufferedWriter(FileWriter(out_path)) if out_path else None
     for path in paths:
         parser = bt.FastqParser(bt.open_reader(path))
         off = parser.quality_schema.OFFSET
-        w = BufferedWriter(FileWriter(out_path)) if out_path else None
         total = kept = 0
         bases_in = bases_out = 0
         for batch in parser.batches(4096):
-            pb = batch.to_padded(max_len=1024)
+            # width sized to the batch (no clamp): a fixed cap would zero
+            # the quality tail of longer reads and silently mis-trim them
+            pb = batch.to_padded()
             qual = jnp.asarray(pb.qual)
             lens = jnp.asarray(pb.lengths, jnp.int32)
             starts = None
@@ -279,10 +283,10 @@ def _trim(args):
                 bases_out += ln
                 if w is not None:
                     _write_read(w, rid, seq[a:a + ln], ql[a:a + ln])
-        if w is not None:
-            w.close()
         print("%s\treads %d -> kept %d\tbases %d -> %d"
               % (path, total, kept, bases_in, bases_out))
+    if w is not None:
+        w.close()
 
 
 def _merge(args):
@@ -326,8 +330,17 @@ def _merge(args):
             raise SystemExit(1)
         if b1.num_records() == 0:
             break
-        pb1 = b1.to_padded(max_len=512)
-        pb2 = b2.to_padded(max_len=512)
+        # common width sized to the longest read of EITHER mate (merge_pairs
+        # needs equal [n, L]); a fixed cap would truncate longer reads and
+        # mis-assign overlaps
+        def _batch_max_len(b):
+            b._finalize()
+            e = b._ends
+            return int(np.diff(e, prepend=0).max()) if len(e) else 0
+
+        width = max(_batch_max_len(b1), _batch_max_len(b2), 1)
+        pb1 = b1.to_padded(max_len=width)
+        pb2 = b2.to_padded(max_len=width)
         res = merge_pairs(
             jnp.asarray(pb1.seq), jnp.asarray(pb1.qual),
             jnp.asarray(pb1.lengths, jnp.int32),
@@ -366,7 +379,7 @@ def _tiles(args):
         acc = PerTileAccumulator()
         for batch in parser.batches(4096):
             batch._finalize()
-            pb = batch.to_padded(max_len=1024)
+            pb = batch.to_padded()
             tiles = parse_illumina_tiles(batch._id_bytes, batch._id_ends)
             acc.add_batch(tiles, pb.qual, pb.lengths, off,
                           n_records=pb.n_records)

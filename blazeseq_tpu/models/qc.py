@@ -251,17 +251,38 @@ class QCModel:
             self._host_consume(parser, acc)
         return self._report_from_acc(acc)
 
-    def _device_rqc(self, c, n_valid):
+    def _device_rqc(self, c, n_valid, width=None, slot_cap=12):
         """The general (ragged-layout) fused device step — full parse +
         validate + QC for chunks whose header widths and read lengths vary
         per record (ops/ragged_qc.py)."""
         from ..ops.ragged_qc import ragged_qc
 
         return ragged_qc(
-            c, n_valid, width=self.max_read_len,
+            c, n_valid, width=width if width is not None
+            else self.max_read_len,
             q_lo=int(self.schema.LOWER), q_hi=int(self.schema.UPPER),
             offset=int(self.schema.OFFSET), check_ascii=self.check_ascii,
-            check_quality=self.check_quality)
+            check_quality=self.check_quality, slot_cap=int(slot_cap))
+
+    @staticmethod
+    def _peek_ragged_slot_cap(data, width, head_bytes=1 << 16):
+        """Slot capacity for the ragged device tier, from a host peek at
+        the corpus head. A pure sizing hint: the kernel re-proves the bound
+        on device per chunk and reports `fallback` when the rest of the
+        corpus is packed denser, so correctness never depends on the peek.
+        Short-record corpora (records well under `width` bytes) pack more
+        than the default 12 line ends into a 2*width tile; sizing the cap
+        to the densest peeked packing (+1 record margin) keeps them on
+        device instead of dropping every chunk to the host."""
+        head = np.asarray(data[: min(len(data), head_bytes)])
+        nl = np.flatnonzero(head == 10)
+        K = 2 * _round_up(width, TPU_LANE)
+        rec_ends = nl[3::4]
+        if len(rec_ends) < 2:
+            return 12
+        min_span = int(np.diff(rec_ends).min())
+        slot_cap = 4 * (K // max(min_span, 8) + 2) + 4
+        return int(min(max(12, slot_cap), 96))
 
     def _run_ragged_mmap(self, data, chunk_mb: int) -> QCReport:
         """Pipeline B, general tier: device-parse a non-uniform mmap'd file
@@ -271,6 +292,7 @@ class QCModel:
         layouts stream the remainder through the exact host engine."""
         from ..io.readers import MemoryReader
 
+        slot_cap = self._peek_ragged_slot_cap(data, self.max_read_len)
         K = 2 * self.max_read_len
         total = len(data)
         csize = max((chunk_mb << 20) // K, 1) * K
@@ -283,7 +305,8 @@ class QCModel:
             nv = b - pos
             buf_np[:nv] = data[pos:b]
             buf_np[nv:] = 0
-            r = self._device_rqc(jnp.asarray(buf_np), jnp.int32(nv))
+            r = self._device_rqc(jnp.asarray(buf_np), jnp.int32(nv),
+                                 slot_cap=slot_cap)
             tail = int(r.tail_start)
             if bool(r.fallback) or not bool(r.ok) or tail == 0:
                 break  # out of tier / invalid / no complete record: host
@@ -390,7 +413,10 @@ class QCModel:
         from ..parallel.ingest import OverlappedIngest
         from collections import deque
 
-        ing = OverlappedIngest(lambda c, nv: uqc(c, jnp.int32(nv)), csize)
+        # keep_bytes: the failure path below reads delivered chunks' buffer
+        # contents (stream reconstruction), so buffers must outlive delivery
+        ing = OverlappedIngest(lambda c, nv: uqc(c, jnp.int32(nv)), csize,
+                               keep_bytes=True)
         pending = deque()  # dispatch-ordered (buf, fill, carry) per chunk
         fail_parts = None  # bytes of the stream the device did not consume
 

@@ -476,9 +476,13 @@ static PyObject *View_new(PyTypeObject *subtype, PyObject *args,
 
 static PyObject *View_mv(ViewObj *self, int i) {
     /* a memoryview tied to the owner's lifetime: slice a fresh view of the
-       owner (cold path — hot accessors below return bytes copies) */
-    if (!self->own[i]) Py_RETURN_NONE;
-    PyObject *full = PyMemoryView_FromObject(self->own[i]);
+       owner (cold path — hot accessors below return bytes copies).
+       Chain-iterator views hold a single owner in own[0] covering all
+       three spans (own[1]/own[2] are NULL), so fall back to it — the
+       pointer arithmetic below is valid for any span inside the owner. */
+    PyObject *owner = self->own[i] ? self->own[i] : self->own[0];
+    if (!owner) Py_RETURN_NONE;
+    PyObject *full = PyMemoryView_FromObject(owner);
     if (!full) return NULL;
     Py_buffer *fb = PyMemoryView_GET_BUFFER(full);
     const Py_ssize_t start =

@@ -63,9 +63,12 @@ PLUS = 43
 
 _BASES = b"ACGT"
 
-# max line boundaries per compaction tile; tiles are 2*width wide and the
-# no-leak tier requires records >= width bytes, so a tile overlaps at most
-# ceil(2W/W)+1 = 3 records = 12 line ends (checked at runtime -> fallback)
+# Default max line boundaries per compaction tile; tiles are 2*width wide
+# and for ~width-sized records a tile overlaps at most ceil(2W/W)+1 = 3
+# records = 12 line ends. Short-record corpora need more slots — callers
+# (QCModel peeks the corpus head) pass a larger static `slot_cap`; the
+# kernel still PROVES the bound at runtime and reports `fallback` when any
+# tile overflows, so exactness never depends on the estimate.
 _B = 12
 
 
@@ -151,10 +154,10 @@ def _corr(S, M_flat, Kc):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "q_lo", "q_hi", "offset", "check_ascii",
-                     "check_quality"))
+                     "check_quality", "slot_cap"))
 def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
               offset: int, check_ascii: bool = True,
-              check_quality: bool = True) -> RaggedQC:
+              check_quality: bool = True, slot_cap: int = _B) -> RaggedQC:
     """Parse+validate+QC a general FASTQ chunk on device.
 
     chunk: u8[n] starting at a record boundary, zero-padded to a multiple of
@@ -172,7 +175,7 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
     K = 2 * Wc
     n = chunk.shape[0]
     assert n % K == 0, "pad chunk to a multiple of 2*round_up(width, 128)"
-    B = _B
+    B = int(slot_cap)
     T = n // K
     r2 = chunk.reshape(T, K)
     n_valid = n_valid.astype(jnp.int32)

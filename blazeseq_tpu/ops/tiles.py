@@ -103,23 +103,45 @@ class PerTileAccumulator:
         self._sums = {}    # tile -> int64[L]
         self._counts = {}  # tile -> int64[L]
 
+    @staticmethod
+    def _add_ragged(store, t, v):
+        """Accumulate v into store[t], zero-extending either side — batch
+        pad widths may differ batch-to-batch (to_padded sizes to the
+        longest read of each batch)."""
+        old = store.get(t)
+        if old is None:
+            store[t] = v
+        elif len(old) == len(v):
+            old += v
+        else:
+            L = max(len(old), len(v))
+            out = np.zeros(L, np.int64)
+            out[: len(old)] = old
+            out[: len(v)] += v
+            store[t] = out
+
     def add_batch(self, tiles, qual, lengths, offset: int,
                   n_records: Optional[int] = None) -> None:
         uniq, sums, counts = per_tile_qual_sums(tiles, qual, lengths, offset,
                                                 n_records=n_records)
         for k, t in enumerate(uniq.tolist()):
-            s = np.rint(sums[k]).astype(np.int64)
-            c = np.rint(counts[k]).astype(np.int64)
-            if t in self._sums:
-                self._sums[t] += s
-                self._counts[t] += c
-            else:
-                self._sums[t] = s
-                self._counts[t] = c
+            self._add_ragged(self._sums, t,
+                             np.rint(sums[k]).astype(np.int64))
+            self._add_ragged(self._counts, t,
+                             np.rint(counts[k]).astype(np.int64))
 
     @property
     def tiles(self):
         return sorted(self._sums)
+
+    def _stacked(self, store, ts):
+        """[T, Lmax] int64 matrix, rows zero-extended to the widest tile."""
+        L = max(len(store[t]) for t in ts)
+        out = np.zeros((len(ts), L), np.int64)
+        for k, t in enumerate(ts):
+            v = store[t]
+            out[k, : len(v)] = v
+        return out
 
     def mean(self) -> Tuple[np.ndarray, np.ndarray]:
         """(tiles i64[T], mean_phred f64[T, L]; NaN where a tile has no
@@ -127,8 +149,8 @@ class PerTileAccumulator:
         ts = self.tiles
         if not ts:
             return np.empty(0, np.int64), np.empty((0, 0))
-        sums = np.stack([self._sums[t] for t in ts]).astype(np.float64)
-        counts = np.stack([self._counts[t] for t in ts]).astype(np.float64)
+        sums = self._stacked(self._sums, ts).astype(np.float64)
+        counts = self._stacked(self._counts, ts).astype(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             return np.asarray(ts, np.int64), sums / counts
 
@@ -138,8 +160,8 @@ class PerTileAccumulator:
         ts, mean = self.mean()
         if not len(ts):
             return ts, mean
-        tot_s = sum(self._sums.values()).astype(np.float64)
-        tot_c = sum(self._counts.values()).astype(np.float64)
+        tot_s = self._stacked(self._sums, ts).sum(axis=0).astype(np.float64)
+        tot_c = self._stacked(self._counts, ts).sum(axis=0).astype(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             overall = tot_s / tot_c
         return ts, mean - overall[None, :]

@@ -61,7 +61,8 @@ class OverlappedIngest:
     """
 
     def __init__(self, step: Callable, csize: int, *, depth: int = 2,
-                 n_buffers: Optional[int] = None):
+                 n_buffers: Optional[int] = None,
+                 keep_bytes: bool = False):
         import jax
 
         self._jax = jax
@@ -69,6 +70,23 @@ class OverlappedIngest:
         self.csize = int(csize)
         self.depth = max(0, int(depth))
         nb = n_buffers if n_buffers is not None else self.depth + 1
+        # Recycling contract: when acquire() has to early-sync the oldest
+        # in-flight chunk (every buffer busy, i.e. n_buffers <= depth), that
+        # chunk's BUFFER is recycled immediately while its RESULT is only
+        # delivered by the next feed()/drain() — so by delivery time the
+        # buffer bytes may be overwritten. Consumers that read a delivered
+        # chunk's buffer contents (the QC failure path reconstructs the
+        # unconsumed stream from them) must pass keep_bytes=True, which
+        # pins n_buffers above depth so a chunk is always synced through
+        # feed() BEFORE its buffer re-enters rotation. Byte-independent
+        # consumers (scalar results, owned=False zero-copy feeds) may
+        # under-provision freely.
+        if keep_bytes and nb <= self.depth:
+            raise ValueError(
+                "OverlappedIngest(keep_bytes=True): n_buffers (%d) must "
+                "exceed depth (%d); a delivered result's buffer would "
+                "otherwise be recycled before the caller could read it"
+                % (nb, self.depth))
         # buffers materialize on first acquire(): the zero-copy mmap path
         # needs at most one (for the trailing partial chunk)
         self._unallocated = max(1, nb)

@@ -198,8 +198,64 @@ def test_model_run_file_device_gzip_ragged(tmp_path):
 
 
 def test_model_out_of_tier_falls_back_to_host(tmp_path):
-    buf = gen(2000, 10, 20, seed=27)  # records below width: host path
-    p = tmp_path / "tiny.fastq"
+    # reads longer than max_read_len: max_line > width has no device
+    # truncation semantics, so every chunk drops to the exact host engine
+    # (short records no longer fall back — the adaptive slot_cap test
+    # below keeps them on device)
+    buf = gen(500, 200, 300, seed=27)
+    p = tmp_path / "long.fastq"
+    p.write_bytes(buf)
+    mk = lambda: bt.models.QCModel(quality_schema="sanger",
+                                   max_read_len=128)
+    _reports_equal(mk().run_file_device(str(p), chunk_mb=1),
+                   mk().run_file(str(p)))
+
+
+# --------------------------------- adaptive slot capacity (short records)
+
+def test_short_records_in_tier_with_raised_slot_cap():
+    """Records far below `width` bytes overflow the default 12 slots/tile;
+    a raised static slot_cap brings them into the device tier with exact
+    parity (round-3 tier extension)."""
+    from blazeseq_tpu.fastq.quality import parse_schema
+    from blazeseq_tpu.ops.ragged_qc import ragged_qc as rqc
+
+    tiny = gen(400, 10, 20, seed=11)
+    sch = parse_schema("sanger")
+    K = 256
+    n = max((len(tiny) + K - 1) // K, 1) * K
+    arr = np.zeros(n, np.uint8)
+    arr[: len(tiny)] = np.frombuffer(tiny, np.uint8)
+    r = rqc(jnp.asarray(arr), jnp.int32(len(tiny)), width=128,
+            q_lo=int(sch.LOWER), q_hi=int(sch.UPPER),
+            offset=int(sch.OFFSET), slot_cap=40)
+    assert not bool(r.fallback) and bool(r.ok)
+    assert int(r.tail_start) == len(tiny)
+    assert_stats_equal(host_stats(tiny, 128), r.stats)
+
+
+def test_model_peeks_slot_cap_and_keeps_short_records_on_device(tmp_path):
+    from blazeseq_tpu.models.qc import QCModel
+
+    buf = gen(2000, 10, 20, seed=27)
+    cap = QCModel._peek_ragged_slot_cap(
+        np.frombuffer(buf, np.uint8), 128)
+    assert cap > 12
+    # the adaptive cap must make the device engine accept the corpus
+    from blazeseq_tpu.fastq.quality import parse_schema
+    from blazeseq_tpu.ops.ragged_qc import ragged_qc as rqc
+
+    sch = parse_schema("sanger")
+    K = 256
+    n = max((len(buf) + K - 1) // K, 1) * K
+    arr = np.zeros(n, np.uint8)
+    arr[: len(buf)] = np.frombuffer(buf, np.uint8)
+    r = rqc(jnp.asarray(arr), jnp.int32(len(buf)), width=128,
+            q_lo=int(sch.LOWER), q_hi=int(sch.UPPER),
+            offset=int(sch.OFFSET), slot_cap=cap)
+    assert not bool(r.fallback) and bool(r.ok)
+    # and end-to-end parity still holds through the model
+    p = tmp_path / "tiny2.fastq"
     p.write_bytes(buf)
     mk = lambda: bt.models.QCModel(quality_schema="sanger",
                                    max_read_len=128)

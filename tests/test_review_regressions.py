@@ -173,3 +173,91 @@ def test_c_record_pickles():
     assert r2.quality_bytes() == b"IIIII"
     assert r2._phred_offset == 64
     assert r2 == r and hash(r2) == hash(r)
+
+
+def test_chain_iterator_views_expose_memoryviews():
+    """Round-3 regression: the single-owner refcount optimization left
+    own[1]/own[2] NULL on chain-iterator views, so the _sequence/_quality
+    memoryview getters returned None and FastqBatch.add(view) raised
+    TypeError. View_mv must fall back to the shared owner."""
+    buf = bytes(bt.generate_synthetic_fastq_buffer(20, 30, 60, 2, 40,
+                                                   "sanger"))
+    p = bt.FastqParser(bt.MemoryReader(buf))
+    batch = bt.FastqBatch()
+    for v in p.views():
+        assert v._sequence is not None
+        assert bytes(v._sequence) == v.sequence_bytes()
+        assert bytes(v._quality) == v.quality_bytes()
+        assert bytes(v._id) == v.id_bytes()
+        batch.add(v)
+        break
+    assert batch.num_records() == 1
+
+
+def test_trim_cli_appends_across_multiple_inputs(tmp_path):
+    """Round-3 regression: per-path writers truncated --out, keeping only
+    the last input's trimmed reads."""
+    from blazeseq_tpu.__main__ import main
+
+    a = tmp_path / "a.fastq"
+    b = tmp_path / "b.fastq"
+    a.write_bytes(b"@a0\nACGT\n+\nIIII\n")
+    b.write_bytes(b"@b0\nGGGG\n+\nIIII\n")
+    out = tmp_path / "out.fastq"
+    rc = main(["trim", "--mode", "ends", "--q", "2", "--out", str(out),
+               str(a), str(b)])
+    assert rc == 0
+    data = out.read_bytes()
+    assert b"@a0" in data and b"@b0" in data
+
+
+def test_trim_cli_no_truncation_for_long_reads(tmp_path):
+    """Round-3 regression: a fixed 1024-wide pad zeroed the quality tail of
+    longer reads, silently mis-trimming them."""
+    from blazeseq_tpu.__main__ import main
+
+    n = 2000
+    src = tmp_path / "long.fastq"
+    src.write_bytes(b"@L0\n" + b"A" * n + b"\n+\n" + b"I" * n + b"\n")
+    out = tmp_path / "out.fastq"
+    rc = main(["trim", "--mode", "window", "--q", "20", "--out", str(out),
+               str(src)])
+    assert rc == 0
+    recs = list(bt.FastqParser(bt.open_reader(str(out))).records())
+    assert len(recs) == 1
+    assert recs[0].sequence_bytes() == b"A" * n  # uniformly high Q: untrimmed
+
+
+def test_per_tile_accumulator_handles_varying_widths():
+    """Round-3 regression: batches padded to their own max length feed the
+    accumulator arrays of different widths."""
+    from blazeseq_tpu.ops.tiles import PerTileAccumulator
+
+    acc = PerTileAccumulator()
+    tiles = np.asarray([2101], np.int32)
+    acc.add_batch(tiles, np.full((1, 128), ord("I"), np.uint8),
+                  np.asarray([100], np.int32), 33)
+    acc.add_batch(tiles, np.full((1, 256), ord("5"), np.uint8),
+                  np.asarray([200], np.int32), 33)
+    ts, mean = acc.mean()
+    assert list(ts) == [2101]
+    assert mean.shape[1] == 256
+    # position 0: (40 + 20) / 2; position 150: only the second batch -> 20
+    assert mean[0, 0] == 30.0
+    assert mean[0, 150] == 20.0
+    _, dev = acc.deviation()
+    assert abs(float(dev[0, 0])) < 1e-12
+
+
+def test_overlapped_ingest_rejects_underprovisioned_buffers():
+    """Round-3 regression: with n_buffers <= depth, acquire() recycles a
+    buffer whose result has not been delivered yet — consumers that read
+    delivered chunks' buffer bytes (QC failure-path stream reconstruction)
+    must opt into keep_bytes=True and be refused that configuration.
+    Byte-independent consumers may still under-provision."""
+    from blazeseq_tpu.parallel.ingest import OverlappedIngest
+
+    with pytest.raises(ValueError):
+        OverlappedIngest(lambda c, n: c, 1024, depth=3, n_buffers=2,
+                         keep_bytes=True)
+    OverlappedIngest(lambda c, n: c, 1024, depth=3, n_buffers=2)  # ok
