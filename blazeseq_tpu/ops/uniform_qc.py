@@ -44,10 +44,11 @@ _BASES = b"ACGT"
 @functools.partial(
     jax.jit,
     static_argnames=("rs", "o1", "o2", "o3", "width", "check_ascii",
-                     "check_quality", "q_lo", "q_hi", "offset"))
+                     "check_quality", "q_lo", "q_hi", "offset", "mxu_sums"))
 def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
                width: int, q_lo: int, q_hi: int, offset: int,
-               check_ascii: bool = True, check_quality: bool = True):
+               check_ascii: bool = True, check_quality: bool = True,
+               mxu_sums: bool = False):
     """Parse+validate+QC a uniform-layout chunk in one fused XLA step.
 
     chunk: u8[n], n % rs == 0 (caller pads; padded rows excluded via
@@ -93,26 +94,81 @@ def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
     q_tile = r2[:, o3 + 1:o3 + 1 + cnt]
 
     upper = s_tile & jnp.uint8(0xDF)
-    per_pos = []
-    for b in _BASES:
-        m = (upper == jnp.uint8(b)) & row_valid
-        per_pos.append(jnp.sum(m, axis=0, dtype=jnp.int32))
-    gc_read = jnp.sum((upper == jnp.uint8(ord("C")))
-                      | (upper == jnp.uint8(ord("G"))), axis=1,
-                      dtype=jnp.int32)  # [nrec] (invalid rows masked below)
 
     # Quality bytes, excluded rows zeroed ONCE (0 < OFFSET always, so
     # masked-out bytes can never satisfy any >= threshold below).
     qm = jnp.where(row_valid, q_tile, jnp.uint8(0))
 
-    # Phred decode for the sum panels. COMPILER NOTE (jax 0.9.0, cpu AND
-    # tpu): all-uint8 `min(where(q >= off, q - off, 0), cap)` on a strided
-    # fused producer (a column slice of a reshape) miscompiles — the
-    # subtraction is dropped. Do the arithmetic in int32 (ops/stats.py
-    # _masked_phred has the full story); XLA still fuses.
-    ph_i = jnp.clip(qm.astype(jnp.int32) - offset, 0, MAX_PHRED - 1)
-    ph_i = jnp.where(row_valid, ph_i, 0)
-    per_pos_qual = jnp.sum(ph_i, axis=0, dtype=jnp.int32)
+    # Exact-decode shortcut: with quality validation ON and a schema whose
+    # byte range maps inside the 0..63 phred window (sanger/illumina*: lo
+    # >= OFFSET, hi - OFFSET <= 63), every accepted byte satisfies
+    # clip(q - off, 0, 63) == q - off, so phred sums are raw byte sums
+    # minus offset * counts — no per-byte int32 decode chain at all.
+    raw_q_sums = (check_quality and q_lo >= offset
+                  and q_hi - offset <= MAX_PHRED - 1)
+
+    if mxu_sums:
+        # Column/row accumulations as i8 x i8 -> i32 contractions: the MXU
+        # does the integer sums (exact; same trick as ops/ragged_qc._corr)
+        # while the VPU only builds masks and the histogram. One [nrec,
+        # 5*cnt] operand batches all five column-sum panels into a single
+        # matmul with the row-validity vector.
+        rv8 = row_valid.astype(jnp.int8)           # [nrec, 1]
+        dn = (((0,), (0,)), ((), ()))
+        base_masks = [(upper == jnp.uint8(b)).astype(jnp.int8)
+                      for b in _BASES]
+        if raw_q_sums:
+            q_op = qm.astype(jnp.int8)             # bytes <= q_hi <= 127
+        else:
+            ph_i = jnp.clip(qm.astype(jnp.int32) - offset, 0, MAX_PHRED - 1)
+            ph_i = jnp.where(row_valid, ph_i, 0)
+            q_op = ph_i.astype(jnp.int8)           # phred 0..63 fits i8
+        M = jnp.concatenate(base_masks + [q_op], axis=1)   # [nrec, 5*cnt]
+        cols = jax.lax.dot_general(rv8, M, dn,
+                                   preferred_element_type=jnp.int32)[0]
+        per_pos = [cols[k * cnt:(k + 1) * cnt] for k in range(4)]
+        per_pos_qual = cols[4 * cnt: 5 * cnt]
+        if raw_q_sums:
+            # masked-out rows contributed 0 bytes; in-window columns hold
+            # nrec_valid real bytes each
+            per_pos_qual = per_pos_qual - offset * nrec_valid
+        ones_c = jnp.ones((cnt, 1), jnp.int8)
+        gc8 = ((upper == jnp.uint8(ord("C")))
+               | (upper == jnp.uint8(ord("G")))).astype(jnp.int8)
+        gc_read = jax.lax.dot_general(
+            gc8, ones_c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)[:, 0]
+        qs_read = jax.lax.dot_general(
+            q_op, ones_c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)[:, 0]
+        if raw_q_sums:
+            qs_read = jnp.where(row_valid[:, 0], qs_read - offset * cnt, 0)
+    else:
+        per_pos = []
+        for b in _BASES:
+            m = (upper == jnp.uint8(b)) & row_valid
+            per_pos.append(jnp.sum(m, axis=0, dtype=jnp.int32))
+        gc_read = jnp.sum((upper == jnp.uint8(ord("C")))
+                          | (upper == jnp.uint8(ord("G"))), axis=1,
+                          dtype=jnp.int32)  # [nrec] (invalid rows masked)
+
+        if raw_q_sums:
+            qs32 = qm.astype(jnp.int32)
+            per_pos_qual = jnp.sum(qs32, axis=0) - offset * nrec_valid
+            qs_read = jnp.where(
+                row_valid[:, 0],
+                jnp.sum(qs32, axis=1) - offset * cnt, 0)
+        else:
+            # Phred decode for the sum panels. COMPILER NOTE (jax 0.9.0,
+            # cpu AND tpu): all-uint8 `min(where(q >= off, q - off, 0),
+            # cap)` on a strided fused producer (a column slice of a
+            # reshape) miscompiles — the subtraction is dropped. Do the
+            # arithmetic in int32 (ops/stats.py _masked_phred has the full
+            # story); XLA still fuses.
+            ph_i = jnp.clip(qm.astype(jnp.int32) - offset, 0, MAX_PHRED - 1)
+            ph_i = jnp.where(row_valid, ph_i, 0)
+            per_pos_qual = jnp.sum(ph_i, axis=0, dtype=jnp.int32)
+            qs_read = jnp.sum(ph_i, axis=1, dtype=jnp.int32)
 
     # Cumulative histogram straight off the raw quality bytes: for k >= 1,
     # phred >= k  <=>  q >= OFFSET + k (clamps included: q < OFFSET gives
@@ -126,8 +182,7 @@ def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
     qual_hist = jnp.zeros(MAX_PHRED, jnp.int32).at[:n_bins].set(
         jnp.stack([ge[k] - ge[k + 1] for k in range(n_bins)]))
 
-    # --- per-read panels ---------------------------------------------------
-    qs_read = jnp.sum(ph_i, axis=1, dtype=jnp.int32)
+    # --- per-read panels (qs_read computed with the sum panels above) ------
     rv1 = row_valid[:, 0]
     # binning semantics identical to ops/stats.py row_histograms with
     # cnt == min(seq_len, width) (static, > 0)

@@ -40,7 +40,11 @@ def _oracle(chunk, n_valid, lay, width, schema, check_ascii, check_quality):
     return bool(r.template_ok), st
 
 
-IMPLS = {"pallas": fused_uniform_qc, "xla": uniform_qc}
+import functools  # noqa: E402
+
+IMPLS = {"pallas": fused_uniform_qc, "xla": uniform_qc,
+         # MXU-contraction variant: integer sum panels as i8 matmuls
+         "xla_mxu": functools.partial(uniform_qc, mxu_sums=True)}
 
 
 def _fused(chunk, n_valid, lay, width, schema, check_ascii, check_quality,
