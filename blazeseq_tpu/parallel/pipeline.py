@@ -291,3 +291,55 @@ def build_uniform_qc_step(mesh: Optional[Mesh], layout, schema, *,
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def build_ragged_qc_step(mesh: Optional[Mesh], schema, *, width: int = 128,
+                         slot_cap: int = 12, check_ascii: bool = True,
+                         check_quality: bool = True,
+                         axis_name: str = DP_AXIS):
+    """Sharded pipeline-B step for the GENERAL (ragged-layout) device
+    engine: variable-id / mixed-length / short-record corpora parse on
+    every device of a mesh with no uniform-template requirement
+    (ops/ragged_qc.py; SURVEY §2.5 scaling applied to the raw-bytes path).
+
+    The caller shards the FILE at record boundaries on the host
+    (parallel/sharding.find_record_boundary), zero-pads every shard to a
+    common S = multiple of 2*round_up(width, 128), and passes the flat
+    [D*S] byte array plus per-shard valid byte counts i32[D].
+
+    Returns fn(chunks u8[D*S], n_valid i32[D]) ->
+        (good bool[D], fallback bool[D], tail_start i32[D], QCStats)
+    where good[d] = shard d validated AND stayed inside the device tier;
+    the psum'd stats include ONLY good shards (their contributions are
+    masked out before the collective), and a shard whose bytes end at a
+    record boundary reports tail_start == n_valid[d]. The host re-parses
+    rejected shards' byte ranges through the exact engine and merges —
+    the shard-granular fallback contract of
+    build_uniform_qc_step(per_shard=True)."""
+    from ..ops.ragged_qc import ragged_qc
+
+    q_lo, q_hi = int(schema.LOWER), int(schema.UPPER)
+    offset = int(schema.OFFSET)
+
+    def _local(chunk, n_valid):
+        r = ragged_qc(chunk, n_valid[0], width=width, q_lo=q_lo, q_hi=q_hi,
+                      offset=offset, check_ascii=check_ascii,
+                      check_quality=check_quality, slot_cap=slot_cap)
+        good = r.ok & ~r.fallback
+        st = jax.tree.map(lambda x: x * good.astype(jnp.int32), r.stats)
+        if mesh is not None:
+            st = jax.lax.psum(st, axis_name)
+        return (good.reshape(1), r.fallback.reshape(1),
+                r.tail_start.reshape(1), st)
+
+    if mesh is None:
+        return jax.jit(_local)
+    stats_specs = jax.tree.map(lambda _: P(), stats_ops.zero_stats(1))
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name), stats_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

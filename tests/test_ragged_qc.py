@@ -261,3 +261,92 @@ def test_model_peeks_slot_cap_and_keeps_short_records_on_device(tmp_path):
                                    max_read_len=128)
     _reports_equal(mk().run_file_device(str(p), chunk_mb=1),
                    mk().run_file(str(p)))
+
+
+def test_sharded_ragged_qc_matches_host(tmp_path):
+    """build_ragged_qc_step over a dp mesh: record-boundary file shards,
+    per-shard device parse + masked psum, host re-parse of a rejected
+    shard — exact equality with the host engine. Clean subprocess (the
+    axon harness binds the real single TPU at interpreter start)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+import blazeseq_tpu as bt
+from blazeseq_tpu.fastq.quality import parse_schema
+from blazeseq_tpu.ops.stats import QCAccumulator, qc_stats
+from blazeseq_tpu.parallel.mesh import make_mesh
+from blazeseq_tpu.parallel.pipeline import build_ragged_qc_step
+from blazeseq_tpu.parallel.sharding import find_record_boundary
+import tempfile, os
+
+n_dev = 4
+mesh = make_mesh(n_dev)
+schema = parse_schema("sanger")
+buf = bytes(bt.generate_variable_id_fastq_buffer(
+    2000, 80, 120, 2, 40, "sanger", seed=5))
+bad = bytearray(buf)
+bad[len(buf) // 2 - 100] = 200  # one invalid byte -> owning shard rejects
+buf = bytes(bad)
+path = os.path.join(tempfile.mkdtemp(), "v.fastq")
+open(path, "wb").write(buf)
+
+K = 256
+target = len(buf) // n_dev
+bounds = [0]
+for d in range(1, n_dev):
+    bounds.append(find_record_boundary(path, d * target))
+bounds.append(len(buf))
+S = max(-(-(b - a) // K) * K for a, b in zip(bounds, bounds[1:]))
+arr = np.zeros(n_dev * S, np.uint8)
+nv = np.zeros(n_dev, np.int32)
+data = np.frombuffer(buf, np.uint8)
+for d, (a, b) in enumerate(zip(bounds, bounds[1:])):
+    arr[d * S : d * S + (b - a)] = data[a:b]
+    nv[d] = b - a
+
+step = build_ragged_qc_step(mesh, schema, width=128)
+good, fb, tail, st = step(jnp.asarray(arr), jnp.asarray(nv))
+good = np.asarray(good); tail = np.asarray(tail)
+assert good.sum() == n_dev - 1, good       # exactly the corrupted shard fails
+assert not np.asarray(fb).any()            # in tier everywhere
+for d in range(n_dev):                     # shards end at record boundaries
+    if good[d]:
+        assert tail[d] == nv[d]
+
+# host engine over good shards must equal the masked psum; the bad shard
+# merges via the exact host path like the single-chip fallback
+def host_stats(b):
+    cfg = bt.ParserConfig(check_ascii=True, check_quality=True,
+                          quality_schema="sanger")
+    p = bt.FastqParser(bt.MemoryReader(b), config=cfg)
+    acc = QCAccumulator()
+    for pb in p.padded_batches(1024, max_len=128, pad_records_to=1024):
+        acc.add(qc_stats(jnp.asarray(pb.seq), jnp.asarray(pb.qual),
+                         jnp.asarray(pb.lengths, jnp.int32),
+                         jnp.int32(schema.OFFSET),
+                         n_records=jnp.int32(pb.n_records)))
+    return acc.total
+
+expect = None
+for d, (a, b) in enumerate(zip(bounds, bounds[1:])):
+    if good[d]:
+        h = host_stats(buf[a:b])
+        expect = h if expect is None else jax.tree.map(
+            lambda x, y: np.asarray(x) + np.asarray(y), expect, h)
+for name, x, y in zip(st._fields, st, expect):
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                  err_msg=name)
+print("SHARDED-RAGGED-OK")
+"""
+    r = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2000:])
+    assert "SHARDED-RAGGED-OK" in r.stdout
