@@ -350,3 +350,38 @@ print("SHARDED-RAGGED-OK")
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2000:])
     assert "SHARDED-RAGGED-OK" in r.stdout
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_ragged_tier_shapes(seed):
+    """Differential fuzz: random (min_len, max_len, slot_cap) draws; every
+    in-tier result must equal the host engine exactly, and every out-of-
+    tier corpus must say `fallback` (never silently wrong). slot_cap draws
+    from two values per seed to bound XLA compile count."""
+    import random
+
+    rng = random.Random(seed * 7919 + 3)
+    from blazeseq_tpu.fastq.quality import parse_schema
+    from blazeseq_tpu.ops.ragged_qc import ragged_qc as rqc
+
+    sch = parse_schema("sanger")
+    caps = ([12, 40], [16, 64])[seed % 2]
+    for _ in range(5):
+        lo = rng.randint(5, 120)
+        hi = rng.randint(lo, min(lo + rng.randint(0, 60), 127))
+        n = rng.randint(1, 300)
+        slot_cap = rng.choice(caps)
+        buf = gen(n, lo, hi, seed=rng.randint(0, 1 << 30))
+        K = 256
+        nn = max((len(buf) + K - 1) // K, 1) * K
+        arr = np.zeros(nn, np.uint8)
+        arr[: len(buf)] = np.frombuffer(buf, np.uint8)
+        r = rqc(jnp.asarray(arr), jnp.int32(len(buf)), width=128,
+                q_lo=int(sch.LOWER), q_hi=int(sch.UPPER),
+                offset=int(sch.OFFSET), slot_cap=slot_cap)
+        if bool(r.fallback):
+            continue  # out of tier at this cap: allowed, host handles it
+        assert bool(r.ok)
+        tail = int(r.tail_start)
+        assert tail == len(buf)
+        assert_stats_equal(host_stats(buf, 128), r.stats)
