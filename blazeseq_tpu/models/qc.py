@@ -493,6 +493,8 @@ class QCModel:
         unconsumed bytes back into the exact host engine."""
         K = 2 * self.max_read_len
         csize = max((chunk_mb << 20) // K, 1) * K
+        slot_cap = self._peek_ragged_slot_cap(
+            np.frombuffer(head, np.uint8), self.max_read_len)
         buf = np.zeros(csize, dtype=np.uint8)
         fill = len(head)
         if fill > csize:  # enormous max_read_len vs tiny chunk_mb: host
@@ -515,7 +517,8 @@ class QCModel:
                 break
             if fill < csize:
                 buf[fill:] = 0
-            r = self._device_rqc(jnp.asarray(buf), jnp.int32(fill))
+            r = self._device_rqc(jnp.asarray(buf), jnp.int32(fill),
+                                 slot_cap=slot_cap)
             tail = int(r.tail_start)
             if bool(r.fallback) or not bool(r.ok) or tail == 0:
                 stop = True

@@ -385,3 +385,16 @@ def test_fuzz_ragged_tier_shapes(seed):
         tail = int(r.tail_start)
         assert tail == len(buf)
         assert_stats_equal(host_stats(buf, 128), r.stats)
+
+
+def test_model_gzip_short_records_stay_on_device(tmp_path):
+    """The gz streaming path must apply the adaptive slot_cap too: a
+    short-record gz corpus parses on device (verified via the direct op)
+    with end-to-end model parity."""
+    buf = gen(3000, 10, 20, seed=31)
+    p = tmp_path / "tiny.fastq.gz"
+    p.write_bytes(gzip.compress(buf, 1))
+    mk = lambda: bt.models.QCModel(quality_schema="sanger",
+                                   max_read_len=128)
+    _reports_equal(mk().run_file_device(str(p), chunk_mb=1),
+                   mk().run_file(str(p)))
