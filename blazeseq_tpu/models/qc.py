@@ -286,11 +286,18 @@ class QCModel:
 
     def _run_ragged_mmap(self, data, chunk_mb: int) -> QCReport:
         """Pipeline B, general tier: device-parse a non-uniform mmap'd file
-        in 2*max_read_len-aligned chunks; the device reports each chunk's
-        trailing partial record (`tail_start`) so the next chunk resumes at
-        an exact record boundary. Validation failures and out-of-tier
-        layouts stream the remainder through the exact host engine."""
+        with OVERLAPPED ingest. Chunk cuts come from a cheap host-side
+        record-boundary resync (parallel/sharding.find_record_boundary_bytes),
+        which makes every chunk independent — no per-chunk sync on the
+        device-reported tail, so staging/transfer overlaps device compute
+        exactly like the uniform path. The device re-proves each chunk
+        (validation + tier bounds + tail == chunk length); any disagreement
+        — including a wrong host cut on adversarial bytes — rejects the
+        chunk, and the remainder from that chunk's start streams through
+        the exact host engine."""
         from ..io.readers import MemoryReader
+        from ..parallel.ingest import OverlappedIngest
+        from ..parallel.sharding import find_record_boundary_bytes
 
         slot_cap = self._peek_ragged_slot_cap(data, self.max_read_len)
         K = 2 * self.max_read_len
@@ -298,20 +305,56 @@ class QCModel:
         csize = max((chunk_mb << 20) // K, 1) * K
         csize = min(csize, -(-total // K) * K)
         acc = QCAccumulator()
+
+        step = lambda c, nv: self._device_rqc(c, jnp.int32(nv),
+                                              slot_cap=slot_cap)
+        ing = OverlappedIngest(step, csize)
+        fail_pos = None  # host takes over from this byte offset
+
+        def consume(ready):
+            nonlocal fail_pos
+            for meta, r in ready:
+                if fail_pos is not None:
+                    continue
+                pos_m, nv_m, last = meta
+                tail = int(r.tail_start)
+                good = bool(r.ok) and not bool(r.fallback) and tail > 0 \
+                    and (tail == nv_m or last)
+                if not good:
+                    fail_pos = pos_m
+                    continue
+                acc.add(r.stats)
+                if last and tail < nv_m:
+                    # trailing partial record of the file: exact host tail
+                    fail_pos = pos_m + tail
+
         pos = 0
-        buf_np = np.zeros(csize, dtype=np.uint8)
-        while pos < total:
-            b = min(pos + csize, total)
-            nv = b - pos
-            buf_np[:nv] = data[pos:b]
-            buf_np[nv:] = 0
-            r = self._device_rqc(jnp.asarray(buf_np), jnp.int32(nv),
-                                 slot_cap=slot_cap)
-            tail = int(r.tail_start)
-            if bool(r.fallback) or not bool(r.ok) or tail == 0:
-                break  # out of tier / invalid / no complete record: host
-            acc.add(r.stats)
-            pos += tail
+        while pos < total and fail_pos is None:
+            cut = min(pos + csize, total)
+            if cut < total:
+                # resync scans FORWARD, so probe from a little before the
+                # capacity limit and take the first boundary it proves;
+                # back off further for records longer than the window. A
+                # cut past pos+csize cannot fit the staging buffer, and no
+                # provable boundary punts the remainder to the host.
+                back = 4096
+                while True:
+                    cut = find_record_boundary_bytes(
+                        data, max(pos + 1, pos + csize - back))
+                    if cut <= pos + csize or back >= csize:
+                        break
+                    back *= 4
+                if cut <= pos or cut > pos + csize:
+                    break
+            nv = cut - pos
+            buf = ing.acquire()
+            buf[:nv] = data[pos:cut]
+            buf[nv:] = 0
+            consume(ing.feed(buf, nv, meta=(pos, nv, cut >= total)))
+            pos = cut
+        consume(ing.drain())
+        if fail_pos is not None:
+            pos = fail_pos
         if pos < total:
             parser = FastqParser(MemoryReader(data[pos:]),
                                  config=ParserConfig())

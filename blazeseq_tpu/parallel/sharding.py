@@ -46,6 +46,25 @@ def _resync_offset(window: bytes, base: int) -> int:
     return -1
 
 
+def find_record_boundary_bytes(data, offset: int, probe: int = 1 * MB) -> int:
+    """First FASTQ record start at/after `offset` in an in-memory buffer
+    (len(data) when none found). Same resync rule as the file variant."""
+    size = len(data)
+    if offset <= 0:
+        return 0
+    if offset >= size:
+        return size
+    window = bytes(data[offset: offset + min(probe, size - offset)])
+    if data[offset - 1] != 10:  # anchor to the next line start
+        nl = window.find(b"\n")
+        if nl < 0:
+            return size
+        window = window[nl + 1:]
+        offset += nl + 1
+    pos = _resync_offset(window, offset)
+    return pos if pos >= 0 else size
+
+
 def find_record_boundary(path, offset: int, probe: int = 1 * MB) -> int:
     """First FASTQ record start at/after `offset` in the file (file size when
     none found)."""

@@ -398,3 +398,27 @@ def test_model_gzip_short_records_stay_on_device(tmp_path):
                                    max_read_len=128)
     _reports_equal(mk().run_file_device(str(p), chunk_mb=1),
                    mk().run_file(str(p)))
+
+
+def test_model_truncated_ragged_file_raises_like_host(tmp_path):
+    """Overlapped ragged mmap path: a file chopped mid-record must behave
+    exactly like the host engine (device stats for the complete prefix,
+    then the host tail raises on the truncated record)."""
+    buf = gen(3000, 80, 120, seed=33)
+    cut = buf[: len(buf) - 51]
+    p = tmp_path / "trunc.fastq"
+    p.write_bytes(cut)
+    mk = lambda: bt.models.QCModel(quality_schema="sanger",
+                                   max_read_len=128)
+    host_exc = dev_exc = None
+    try:
+        mk().run_file(str(p))
+    except Exception as e:
+        host_exc = e
+    try:
+        mk().run_file_device(str(p), chunk_mb=1)
+    except Exception as e:
+        dev_exc = e
+    assert (host_exc is None) == (dev_exc is None)
+    if host_exc is not None:
+        assert type(dev_exc) is type(host_exc)
