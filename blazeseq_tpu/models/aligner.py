@@ -29,10 +29,16 @@ def _round_up(x: int, m: int) -> int:
 class NWAligner:
     def __init__(self, reference: bytes, max_query_len: int = MAX_QUERY_LEN,
                  prefer_pallas: Optional[bool] = None,
-                 mode: str = "global"):
+                 mode: str = "global",
+                 gap_open: Optional[int] = None, gap_extend: int = -1):
         """mode="global" is the reference semantics (Needleman-Wunsch);
         mode="local" is Smith-Waterman on the same wavefront (beyond
-        reference) — scores are the best zero-clamped local hit."""
+        reference) — scores are the best zero-clamped local hit.
+
+        gap_open=None (default) keeps the reference's linear gap model
+        (every gapped base costs -1). Passing gap_open (e.g. -3) switches
+        both modes to AFFINE gaps (Gotoh, beyond reference): a length-k
+        gap costs gap_open + (k-1)*gap_extend, penalties negative."""
         if mode not in ("global", "local"):
             raise ValueError("mode must be 'global' or 'local'")
         self.reference = bytes(reference)
@@ -40,6 +46,8 @@ class NWAligner:
         self.max_query_len = max_query_len
         self.prefer_pallas = prefer_pallas
         self.mode = mode
+        self.gap_open = gap_open
+        self.gap_extend = gap_extend
         # The whole step (clamp + slice + wavefront DP) is one jit so
         # per-batch scoring is one device dispatch, not a chain of eager ops
         # (each eager op is a host round trip — catastrophic on
@@ -52,6 +60,11 @@ class NWAligner:
             lengths = jnp.minimum(lengths.astype(jnp.int32), mql)
             if seq.shape[1] > mql:
                 seq = seq[:, :mql]
+            if self.gap_open is not None:
+                fn = (nw_ops.sw_affine_scores_xla if self.mode == "local"
+                      else nw_ops.nw_affine_scores_xla)
+                return fn(seq, lengths, ref, gap_open=self.gap_open,
+                          gap_extend=self.gap_extend)
             if self.mode == "local":
                 return nw_ops.sw_scores_xla(seq, lengths, ref)
             return nw_ops.nw_scores(seq, lengths, ref,
@@ -70,8 +83,14 @@ class NWAligner:
 
     def score_cpu(self, batch: FastqBatch) -> np.ndarray:
         """Host twin (≡ run_cpu_nw, execution.mojo:137-152)."""
-        twin = (nw_ops.smith_waterman_cpu if self.mode == "local"
-                else nw_ops.needleman_wunsch_cpu)
+        if self.gap_open is not None:
+            base = (nw_ops.smith_waterman_affine_cpu if self.mode == "local"
+                    else nw_ops.needleman_wunsch_affine_cpu)
+            twin = lambda q, r: base(q, r, gap_open=self.gap_open,
+                                     gap_extend=self.gap_extend)
+        else:
+            twin = (nw_ops.smith_waterman_cpu if self.mode == "local"
+                    else nw_ops.needleman_wunsch_cpu)
         out = np.empty(len(batch), dtype=np.int32)
         for i in range(len(batch)):
             q = batch.get_ref(i).sequence_bytes()[: self.max_query_len]

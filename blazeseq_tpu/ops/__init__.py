@@ -13,8 +13,10 @@ from .uniform_parse import (UniformLayout, UniformParseResult,
                             detect_uniform_layout, uniform_parse)
 from .kmer import kmer_counts, kmer_counts_cpu
 from .common import length_mask, round_up, use_interpret
-from .nw import (needleman_wunsch_cpu, nw_scores, nw_scores_pallas,
-                 nw_scores_xla, smith_waterman_cpu, sw_scores_xla)
+from .nw import (needleman_wunsch_affine_cpu, needleman_wunsch_cpu,
+                 nw_affine_scores_xla, nw_scores, nw_scores_pallas,
+                 nw_scores_xla, smith_waterman_affine_cpu,
+                 smith_waterman_cpu, sw_affine_scores_xla, sw_scores_xla)
 from .scan import (
     count_records_device,
     gather_padded_device,

@@ -280,3 +280,153 @@ def sw_scores_xla(seq, lengths, ref, match: int = 1, mismatch: int = -1,
     )
     (_, _, best), _ = jax.lax.scan(step, init, (d_vals, RD))
     return best
+
+
+# --------------------------------------------------------------------------
+# Affine gaps (Gotoh) — beyond the reference (its GPU example is linear-gap
+# only). A length-k gap costs gap_open + (k-1)*gap_extend (penalties are
+# negative, like match/mismatch/gap above). The three-state recurrence fits
+# the same anti-diagonal wavefront with NO intra-diagonal dependency:
+#   M[i,j]  = max(M,Ix,Iy)[i-1,j-1] + sub(i,j)          (diagonal d-2)
+#   Ix[i,j] = max(M[i-1,j]+go, Ix[i-1,j]+ge)            (diagonal d-1)
+#   Iy[i,j] = max(M[i,j-1]+go, Iy[i,j-1]+ge)            (diagonal d-1)
+# so each step stays a fully vectorized [B, Lq+1] VPU update.
+
+def needleman_wunsch_affine_cpu(query: bytes, ref: bytes, match: int = 1,
+                                mismatch: int = -1, gap_open: int = -3,
+                                gap_extend: int = -1) -> int:
+    """Scalar host twin for global affine-gap (Gotoh) alignment."""
+    q = bytes(query)
+    r = bytes(ref)
+    m, n = len(q), len(r)
+    M = np.full((m + 1, n + 1), NEG, np.int64)
+    Ix = np.full((m + 1, n + 1), NEG, np.int64)
+    Iy = np.full((m + 1, n + 1), NEG, np.int64)
+    M[0, 0] = 0
+    for i in range(1, m + 1):
+        Ix[i, 0] = gap_open + (i - 1) * gap_extend
+    for j in range(1, n + 1):
+        Iy[0, j] = gap_open + (j - 1) * gap_extend
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            sub = match if q[i - 1] == r[j - 1] else mismatch
+            M[i, j] = max(M[i - 1, j - 1], Ix[i - 1, j - 1],
+                          Iy[i - 1, j - 1]) + sub
+            Ix[i, j] = max(M[i - 1, j] + gap_open,
+                           Ix[i - 1, j] + gap_extend)
+            Iy[i, j] = max(M[i, j - 1] + gap_open,
+                           Iy[i, j - 1] + gap_extend)
+    return int(max(M[m, n], Ix[m, n], Iy[m, n]))
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap_open",
+                                             "gap_extend"))
+def nw_affine_scores_xla(seq, lengths, ref, match: int = 1,
+                         mismatch: int = -1, gap_open: int = -3,
+                         gap_extend: int = -1):
+    """Batched global affine-gap (Gotoh) scores via the anti-diagonal
+    wavefront. seq: u8[B, Lq]; lengths: i32[B]; ref: u8[Lr]. i32[B] out."""
+    B, Lq = seq.shape
+    Lr = ref.shape[0]
+    D = Lq + Lr
+    go, ge = gap_open, gap_extend
+    i_idx = jnp.arange(Lq + 1, dtype=jnp.int32)[None, :]
+    seq_shift = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.uint8), seq], axis=1)
+    RD = _diag_ref_table(ref, Lq)
+    d_vals = jnp.arange(1, D + 1, dtype=jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+    target_d = lengths + Lr
+
+    def step(carry, xs):
+        m1, x1, y1, m2, x2, y2, score = carry
+        d, rchars = xs
+        sub = jnp.where(seq_shift == rchars[None, :], match, mismatch)
+        best2 = jnp.maximum(jnp.maximum(m2, x2), y2)
+        Mn = jnp.roll(best2, 1, axis=1) + sub
+        Xn = jnp.maximum(jnp.roll(m1, 1, axis=1) + go,
+                         jnp.roll(x1, 1, axis=1) + ge)
+        Yn = jnp.maximum(m1 + go, y1 + ge)
+        edge = go + (d - 1) * ge
+        on0 = i_idx == 0       # j = d: top boundary row
+        ond = i_idx == d       # j = 0: left boundary column
+        Mn = jnp.where(on0 | ond, NEG, Mn)
+        Xn = jnp.where(on0, NEG, jnp.where(ond, edge, Xn))
+        Yn = jnp.where(ond, NEG, jnp.where(on0, edge, Yn))
+        cell = jnp.maximum(jnp.maximum(Mn, Xn), Yn)
+        got = jnp.sum(jnp.where(i_idx == lengths[:, None], cell, 0), axis=1)
+        score = jnp.where(d == target_d, got, score)
+        return (Mn, Xn, Yn, m1, x1, y1, score), None
+
+    neg = jnp.full((B, Lq + 1), NEG, jnp.int32)
+    m_init = jnp.where(i_idx == 0, 0, NEG) + jnp.zeros((B, 1), jnp.int32)
+    init = (m_init, neg, neg, neg, neg, neg,
+            jnp.full((B,), NEG, dtype=jnp.int32))
+    (_, _, _, _, _, _, score), _ = jax.lax.scan(step, init, (d_vals, RD))
+    return score
+
+
+def smith_waterman_affine_cpu(query: bytes, ref: bytes, match: int = 1,
+                              mismatch: int = -1, gap_open: int = -3,
+                              gap_extend: int = -1) -> int:
+    """Scalar host twin for local affine-gap (SW-Gotoh) alignment."""
+    q = bytes(query)
+    r = bytes(ref)
+    m, n = len(q), len(r)
+    H = np.zeros((m + 1, n + 1), np.int64)
+    E = np.full((m + 1, n + 1), NEG, np.int64)  # gap in query (consumes ref)
+    F = np.full((m + 1, n + 1), NEG, np.int64)  # gap in ref (consumes query)
+    best = 0
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            sub = match if q[i - 1] == r[j - 1] else mismatch
+            E[i, j] = max(H[i, j - 1] + gap_open, E[i, j - 1] + gap_extend)
+            F[i, j] = max(H[i - 1, j] + gap_open, F[i - 1, j] + gap_extend)
+            H[i, j] = max(0, H[i - 1, j - 1] + sub, E[i, j], F[i, j])
+            if H[i, j] > best:
+                best = int(H[i, j])
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap_open",
+                                             "gap_extend"))
+def sw_affine_scores_xla(seq, lengths, ref, match: int = 1,
+                         mismatch: int = -1, gap_open: int = -3,
+                         gap_extend: int = -1):
+    """Batched local affine-gap (SW-Gotoh) scores on the wavefront.
+    seq: u8[B, Lq]; lengths: i32[B]; ref: u8[Lr]. i32[B] out (0 floor)."""
+    B, Lq = seq.shape
+    Lr = ref.shape[0]
+    D = Lq + Lr
+    go, ge = gap_open, gap_extend
+    i_idx = jnp.arange(Lq + 1, dtype=jnp.int32)[None, :]
+    seq_shift = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.uint8), seq], axis=1)
+    RD = _diag_ref_table(ref, Lq)
+    d_vals = jnp.arange(1, D + 1, dtype=jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+
+    def step(carry, xs):
+        h1, e1, f1, h2, best = carry
+        d, rchars = xs
+        sub = jnp.where(seq_shift == rchars[None, :], match, mismatch)
+        En = jnp.maximum(h1 + go, e1 + ge)
+        Fn = jnp.maximum(jnp.roll(h1, 1, axis=1) + go,
+                         jnp.roll(f1, 1, axis=1) + ge)
+        Hn = jnp.maximum(jnp.maximum(jnp.roll(h2, 1, axis=1) + sub, En),
+                         jnp.maximum(Fn, 0))
+        on_edge = (i_idx == 0) | (i_idx == d)
+        Hn = jnp.where(on_edge, 0, Hn)
+        En = jnp.where(on_edge, NEG, En)
+        Fn = jnp.where(on_edge, NEG, Fn)
+        valid = ((i_idx >= 1) & (i_idx <= lengths[:, None])
+                 & (i_idx <= d - 1) & (i_idx >= d - Lr))
+        best = jnp.maximum(best,
+                           jnp.max(jnp.where(valid, Hn, 0), axis=1))
+        return (Hn, En, Fn, h1, best), None
+
+    zeros = jnp.zeros((B, Lq + 1), jnp.int32)
+    neg = jnp.full((B, Lq + 1), NEG, jnp.int32)
+    init = (zeros, neg, neg, zeros, jnp.zeros((B,), dtype=jnp.int32))
+    (_, _, _, _, best), _ = jax.lax.scan(step, init, (d_vals, RD))
+    return best

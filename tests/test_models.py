@@ -154,3 +154,41 @@ def test_parser_padded_batches_roundtrip():
             assert bytes(qual[k, : lens[k]]) == r.quality_bytes()
             i += 1
     assert i == 100
+
+
+def test_nw_aligner_affine_modes():
+    """gap_open switches both modes to affine (Gotoh) gaps; device == twin
+    on random batches, and affine with gap_open == gap_extend degenerates
+    to the linear model exactly."""
+    buf = bytes(bt.generate_synthetic_fastq_buffer(30, 20, 50, 2, 40,
+                                                   "sanger"))
+    batch = bt.FastqParser(bt.MemoryReader(buf)).next_batch(30)
+    for mode in ("global", "local"):
+        a = NWAligner(b"GATTACA" * 6, mode=mode, gap_open=-4, gap_extend=-1)
+        assert a.verify_batch(batch)
+        # degenerate affine == linear
+        lin = NWAligner(b"GATTACA" * 6, mode=mode, prefer_pallas=False)
+        deg = NWAligner(b"GATTACA" * 6, mode=mode, gap_open=-1,
+                        gap_extend=-1)
+        import numpy as np
+        assert np.array_equal(lin.score_batch(batch), deg.score_batch(batch))
+
+
+def test_affine_twin_known_cases():
+    """Hand-checked Gotoh scores: one long gap must beat two short ones
+    under affine scoring and not under linear."""
+    from blazeseq_tpu.ops.nw import (needleman_wunsch_affine_cpu,
+                                     needleman_wunsch_cpu)
+
+    # query = ref with a 4-base block deleted: global affine score
+    # = matches + one gap of length 4
+    ref = b"ACGTACGTACGT"
+    query = b"ACGTACGT"  # 4-base suffix... deletion of 4 ref bases
+    aff = needleman_wunsch_affine_cpu(query, ref, gap_open=-3, gap_extend=-1)
+    assert aff == 8 * 1 + (-3 + 3 * -1)  # 8 matches + length-4 gap = 2
+    lin = needleman_wunsch_cpu(query, ref)
+    assert lin == 8 - 4  # linear: 4 gap bases at -1
+    # empty query: pure gap
+    assert needleman_wunsch_affine_cpu(b"", b"ACG",
+                                       gap_open=-3, gap_extend=-1) == -5
+    assert needleman_wunsch_affine_cpu(b"", b"") == 0

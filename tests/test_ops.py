@@ -548,3 +548,40 @@ def test_kmer_counts_padding_and_rows_excluded():
     assert int(got.sum()) == 3
     acgt = (0 << 6) | (1 << 4) | (2 << 2) | 3
     assert got[acgt] == 1
+
+
+def test_affine_wavefront_matches_twin_randomized():
+    """Gotoh wavefront kernels (global + local) vs the scalar twins over
+    random sequences, lengths, and penalty settings."""
+    import random
+
+    from blazeseq_tpu.ops.nw import (needleman_wunsch_affine_cpu,
+                                     nw_affine_scores_xla,
+                                     smith_waterman_affine_cpu,
+                                     sw_affine_scores_xla)
+
+    rng = random.Random(42)
+    rand = lambda n: bytes(rng.choice(b"ACGT") for _ in range(n))
+    for trial in range(3):
+        Lr = rng.randint(1, 48)
+        ref = rand(Lr)
+        B, Lq = 10, 40
+        seqs = [rand(rng.randint(0, Lq)) for _ in range(B)]
+        lens = np.array([len(s) for s in seqs], np.int32)
+        pad = np.zeros((B, Lq), np.uint8)
+        for k, s in enumerate(seqs):
+            pad[k, : len(s)] = np.frombuffer(s, np.uint8)
+        go, ge = rng.choice([(-3, -1), (-5, -2), (-2, -2)])
+        refj = jnp.asarray(np.frombuffer(ref, np.uint8))
+        dev = np.asarray(nw_affine_scores_xla(
+            jnp.asarray(pad), jnp.asarray(lens), refj,
+            gap_open=go, gap_extend=ge))
+        cpu = [needleman_wunsch_affine_cpu(s, ref, gap_open=go,
+                                           gap_extend=ge) for s in seqs]
+        assert list(dev) == cpu, (trial, go, ge)
+        devl = np.asarray(sw_affine_scores_xla(
+            jnp.asarray(pad), jnp.asarray(lens), refj,
+            gap_open=go, gap_extend=ge))
+        cpul = [smith_waterman_affine_cpu(s, ref, gap_open=go,
+                                          gap_extend=ge) for s in seqs]
+        assert list(devl) == cpul, (trial, go, ge)
