@@ -34,13 +34,17 @@ class NWAligner:
         """mode="global" is the reference semantics (Needleman-Wunsch);
         mode="local" is Smith-Waterman on the same wavefront (beyond
         reference) — scores are the best zero-clamped local hit.
+        mode="semiglobal" aligns the full query with free leading/trailing
+        reference gaps (read-vs-reference-window scoring, beyond
+        reference).
 
         gap_open=None (default) keeps the reference's linear gap model
         (every gapped base costs -1). Passing gap_open (e.g. -3) switches
         both modes to AFFINE gaps (Gotoh, beyond reference): a length-k
         gap costs gap_open + (k-1)*gap_extend, penalties negative."""
-        if mode not in ("global", "local"):
-            raise ValueError("mode must be 'global' or 'local'")
+        if mode not in ("global", "local", "semiglobal"):
+            raise ValueError(
+                "mode must be 'global', 'local', or 'semiglobal'")
         self.reference = bytes(reference)
         self._ref = jnp.asarray(np.frombuffer(self.reference, dtype=np.uint8))
         self.max_query_len = max_query_len
@@ -61,12 +65,15 @@ class NWAligner:
             if seq.shape[1] > mql:
                 seq = seq[:, :mql]
             if self.gap_open is not None:
-                fn = (nw_ops.sw_affine_scores_xla if self.mode == "local"
-                      else nw_ops.nw_affine_scores_xla)
+                fn = {"local": nw_ops.sw_affine_scores_xla,
+                      "semiglobal": nw_ops.nw_semiglobal_affine_scores_xla,
+                      "global": nw_ops.nw_affine_scores_xla}[self.mode]
                 return fn(seq, lengths, ref, gap_open=self.gap_open,
                           gap_extend=self.gap_extend)
             if self.mode == "local":
                 return nw_ops.sw_scores_xla(seq, lengths, ref)
+            if self.mode == "semiglobal":
+                return nw_ops.nw_semiglobal_scores_xla(seq, lengths, ref)
             return nw_ops.nw_scores(seq, lengths, ref,
                                     prefer_pallas=self.prefer_pallas)
 
@@ -84,13 +91,15 @@ class NWAligner:
     def score_cpu(self, batch: FastqBatch) -> np.ndarray:
         """Host twin (≡ run_cpu_nw, execution.mojo:137-152)."""
         if self.gap_open is not None:
-            base = (nw_ops.smith_waterman_affine_cpu if self.mode == "local"
-                    else nw_ops.needleman_wunsch_affine_cpu)
+            base = {"local": nw_ops.smith_waterman_affine_cpu,
+                    "semiglobal": nw_ops.semiglobal_affine_cpu,
+                    "global": nw_ops.needleman_wunsch_affine_cpu}[self.mode]
             twin = lambda q, r: base(q, r, gap_open=self.gap_open,
                                      gap_extend=self.gap_extend)
         else:
-            twin = (nw_ops.smith_waterman_cpu if self.mode == "local"
-                    else nw_ops.needleman_wunsch_cpu)
+            twin = {"local": nw_ops.smith_waterman_cpu,
+                    "semiglobal": nw_ops.semiglobal_cpu,
+                    "global": nw_ops.needleman_wunsch_cpu}[self.mode]
         out = np.empty(len(batch), dtype=np.int32)
         for i in range(len(batch)):
             q = batch.get_ref(i).sequence_bytes()[: self.max_query_len]

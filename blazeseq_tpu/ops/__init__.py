@@ -15,7 +15,9 @@ from .kmer import kmer_counts, kmer_counts_cpu
 from .common import length_mask, round_up, use_interpret
 from .nw import (needleman_wunsch_affine_cpu, needleman_wunsch_cpu,
                  nw_affine_scores_xla, nw_scores, nw_scores_pallas,
-                 nw_scores_xla, smith_waterman_affine_cpu,
+                 nw_scores_xla, nw_semiglobal_affine_scores_xla,
+                 nw_semiglobal_scores_xla, semiglobal_affine_cpu,
+                 semiglobal_cpu, smith_waterman_affine_cpu,
                  smith_waterman_cpu, sw_affine_scores_xla, sw_scores_xla)
 from .scan import (
     count_records_device,

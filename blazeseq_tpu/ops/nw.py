@@ -430,3 +430,138 @@ def sw_affine_scores_xla(seq, lengths, ref, match: int = 1,
     init = (zeros, neg, neg, zeros, jnp.zeros((B,), dtype=jnp.int32))
     (_, _, _, _, best), _ = jax.lax.scan(step, init, (d_vals, RD))
     return best
+
+
+# --------------------------------------------------------------------------
+# Semi-global ("glocal") alignment — beyond the reference: the query aligns
+# end-to-end but leading/trailing REFERENCE bases are free, the standard
+# mode for scoring a read against a longer reference window. Same wavefront;
+# only the i == 0 boundary (free ref skip) and the score extraction (best
+# cell in the query's last row across diagonals) change.
+
+def semiglobal_cpu(query: bytes, ref: bytes, match: int = 1,
+                   mismatch: int = -1, gap: int = -1) -> int:
+    """Scalar host twin: free leading/trailing ref gaps, full query."""
+    q = bytes(query)
+    r = bytes(ref)
+    m, n = len(q), len(r)
+    prev = [0] * (n + 1)
+    for i in range(1, m + 1):
+        cur = [i * gap] + [0] * n
+        for j in range(1, n + 1):
+            sub = match if q[i - 1] == r[j - 1] else mismatch
+            cur[j] = max(prev[j - 1] + sub, prev[j] + gap, cur[j - 1] + gap)
+        prev = cur
+    return int(max(prev))
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap"))
+def nw_semiglobal_scores_xla(seq, lengths, ref, match: int = 1,
+                             mismatch: int = -1, gap: int = -1):
+    """Batched semi-global scores. seq u8[B, Lq]; lengths i32[B];
+    ref u8[Lr] -> i32[B]."""
+    B, Lq = seq.shape
+    Lr = ref.shape[0]
+    D = Lq + Lr
+    i_idx = jnp.arange(Lq + 1, dtype=jnp.int32)[None, :]
+    seq_shift = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.uint8), seq], axis=1)
+    RD = _diag_ref_table(ref, Lq)
+    d_vals = jnp.arange(1, D + 1, dtype=jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+
+    def step(carry, xs):
+        prev1, prev2, best = carry
+        d, rchars = xs
+        sub = jnp.where(seq_shift == rchars[None, :], match, mismatch)
+        p2s = jnp.roll(prev2, 1, axis=1)
+        p1s = jnp.roll(prev1, 1, axis=1)
+        new = jnp.maximum(jnp.maximum(p2s + sub, p1s + gap), prev1 + gap)
+        new = jnp.where(i_idx == 0, 0, new)        # free leading ref skip
+        new = jnp.where(i_idx == d, d * gap, new)  # query-leading gap paid
+        at_len = jnp.sum(jnp.where(i_idx == lengths[:, None], new, 0),
+                         axis=1)
+        take = (d >= lengths) & (d <= lengths + Lr)
+        best = jnp.where(take, jnp.maximum(best, at_len), best)
+        return (new, prev1, best), None
+
+    init = (
+        jnp.zeros((B, Lq + 1), jnp.int32),
+        jnp.zeros((B, Lq + 1), jnp.int32),
+        jnp.full((B,), NEG, dtype=jnp.int32),
+    )
+    (_, _, best), _ = jax.lax.scan(step, init, (d_vals, RD))
+    # empty query, free ref: score 0 (d never reaches 0 in the scan)
+    return jnp.where(lengths == 0, 0, best)
+
+
+def semiglobal_affine_cpu(query: bytes, ref: bytes, match: int = 1,
+                          mismatch: int = -1, gap_open: int = -3,
+                          gap_extend: int = -1) -> int:
+    """Scalar host twin: semi-global with affine (Gotoh) gaps."""
+    q = bytes(query)
+    r = bytes(ref)
+    m, n = len(q), len(r)
+    M = np.full((m + 1, n + 1), NEG, np.int64)
+    Ix = np.full((m + 1, n + 1), NEG, np.int64)
+    Iy = np.full((m + 1, n + 1), NEG, np.int64)
+    M[0, :] = 0  # free leading ref skip (fresh start at any ref offset)
+    for i in range(1, m + 1):
+        Ix[i, 0] = gap_open + (i - 1) * gap_extend
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            sub = match if q[i - 1] == r[j - 1] else mismatch
+            M[i, j] = max(M[i - 1, j - 1], Ix[i - 1, j - 1],
+                          Iy[i - 1, j - 1]) + sub
+            Ix[i, j] = max(M[i - 1, j] + gap_open,
+                           Ix[i - 1, j] + gap_extend)
+            Iy[i, j] = max(M[i, j - 1] + gap_open,
+                           Iy[i, j - 1] + gap_extend)
+    return int(max(M[m].max(), Ix[m].max(), Iy[m].max()))
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap_open",
+                                             "gap_extend"))
+def nw_semiglobal_affine_scores_xla(seq, lengths, ref, match: int = 1,
+                                    mismatch: int = -1, gap_open: int = -3,
+                                    gap_extend: int = -1):
+    """Batched semi-global affine-gap scores on the wavefront."""
+    B, Lq = seq.shape
+    Lr = ref.shape[0]
+    D = Lq + Lr
+    go, ge = gap_open, gap_extend
+    i_idx = jnp.arange(Lq + 1, dtype=jnp.int32)[None, :]
+    seq_shift = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.uint8), seq], axis=1)
+    RD = _diag_ref_table(ref, Lq)
+    d_vals = jnp.arange(1, D + 1, dtype=jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+
+    def step(carry, xs):
+        m1, x1, y1, m2, x2, y2, best = carry
+        d, rchars = xs
+        sub = jnp.where(seq_shift == rchars[None, :], match, mismatch)
+        best2 = jnp.maximum(jnp.maximum(m2, x2), y2)
+        Mn = jnp.roll(best2, 1, axis=1) + sub
+        Xn = jnp.maximum(jnp.roll(m1, 1, axis=1) + go,
+                         jnp.roll(x1, 1, axis=1) + ge)
+        Yn = jnp.maximum(m1 + go, y1 + ge)
+        edge = go + (d - 1) * ge
+        on0 = i_idx == 0
+        ond = i_idx == d
+        Mn = jnp.where(on0, 0, jnp.where(ond, NEG, Mn))
+        Xn = jnp.where(on0, NEG, jnp.where(ond, edge, Xn))
+        Yn = jnp.where(on0 | ond, NEG, Yn)
+        cell = jnp.maximum(jnp.maximum(Mn, Xn), Yn)
+        at_len = jnp.sum(jnp.where(i_idx == lengths[:, None], cell, 0),
+                         axis=1)
+        take = (d >= lengths) & (d <= lengths + Lr)
+        best = jnp.where(take, jnp.maximum(best, at_len), best)
+        return (Mn, Xn, Yn, m1, x1, y1, best), None
+
+    neg = jnp.full((B, Lq + 1), NEG, jnp.int32)
+    m_init = jnp.where(i_idx == 0, 0, NEG) + jnp.zeros((B, 1), jnp.int32)
+    init = (m_init, neg, neg, neg, neg, neg,
+            jnp.full((B,), NEG, dtype=jnp.int32))
+    (_, _, _, _, _, _, best), _ = jax.lax.scan(step, init, (d_vals, RD))
+    return jnp.where(lengths == 0, 0, best)

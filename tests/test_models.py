@@ -115,7 +115,7 @@ def test_nw_aligner_local_mode():
     assert aligner.verify_batch(batch)
     assert (aligner.score_batch(batch) >= 0).all()  # local scores never negative
     with pytest.raises(ValueError):
-        NWAligner(b"ACGT", mode="semiglobal")
+        NWAligner(b"ACGT", mode="overlap")
 
 
 def test_padded_clamps_copy_but_keeps_true_length():
@@ -192,3 +192,22 @@ def test_affine_twin_known_cases():
     assert needleman_wunsch_affine_cpu(b"", b"ACG",
                                        gap_open=-3, gap_extend=-1) == -5
     assert needleman_wunsch_affine_cpu(b"", b"") == 0
+
+
+def test_nw_aligner_semiglobal_mode():
+    """mode="semiglobal": full query, free reference end-gaps; a query
+    embedded in the reference scores a full match, and device == twin
+    (linear AND affine)."""
+    import numpy as np
+
+    buf = bytes(bt.generate_synthetic_fastq_buffer(25, 20, 50, 2, 40,
+                                                   "sanger"))
+    batch = bt.FastqParser(bt.MemoryReader(buf)).next_batch(25)
+    for kw in ({}, {"gap_open": -4, "gap_extend": -1}):
+        a = NWAligner(b"GATTACA" * 10, mode="semiglobal", **kw)
+        assert a.verify_batch(batch)
+    # embedded query -> perfect score despite ref being longer
+    emb = bt.FastqParser(bt.MemoryReader(
+        b"@e\nGATTACA\n+\nIIIIIII\n")).next_batch(1)
+    a = NWAligner(b"CCCC" + b"GATTACA" + b"TTTT", mode="semiglobal")
+    assert a.score_batch(emb)[0] == 7

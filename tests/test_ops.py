@@ -585,3 +585,33 @@ def test_affine_wavefront_matches_twin_randomized():
         cpul = [smith_waterman_affine_cpu(s, ref, gap_open=go,
                                           gap_extend=ge) for s in seqs]
         assert list(devl) == cpul, (trial, go, ge)
+
+
+def test_semiglobal_wavefront_matches_twin_randomized():
+    import random
+
+    from blazeseq_tpu.ops.nw import (nw_semiglobal_affine_scores_xla,
+                                     nw_semiglobal_scores_xla,
+                                     semiglobal_affine_cpu, semiglobal_cpu)
+
+    rng = random.Random(11)
+    rand = lambda n: bytes(rng.choice(b"ACGT") for _ in range(n))
+    for trial in range(3):
+        Lr = rng.randint(1, 48)
+        ref = rand(Lr)
+        B, Lq = 8, 36
+        seqs = [rand(rng.randint(0, Lq)) for _ in range(B)]
+        lens = np.array([len(s) for s in seqs], np.int32)
+        pad = np.zeros((B, Lq), np.uint8)
+        for k, s in enumerate(seqs):
+            pad[k, : len(s)] = np.frombuffer(s, np.uint8)
+        refj = jnp.asarray(np.frombuffer(ref, np.uint8))
+        dev = np.asarray(nw_semiglobal_scores_xla(
+            jnp.asarray(pad), jnp.asarray(lens), refj))
+        assert list(dev) == [semiglobal_cpu(s, ref) for s in seqs]
+        deva = np.asarray(nw_semiglobal_affine_scores_xla(
+            jnp.asarray(pad), jnp.asarray(lens), refj,
+            gap_open=-4, gap_extend=-1))
+        assert list(deva) == [semiglobal_affine_cpu(s, ref, gap_open=-4,
+                                                    gap_extend=-1)
+                              for s in seqs]
