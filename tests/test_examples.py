@@ -89,3 +89,9 @@ def test_cli_commands(tmp_path):
     assert "2 sequences" in run("faidx", str(fa))
     assert run("fetch", str(fa), "s1", "2", "10") == "GTACGTAC"
     assert "reads=100" in run("stats", str(fq))
+
+def test_example_ragged_align():
+    out = _run([os.path.join(REPO, "examples", "ragged_align.py"), "3000"])
+    assert "matches host exactly" in out
+    assert "short-read tier" in out
+    assert out.count("device == twin") == 6
