@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import TPU_LANE
 from ..fastq.batch import FastqBatch, PaddedFastqBatch
 from ..ops import nw as nw_ops
 
@@ -64,6 +63,10 @@ class NWAligner:
             lengths = jnp.minimum(lengths.astype(jnp.int32), mql)
             if seq.shape[1] > mql:
                 seq = seq[:, :mql]
+            # a row narrower than a true read length (caller-clamped
+            # padding) must score its clamped prefix, not miss the
+            # extraction lane and return the NEG sentinel
+            lengths = jnp.minimum(lengths, seq.shape[1])
             if self.gap_open is not None:
                 fn = {"local": nw_ops.sw_affine_scores_xla,
                       "semiglobal": nw_ops.nw_semiglobal_affine_scores_xla,
@@ -85,7 +88,12 @@ class NWAligner:
         return np.asarray(scores)[: pb.n_records]
 
     def score_batch(self, batch: FastqBatch) -> np.ndarray:
-        pb = batch.to_padded(max_len=min(self.max_query_len, TPU_LANE))
+        # width sized to the batch (lane-rounded by to_padded); _step
+        # slices columns down to max_query_len and clamps lengths to the
+        # same bound. A fixed min(max_query_len, TPU_LANE) cap used to
+        # leave reads of 129..max_query_len bp with NO extraction lane —
+        # their "score" was the NEG init sentinel.
+        pb = batch.to_padded()
         return self.score_padded(pb)
 
     def score_cpu(self, batch: FastqBatch) -> np.ndarray:

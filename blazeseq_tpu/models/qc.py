@@ -339,8 +339,13 @@ class QCModel:
                 # provable boundary punts the remainder to the host.
                 back = 4096
                 while True:
+                    # probe only to a little past the capacity limit: the
+                    # default 1 MB window would make the resync scan (pure
+                    # Python) cost more than the chunk copy itself, on the
+                    # host thread the overlap is supposed to keep free
                     cut = find_record_boundary_bytes(
-                        data, max(pos + 1, pos + csize - back))
+                        data, max(pos + 1, pos + csize - back),
+                        probe=back + 8192)
                     if cut <= pos + csize or back >= csize:
                         break
                     back *= 4

@@ -321,19 +321,41 @@ def build_ragged_qc_step(mesh: Optional[Mesh], schema, *, width: int = 128,
     q_lo, q_hi = int(schema.LOWER), int(schema.UPPER)
     offset = int(schema.OFFSET)
 
-    def _local(chunk, n_valid):
-        r = ragged_qc(chunk, n_valid[0], width=width, q_lo=q_lo, q_hi=q_hi,
+    def _one(chunk, n_valid):
+        r = ragged_qc(chunk, n_valid, width=width, q_lo=q_lo, q_hi=q_hi,
                       offset=offset, check_ascii=check_ascii,
                       check_quality=check_quality, slot_cap=slot_cap)
         good = r.ok & ~r.fallback
         st = jax.tree.map(lambda x: x * good.astype(jnp.int32), r.stats)
+        return good, r.fallback, r.tail_start, st
+
+    def _local(chunk, n_valid):
+        good, fb, tail, st = _one(chunk, n_valid[0])
         if mesh is not None:
             st = jax.lax.psum(st, axis_name)
-        return (good.reshape(1), r.fallback.reshape(1),
-                r.tail_start.reshape(1), st)
+        return (good.reshape(1), fb.reshape(1), tail.reshape(1), st)
 
     if mesh is None:
-        return jax.jit(_local)
+        # same [D*S] + i32[D] contract without a mesh: run every shard
+        # sequentially on the one device and sum good shards' stats —
+        # anything else would silently drop shards 1..D-1
+        def _single(chunk, n_valid):
+            D = n_valid.shape[0]
+            S = chunk.shape[0] // D
+            goods, fbs, tails = [], [], []
+            st_sum = None
+            for d in range(D):
+                good, fb, tail, st = _one(
+                    jax.lax.dynamic_slice_in_dim(chunk, d * S, S), n_valid[d])
+                goods.append(good)
+                fbs.append(fb)
+                tails.append(tail)
+                st_sum = st if st_sum is None else jax.tree.map(
+                    lambda a, b: a + b, st_sum, st)
+            return (jnp.stack(goods), jnp.stack(fbs), jnp.stack(tails),
+                    st_sum)
+
+        return jax.jit(_single)
     stats_specs = jax.tree.map(lambda _: P(), stats_ops.zero_stats(1))
     sharded = shard_map(
         _local,

@@ -46,16 +46,12 @@ def _resync_offset(window: bytes, base: int) -> int:
     return -1
 
 
-def find_record_boundary_bytes(data, offset: int, probe: int = 1 * MB) -> int:
-    """First FASTQ record start at/after `offset` in an in-memory buffer
-    (len(data) when none found). Same resync rule as the file variant."""
-    size = len(data)
-    if offset <= 0:
-        return 0
-    if offset >= size:
-        return size
-    window = bytes(data[offset: offset + min(probe, size - offset)])
-    if data[offset - 1] != 10:  # anchor to the next line start
+def _boundary_in_window(window: bytes, offset: int, prev_byte: int,
+                        size: int) -> int:
+    """Shared anchor+resync: first record start at/after `offset` given
+    the probe `window` anchored there and the byte before it (`size` when
+    none is provable)."""
+    if prev_byte != 10:  # anchor to the next line start
         nl = window.find(b"\n")
         if nl < 0:
             return size
@@ -63,6 +59,18 @@ def find_record_boundary_bytes(data, offset: int, probe: int = 1 * MB) -> int:
         offset += nl + 1
     pos = _resync_offset(window, offset)
     return pos if pos >= 0 else size
+
+
+def find_record_boundary_bytes(data, offset: int, probe: int = 1 * MB) -> int:
+    """First FASTQ record start at/after `offset` in an in-memory buffer
+    (len(data) when none found)."""
+    size = len(data)
+    if offset <= 0:
+        return 0
+    if offset >= size:
+        return size
+    window = bytes(data[offset: offset + min(probe, size - offset)])
+    return _boundary_in_window(window, offset, data[offset - 1], size)
 
 
 def find_record_boundary(path, offset: int, probe: int = 1 * MB) -> int:
@@ -74,21 +82,10 @@ def find_record_boundary(path, offset: int, probe: int = 1 * MB) -> int:
     if offset >= size:
         return size
     with open(path, "rb") as f:
-        f.seek(offset)
+        f.seek(offset - 1)
+        prev = f.read(1)
         window = f.read(min(probe, size - offset))
-    # anchor to the next line start unless we're exactly at one
-    if offset > 0:
-        with open(path, "rb") as f:
-            f.seek(offset - 1)
-            prev = f.read(1)
-        if prev != b"\n":
-            nl = window.find(b"\n")
-            if nl < 0:
-                return size
-            window = window[nl + 1 :]
-            offset += nl + 1
-    pos = _resync_offset(window, offset)
-    return pos if pos >= 0 else size
+    return _boundary_in_window(window, offset, prev[0], size)
 
 
 def shard_file(path, n_shards: int) -> List[Tuple[int, int]]:

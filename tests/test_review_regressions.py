@@ -261,3 +261,46 @@ def test_overlapped_ingest_rejects_underprovisioned_buffers():
         OverlappedIngest(lambda c, n: c, 1024, depth=3, n_buffers=2,
                          keep_bytes=True)
     OverlappedIngest(lambda c, n: c, 1024, depth=3, n_buffers=2)  # ok
+
+
+def test_nw_aligner_scores_reads_longer_than_128():
+    """Round-3 regression: score_batch padded rows to min(max_query_len,
+    128), so 129..256 bp reads had no extraction lane and 'scored' the
+    NEG init sentinel (-5e8) in every mode."""
+    from blazeseq_tpu.models import NWAligner
+
+    long_read = b"ACGT" * 50  # 200 bp
+    buf = b"@L\n" + long_read + b"\n+\n" + b"I" * 200 + b"\n" \
+        + b"@s\nACGTACGT\n+\nIIIIIIII\n"
+    batch = bt.FastqParser(bt.MemoryReader(buf)).next_batch(2)
+    for mode in ("global", "semiglobal", "local"):
+        for kw in ({}, {"gap_open": -4, "gap_extend": -1}):
+            a = NWAligner(b"GATTACA" * 8, mode=mode,
+                          prefer_pallas=False, **kw)
+            scores = a.score_batch(batch)
+            assert (scores > -(10**8)).all(), (mode, kw, scores)
+            assert a.verify_batch(batch), (mode, kw)
+
+
+def test_ragged_qc_step_without_mesh_covers_every_shard():
+    """Round-3 regression: build_ragged_qc_step(None, ...) parsed only
+    shard 0 of the documented [D*S] + i32[D] input contract."""
+    import jax.numpy as jnp
+
+    from blazeseq_tpu.fastq.quality import parse_schema
+    from blazeseq_tpu.parallel.pipeline import build_ragged_qc_step
+
+    D, K = 3, 256
+    shards = [bt.generate_variable_id_fastq_buffer(
+        200, 60, 90, 2, 40, "sanger", seed=40 + d) for d in range(D)]
+    S = max(-(-len(s) // K) * K for s in shards)
+    arr = np.zeros(D * S, np.uint8)
+    nv = np.zeros(D, np.int32)
+    for d, s in enumerate(shards):
+        arr[d * S: d * S + len(s)] = np.frombuffer(bytes(s), np.uint8)
+        nv[d] = len(s)
+    step = build_ragged_qc_step(None, parse_schema("sanger"), width=128)
+    good, fb, tail, st = step(jnp.asarray(arr), jnp.asarray(nv))
+    assert np.asarray(good).all()
+    assert np.array_equal(np.asarray(tail), nv)
+    assert int(np.asarray(st.reads)) == 600  # every shard counted
