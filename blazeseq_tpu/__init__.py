@@ -33,7 +33,8 @@ from .fai.record import FaiRecord, FaiView
 from .fasta.parser import FastaBatch, FastaParser, FastaParserConfig
 from .fasta.record import FastaRecord
 from .fastq.batch import DeviceFastqBatch, FastqBatch, PaddedFastqBatch, upload_batch_to_device
-from .fastq.paired import PairedFastqParser, PairSyncError
+from .fastq.paired import (InterleavedFastqParser,
+                           PairedFastqParser, PairSyncError)
 from .fastq.parser import FastqParser, ParserConfig
 from .fastq.quality import QualitySchema, parse_schema
 from .fastq.record import Definition, FastqRecord, FastqView, Validator

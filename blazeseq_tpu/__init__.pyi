@@ -51,6 +51,7 @@ from .fastq.batch import (
     upload_batch_to_device as upload_batch_to_device,
 )
 from .fastq.paired import (
+    InterleavedFastqParser as InterleavedFastqParser,
     PairedFastqParser as PairedFastqParser,
     PairSyncError as PairSyncError,
 )

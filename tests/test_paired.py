@@ -62,3 +62,70 @@ def test_count():
     a, b = _mates(20)
     p = PairedFastqParser(bt.MemoryReader(a), bt.MemoryReader(b))
     assert p.count() == (20, 80, 80)
+
+
+def _interleave(n, odd_tail=False, mismatch_at=None):
+    out = []
+    for i in range(n):
+        id2 = i if mismatch_at is None or i != mismatch_at else i + 1000
+        out.append(b"@p%d/1 c1\nACGT\n+\nIIII\n" % i)
+        out.append(b"@p%d/2 c2\nTTGGCA\n+\nJJJJJJ\n" % id2)
+    if odd_tail:
+        out.append(b"@p%d/1 c1\nACGT\n+\nIIII\n" % n)
+    return b"".join(out)
+
+
+def test_interleaved_pairs_and_count():
+    from blazeseq_tpu import InterleavedFastqParser
+
+    p = InterleavedFastqParser(bt.MemoryReader(_interleave(8)))
+    got = list(p.pairs())
+    assert len(got) == 8
+    assert got[0][0].id_bytes().startswith(b"p0/1")
+    assert got[0][1].id_bytes().startswith(b"p0/2")
+    p2 = InterleavedFastqParser(bt.MemoryReader(_interleave(8)))
+    assert p2.count() == (8, 8 * 10)
+
+
+def test_interleaved_id_mismatch_and_odd_tail_raise():
+    from blazeseq_tpu import InterleavedFastqParser
+
+    p = InterleavedFastqParser(bt.MemoryReader(
+        _interleave(6, mismatch_at=3)))
+    with pytest.raises(PairSyncError):
+        list(p.pairs())
+    p2 = InterleavedFastqParser(bt.MemoryReader(
+        _interleave(4, odd_tail=True)))
+    with pytest.raises(PairSyncError):
+        list(p2.pairs())
+    p3 = InterleavedFastqParser(bt.MemoryReader(
+        _interleave(4, odd_tail=True)))
+    with pytest.raises(PairSyncError):
+        p3.count()
+
+
+def test_interleaved_padded_pair_batches_deinterleave():
+    import numpy as np
+
+    from blazeseq_tpu import InterleavedFastqParser
+
+    p = InterleavedFastqParser(bt.MemoryReader(_interleave(10)))
+    batches = list(p.padded_pair_batches(max_records=4, max_len=16))
+    assert sum(pb1.n_records for pb1, _ in batches) == 10
+    for pb1, pb2 in batches:
+        assert pb1.n_records == pb2.n_records
+        for k in range(pb1.n_records):
+            assert bytes(np.asarray(pb1.seq)[k, :4].tobytes()) == b"ACGT"
+            assert bytes(np.asarray(pb2.seq)[k, :6].tobytes()) == b"TTGGCA"
+            assert int(pb1.lengths[k]) == 4
+            assert int(pb2.lengths[k]) == 6
+
+
+def test_interleaved_padded_pad_records_to():
+    from blazeseq_tpu import InterleavedFastqParser
+
+    p = InterleavedFastqParser(bt.MemoryReader(_interleave(3)))
+    (pb1, pb2), = list(p.padded_pair_batches(max_records=8, max_len=16,
+                                             pad_records_to=8))
+    assert pb1.n_records == 3 and pb2.n_records == 3
+    assert pb1.seq.shape[0] == 8 and pb2.seq.shape[0] == 8
