@@ -25,7 +25,9 @@ takes argv paths) plus the ecosystem basics:
                         semantics); writes trimmed FASTQ (reads trimmed
                         to zero length are dropped)
   merge [--min-overlap N] [--out FILE] R1 R2
-                        PEAR-style paired-end overlap merging on device;
+  merge --interleaved [...] FILE
+                        PEAR-style paired-end overlap merging on device
+                        (two mate files, or one interleaved stream);
                         writes assembled reads, prints pair/merge counts
   tiles FILE [...]      FastQC per-tile sequence quality: per-tile mean
                         Phred and deviation from the per-position mean
@@ -290,14 +292,15 @@ def _trim(args):
 
 
 def _merge(args):
-    """merge [--min-overlap N] [--out FILE] R1 R2"""
+    """merge [--min-overlap N] [--out FILE] R1 R2
+       merge --interleaved [--min-overlap N] [--out FILE] FILE"""
     import numpy as np
 
     import blazeseq_tpu as bt
     from blazeseq_tpu.io.writers import BufferedWriter, FileWriter
     from blazeseq_tpu.ops.merge import merge_pairs
 
-    min_ov, out_path = 10, None
+    min_ov, out_path, inter = 10, None, False
     paths = []
     it = iter(args)
     for a in it:
@@ -306,24 +309,45 @@ def _merge(args):
                 min_ov = int(next(it))
             elif a == "--out":
                 out_path = next(it)
+            elif a == "--interleaved":
+                inter = True
             else:
                 paths.append(a)
         except StopIteration:
             paths = []
             break
-    if len(paths) != 2:
-        print("usage: merge [--min-overlap N] [--out FILE] R1 R2",
-              file=sys.stderr)
+    if len(paths) != (1 if inter else 2):
+        print("usage: merge [--min-overlap N] [--out FILE] R1 R2\n"
+              "       merge --interleaved [--min-overlap N] [--out FILE]"
+              " FILE", file=sys.stderr)
         raise SystemExit(2)
     import jax.numpy as jnp
 
-    p1 = bt.FastqParser(bt.open_reader(paths[0]))
-    p2 = bt.FastqParser(bt.open_reader(paths[1]))
+    if inter:
+        ip = bt.InterleavedFastqParser(bt.open_reader(paths[0]))
+        pair_iter = ip.pairs()
+
+        def next_batch_pair():
+            b1, b2 = bt.FastqBatch(), bt.FastqBatch()
+            for _ in range(4096):
+                try:
+                    a, b = next(pair_iter)
+                except StopIteration:
+                    break
+                b1.add(a)
+                b2.add(b)
+            return b1, b2
+    else:
+        p1 = bt.FastqParser(bt.open_reader(paths[0]))
+        p2 = bt.FastqParser(bt.open_reader(paths[1]))
+
+        def next_batch_pair():
+            return p1.next_batch(4096), p2.next_batch(4096)
+
     w = BufferedWriter(FileWriter(out_path)) if out_path else None
     pairs = merged = 0
     while True:
-        b1 = p1.next_batch(4096)
-        b2 = p2.next_batch(4096)
+        b1, b2 = next_batch_pair()
         if b1.num_records() != b2.num_records():
             print("merge: mate files have unequal record counts",
                   file=sys.stderr)
@@ -360,8 +384,9 @@ def _merge(args):
                             quals[k, :ln].tobytes())
     if w is not None:
         w.close()
-    print("%s + %s\tpairs %d\tmerged %d (%.1f%%)"
-          % (paths[0], paths[1], pairs, merged,
+    src = paths[0] if inter else "%s + %s" % (paths[0], paths[1])
+    print("%s\tpairs %d\tmerged %d (%.1f%%)"
+          % (src, pairs, merged,
              100.0 * merged / pairs if pairs else 0.0))
 
 

@@ -118,3 +118,22 @@ def test_tiles_cli_non_illumina(tmp_path, capsys):
     rc = main(["tiles", str(src)])
     assert rc == 0
     assert "no Illumina coordinate ids" in capsys.readouterr().out
+
+
+def test_merge_cli_interleaved(tmp_path, capsys):
+    r1s = b"ACGTACGTACGTAAAACCCC"
+    rc2 = b"ACGTAAAACCCCGGTTGGTT"
+    comp = dict(zip(b"ACGT", b"TGCA"))
+    r2s = bytes(comp[b] for b in reversed(rc2))
+    src = tmp_path / "il.fastq"
+    src.write_bytes(_fastq([(b"p0/1", r1s, b"I" * len(r1s)),
+                            (b"p0/2", r2s, b"I" * len(r2s))]))
+    out = tmp_path / "m.fastq"
+    rc = main(["merge", "--interleaved", "--min-overlap", "10",
+               "--out", str(out), str(src)])
+    assert rc == 0
+    ((rid, seq, qual),) = _read_fastq(out)
+    assert rid == b"p0/1"
+    assert seq == r1s[:8] + rc2
+    text = capsys.readouterr().out
+    assert "pairs 1" in text and "merged 1" in text
