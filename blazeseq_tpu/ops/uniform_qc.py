@@ -110,9 +110,11 @@ def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
     if mxu_sums:
         # Column/row accumulations as i8 x i8 -> i32 contractions: the MXU
         # does the integer sums (exact; same trick as ops/ragged_qc._corr)
-        # while the VPU only builds masks and the histogram. One [nrec,
-        # 5*cnt] operand batches all five column-sum panels into a single
-        # matmul with the row-validity vector.
+        # while the VPU only builds masks and the histogram. One dot per
+        # panel — each operand is a plain elementwise compare of the r2
+        # slice, which XLA can fuse into the dot; a single concatenated
+        # [nrec, 5*cnt] operand would materialize ~5x the seq region in
+        # HBM and swamp the win.
         rv8 = row_valid.astype(jnp.int8)           # [nrec, 1]
         dn = (((0,), (0,)), ((), ()))
         base_masks = [(upper == jnp.uint8(b)).astype(jnp.int8)
@@ -123,11 +125,10 @@ def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
             ph_i = jnp.clip(qm.astype(jnp.int32) - offset, 0, MAX_PHRED - 1)
             ph_i = jnp.where(row_valid, ph_i, 0)
             q_op = ph_i.astype(jnp.int8)           # phred 0..63 fits i8
-        M = jnp.concatenate(base_masks + [q_op], axis=1)   # [nrec, 5*cnt]
-        cols = jax.lax.dot_general(rv8, M, dn,
-                                   preferred_element_type=jnp.int32)[0]
-        per_pos = [cols[k * cnt:(k + 1) * cnt] for k in range(4)]
-        per_pos_qual = cols[4 * cnt: 5 * cnt]
+        col_sum = lambda m: jax.lax.dot_general(
+            rv8, m, dn, preferred_element_type=jnp.int32)[0]
+        per_pos = [col_sum(m) for m in base_masks]
+        per_pos_qual = col_sum(q_op)
         if raw_q_sums:
             # masked-out rows contributed 0 bytes; in-window columns hold
             # nrec_valid real bytes each
