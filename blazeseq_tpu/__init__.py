@@ -36,7 +36,10 @@ from .fastq.batch import DeviceFastqBatch, FastqBatch, PaddedFastqBatch, upload_
 from .fastq.paired import (InterleavedFastqParser,
                            PairedFastqParser, PairSyncError)
 from .fastq.parser import FastqParser, ParserConfig
-from .fastq.quality import QualitySchema, parse_schema
+from .fastq.quality import (QualitySchema,
+                            detect_quality_schema,
+                            detect_quality_schema_file,
+                            parse_schema)
 from .fastq.record import Definition, FastqRecord, FastqView, Validator
 from .features.ranges import Interval, Position
 from .gff.attributes import Gff3Attributes, parse_gff3_attributes
@@ -87,9 +90,18 @@ def parser(path, quality_schema: str = "generic", parallelism: int = 4,
            validate: bool = False, batch_size: int = DEFAULT_BATCH_SIZE):
     """Ergonomic entry point mirroring the reference Python binding
     (python/blazeseq/__init__.py:267-289): dispatches on file suffix to a
-    plain or parallel-gzip source."""
+    plain or parallel-gzip source. quality_schema="auto" infers the Phred
+    encoding from the file head (detect_quality_schema_file; beyond
+    reference)."""
     from .fastq.parser import FastqParser, ParserConfig
 
+    if quality_schema == "auto":
+        from .fastq.quality import detect_quality_schema_file
+
+        schema = detect_quality_schema_file(path)
+        quality_schema = {"Sanger": "sanger", "Solexa": "solexa",
+                          "Illumina v1.3": "illumina_1.3",
+                          "Illumina v1.5": "illumina_1.5"}[schema.SCHEMA]
     cfg = ParserConfig(check_ascii=validate, check_quality=validate,
                        quality_schema=quality_schema)
     return FastqParser(open_reader(path, parallelism=parallelism),

@@ -58,6 +58,8 @@ from .fastq.paired import (
 from .fastq.parser import FastqParser as FastqParser, ParserConfig as ParserConfig
 from .fastq.quality import (
     QualitySchema as QualitySchema,
+    detect_quality_schema as detect_quality_schema,
+    detect_quality_schema_file as detect_quality_schema_file,
     parse_schema as parse_schema,
 )
 from .fastq.record import (

@@ -57,3 +57,76 @@ def parse_schema(quality_format: str) -> QualitySchema:
         )
         return GENERIC_SCHEMA
     return schema
+
+
+def detect_quality_schema(data: bytes, max_records: int = 10_000
+                          ) -> QualitySchema:
+    """Infer the Phred encoding from quality bytes (the FastQC heuristic;
+    beyond the reference, which requires an explicit schema).
+
+    Scans up to `max_records` records and classifies by the minimum
+    quality byte observed:
+
+      min < 59   -> sanger       (Phred+33; includes Illumina 1.8+)
+      59..63     -> solexa       (Solexa+64)
+      64..65     -> illumina_1.3 (Phred+64)
+      min >= 66  -> illumina_1.5 (Phred+64, no bytes below 'B')
+
+    Uniformly high-quality data is inherently ambiguous (all encodings
+    overlap at the top of the range); like FastQC, the narrowest schema
+    consistent with the evidence is returned. Raises ValueError when no
+    complete record is found."""
+    from ..io.readers import MemoryReader
+    from .parser import FastqParser, ParserConfig
+
+    cfg = ParserConfig(check_ascii=False, check_quality=False)
+    parser = FastqParser(MemoryReader(bytes(data)), config=cfg)
+    lo = 256
+    n = 0
+    try:
+        for v in parser.views():
+            q = v.quality_bytes()
+            if q:
+                m = min(q)
+                if m < lo:
+                    lo = m
+            n += 1
+            if n >= max_records or lo < 59:
+                break
+    except Exception:
+        if n == 0:
+            raise
+    if n == 0:
+        raise ValueError("detect_quality_schema: no complete FASTQ record")
+    if lo < 59:
+        return SANGER_SCHEMA
+    if lo < 64:
+        return SOLEXA_SCHEMA
+    if lo < 66:
+        return ILLUMINA_1_3_SCHEMA
+    return ILLUMINA_1_5_SCHEMA
+
+
+def detect_quality_schema_file(path: str, head_bytes: int = 1 << 20,
+                               max_records: int = 10_000) -> QualitySchema:
+    """detect_quality_schema over a file head (plain or gzip: any
+    open_reader-supported source; bytes are read DECOMPRESSED)."""
+    import numpy as np
+
+    from ..io.readers import open_reader
+
+    reader = open_reader(path)
+    try:
+        buf = bytearray()
+        scratch = np.empty(1 << 16, dtype=np.uint8)
+        while len(buf) < head_bytes:
+            n = reader.readinto(memoryview(scratch))
+            if n == 0:
+                break
+            buf += scratch[:n].tobytes()
+    finally:
+        close = getattr(reader, "close", None)
+        if close is not None:
+            close()
+    # drop a trailing partial record (harmless for detection)
+    return detect_quality_schema(bytes(buf), max_records=max_records)

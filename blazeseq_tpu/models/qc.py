@@ -139,8 +139,16 @@ class QCModel:
                  track_duplicates: bool = False,
                  dup_track_limit: int = 200_000,
                  mesh=None):
-        self.schema = (quality_schema if isinstance(quality_schema, QualitySchema)
-                       else parse_schema(quality_schema))
+        # "auto": resolve lazily from the first file's head bytes
+        # (fastq/quality.detect_quality_schema_file); reader-based entry
+        # points reject it because a stream cannot be peeked twice.
+        self._auto_schema = quality_schema == "auto"
+        if self._auto_schema:
+            self.schema = parse_schema("generic")  # placeholder until run
+        else:
+            self.schema = (quality_schema
+                           if isinstance(quality_schema, QualitySchema)
+                           else parse_schema(quality_schema))
         self.check_ascii = check_ascii
         self.check_quality = check_quality
         self.batch_size = batch_size
@@ -156,7 +164,15 @@ class QCModel:
             mesh, check_ascii=check_ascii, check_quality=check_quality,
             with_alignment=align_to is not None)
 
+    def _resolve_auto_schema(self, path) -> None:
+        if self._auto_schema:
+            from ..fastq.quality import detect_quality_schema_file
+
+            self.schema = detect_quality_schema_file(str(path))
+            self._auto_schema = False  # one corpus per model instance
+
     def run_file(self, path, parallelism: int = 4) -> QCReport:
+        self._resolve_auto_schema(path)
         return self.run_reader(open_reader(path, parallelism=parallelism))
 
     def run_file_device(self, path, chunk_mb: int = 256,
@@ -185,6 +201,7 @@ class QCModel:
         from ..ops.uniform_parse import detect_uniform_layout
 
         p = str(path)
+        self._resolve_auto_schema(p)
         if p.endswith(".gz") or p.endswith(".bgz"):
             return self._run_stream_device(p, chunk_mb, parallelism)
         reader = MmapReader(p)
@@ -586,6 +603,11 @@ class QCModel:
         return self._report_from_acc(acc)
 
     def run_reader(self, reader) -> QCReport:
+        if self._auto_schema:
+            raise ValueError(
+                "quality_schema='auto' needs a path-based entry point "
+                "(run_file / run_file_device): a stream cannot be peeked "
+                "twice")
         parser = FastqParser(reader, config=ParserConfig())
         parser.quality_schema = self.schema
         return self.run_parser(parser)
