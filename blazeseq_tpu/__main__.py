@@ -5,14 +5,16 @@ takes argv paths) plus the ecosystem basics:
 
   count FILE [...]      records and base_pairs per FASTQ file (the benchmark
                         runner contract, run_blazeseq.mojo:3-5)
-  stats [--adapter SEQ ...] [--duplicates] [--json] [--device] FILE [...]
+  stats [--adapter SEQ ...] [--duplicates] [--json] [--device]
+        [--schema NAME|auto] FILE [...]
                         device QC report (reads, bases, GC, mean quality,
                         distribution panels) — uses the TPU when attached;
                         --adapter adds FastQC adapter-content scans,
                         --duplicates profiles duplication levels and
                         overrepresented sequences; --device parses on the
                         TPU (pipeline B: uniform-template proof with exact
-                        host fallback; core QC only)
+                        host fallback; core QC only); --schema auto infers
+                        the Phred encoding from the file head
   fasta-count FILE      records/bases for FASTA
   faidx FILE            build FILE.fai (samtools-compatible)
   fetch FILE NAME [START END]   random-access FASTA subsequence via .fai
@@ -62,6 +64,7 @@ def _stats(args):
     duplicates = False
     as_json = False
     device_ingest = False
+    schema = "sanger"
     paths = []
     it = iter(args)
     for a in it:
@@ -70,6 +73,13 @@ def _stats(args):
                 adapters.append(next(it).encode("ascii"))
             except StopIteration:
                 print("usage: stats --adapter SEQUENCE [...] FILE",
+                      file=sys.stderr)
+                raise SystemExit(2)
+        elif a == "--schema":
+            try:
+                schema = next(it)  # a schema name, or "auto" to infer
+            except StopIteration:
+                print("usage: stats --schema NAME|auto FILE",
                       file=sys.stderr)
                 raise SystemExit(2)
         elif a == "--duplicates":
@@ -81,7 +91,7 @@ def _stats(args):
         else:
             paths.append(a)
     for path in paths:
-        qc = QCModel(quality_schema="sanger", check_ascii=True,
+        qc = QCModel(quality_schema=schema, check_ascii=True,
                      check_quality=True, adapters=adapters or None,
                      track_duplicates=duplicates)
         report = (qc.run_file_device(path) if device_ingest

@@ -81,3 +81,18 @@ def test_qc_model_auto_schema(tmp_path):
     m3 = QCModel(quality_schema="auto")
     with pytest.raises(ValueError):
         m3.run_reader(bt.MemoryReader(buf))
+
+
+def test_stats_cli_schema_auto(tmp_path, capsys):
+    from blazeseq_tpu.__main__ import main
+
+    buf = _corpus(66, 100, n=60)
+    p = tmp_path / "auto_cli.fastq"
+    p.write_bytes(buf)
+    rc = main(["stats", "--schema", "auto", "--json", str(p)])
+    assert rc == 0
+    import json
+
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["reads"] == 60
+    assert rep["error_reads"] == 0  # validated under the detected schema
