@@ -96,12 +96,9 @@ def parser(path, quality_schema: str = "generic", parallelism: int = 4,
     from .fastq.parser import FastqParser, ParserConfig
 
     if quality_schema == "auto":
-        from .fastq.quality import detect_quality_schema_file
+        from .fastq.quality import detect_quality_schema_file, schema_key
 
-        schema = detect_quality_schema_file(path)
-        quality_schema = {"Sanger": "sanger", "Solexa": "solexa",
-                          "Illumina v1.3": "illumina_1.3",
-                          "Illumina v1.5": "illumina_1.5"}[schema.SCHEMA]
+        quality_schema = schema_key(detect_quality_schema_file(path))
     cfg = ParserConfig(check_ascii=validate, check_quality=validate,
                        quality_schema=quality_schema)
     return FastqParser(open_reader(path, parallelism=parallelism),

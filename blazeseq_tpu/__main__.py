@@ -334,19 +334,21 @@ def _merge(args):
     import jax.numpy as jnp
 
     if inter:
-        ip = bt.InterleavedFastqParser(bt.open_reader(paths[0]))
-        pair_iter = ip.pairs()
+        # one native batch scan, split by record parity — same cost shape
+        # as the two-file path (and, like it, no per-pair id checking:
+        # use InterleavedFastqParser.pairs() when ids must be verified)
+        ip = bt.FastqParser(bt.open_reader(paths[0]))
 
         def next_batch_pair():
-            b1, b2 = bt.FastqBatch(), bt.FastqBatch()
-            for _ in range(4096):
-                try:
-                    a, b = next(pair_iter)
-                except StopIteration:
-                    break
-                b1.add(a)
-                b2.add(b)
-            return b1, b2
+            b = ip.next_batch(8192)
+            n = b.num_records()
+            if n % 2:
+                print("merge: interleaved stream ended with an unpaired "
+                      "R1", file=sys.stderr)
+                raise SystemExit(1)
+            if n == 0:
+                return bt.FastqBatch(), bt.FastqBatch()
+            return b.deinterleave()
     else:
         p1 = bt.FastqParser(bt.open_reader(paths[0]))
         p2 = bt.FastqParser(bt.open_reader(paths[1]))

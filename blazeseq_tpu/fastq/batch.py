@@ -68,6 +68,39 @@ class FastqBatch:
         b._id_ends = id_ends
         return b
 
+    def deinterleave(self) -> tuple:
+        """(even, odd) FastqBatch split by record parity — de-interleaves a
+        single-stream R1/R2 batch into two index-aligned mate batches with
+        one vectorized ragged gather per SoA column (no per-record Python)."""
+        self._finalize()
+        n = len(self._ends)
+        if n % 2:
+            raise ValueError("deinterleave: odd record count %d" % n)
+        starts = np.concatenate([[0], self._ends[:-1]]).astype(np.int64)
+        id_starts = np.concatenate([[0], self._id_ends[:-1]]).astype(np.int64)
+
+        def ragged_take(flat, st, ln):
+            total = int(ln.sum())
+            if total == 0:
+                return np.empty(0, np.uint8)
+            base = np.repeat(st - np.concatenate(([0], np.cumsum(ln)[:-1])),
+                             ln)
+            return np.asarray(flat)[base + np.arange(total, dtype=np.int64)]
+
+        out = []
+        for off in (0, 1):
+            idx = np.arange(off, n, 2)
+            ln = (self._ends - starts)[idx]
+            id_ln = (self._id_ends - id_starts)[idx]
+            out.append(FastqBatch.from_arrays(
+                ragged_take(self._sequence_bytes, starts[idx], ln),
+                ragged_take(self._quality_bytes, starts[idx], ln),
+                np.cumsum(ln).astype(np.int64),
+                ragged_take(self._id_bytes, id_starts[idx], id_ln),
+                np.cumsum(id_ln).astype(np.int64),
+                quality_offset=self._quality_offset))
+        return out[0], out[1]
+
     @classmethod
     def from_records(cls, records, quality_offset: int = 33) -> "FastqBatch":
         if not records:

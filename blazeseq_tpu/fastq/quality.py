@@ -59,7 +59,18 @@ def parse_schema(quality_format: str) -> QualitySchema:
     return schema
 
 
-def detect_quality_schema(data: bytes, max_records: int = 10_000
+# schema-key reverse map (kept NEXT to _SCHEMAS so a renamed/added schema
+# cannot silently drift from callers that need the string key back)
+_SCHEMA_KEYS = {v.SCHEMA: k for k, v in _SCHEMAS.items() if k != "generic"}
+
+
+def schema_key(schema: QualitySchema) -> str:
+    """The _SCHEMAS name for a schema instance ("sanger", ...)."""
+    return _SCHEMA_KEYS.get(schema.SCHEMA, "generic")
+
+
+def detect_quality_schema(data: bytes, max_records: int = 10_000,
+                          default: "QualitySchema | None" = GENERIC_SCHEMA
                           ) -> QualitySchema:
     """Infer the Phred encoding from quality bytes (the FastQC heuristic;
     beyond the reference, which requires an explicit schema).
@@ -74,8 +85,11 @@ def detect_quality_schema(data: bytes, max_records: int = 10_000
 
     Uniformly high-quality data is inherently ambiguous (all encodings
     overlap at the top of the range); like FastQC, the narrowest schema
-    consistent with the evidence is returned. Raises ValueError when no
-    complete record is found."""
+    consistent with the evidence is returned. An empty or record-less
+    head returns `default` (generic — every explicit-schema entry point
+    handles empty input gracefully, so "auto" must too); pass
+    default=None to raise ValueError instead. Structurally invalid bytes
+    still raise ParseError."""
     from ..io.readers import MemoryReader
     from .parser import FastqParser, ParserConfig
 
@@ -97,6 +111,8 @@ def detect_quality_schema(data: bytes, max_records: int = 10_000
         if n == 0:
             raise
     if n == 0:
+        if default is not None:
+            return default
         raise ValueError("detect_quality_schema: no complete FASTQ record")
     if lo < 59:
         return SANGER_SCHEMA
@@ -111,19 +127,17 @@ def detect_quality_schema_file(path: str, head_bytes: int = 1 << 20,
                                max_records: int = 10_000) -> QualitySchema:
     """detect_quality_schema over a file head (plain or gzip: any
     open_reader-supported source; bytes are read DECOMPRESSED)."""
-    import numpy as np
-
     from ..io.readers import open_reader
 
     reader = open_reader(path)
     try:
         buf = bytearray()
-        scratch = np.empty(1 << 16, dtype=np.uint8)
+        scratch = bytearray(1 << 16)
         while len(buf) < head_bytes:
             n = reader.readinto(memoryview(scratch))
             if n == 0:
                 break
-            buf += scratch[:n].tobytes()
+            buf += scratch[:n]
     finally:
         close = getattr(reader, "close", None)
         if close is not None:

@@ -603,11 +603,6 @@ class QCModel:
         return self._report_from_acc(acc)
 
     def run_reader(self, reader) -> QCReport:
-        if self._auto_schema:
-            raise ValueError(
-                "quality_schema='auto' needs a path-based entry point "
-                "(run_file / run_file_device): a stream cannot be peeked "
-                "twice")
         parser = FastqParser(reader, config=ParserConfig())
         parser.quality_schema = self.schema
         return self.run_parser(parser)
@@ -615,6 +610,11 @@ class QCModel:
     def run_parser(self, parser: FastqParser) -> QCReport:
         import jax
 
+        if self._auto_schema:
+            raise ValueError(
+                "quality_schema='auto' needs a path-based entry point "
+                "(run_file / run_file_device): a stream cannot be peeked "
+                "twice")
         acc = QCAccumulator()
         all_scores = [] if self.align_to is not None else None
         ref = (jnp.asarray(np.frombuffer(self.align_to, dtype=np.uint8))

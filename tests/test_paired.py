@@ -129,3 +129,21 @@ def test_interleaved_padded_pad_records_to():
                                              pad_records_to=8))
     assert pb1.n_records == 3 and pb2.n_records == 3
     assert pb1.seq.shape[0] == 8 and pb2.seq.shape[0] == 8
+
+
+def test_batch_deinterleave():
+    import numpy as np
+
+    buf = _interleave(7)  # 14 records
+    b = bt.FastqParser(bt.MemoryReader(buf)).next_batch(100)
+    b1, b2 = b.deinterleave()
+    assert b1.num_records() == 7 and b2.num_records() == 7
+    for k in range(7):
+        assert b1.get_record(k).id_bytes() == b"p%d/1 c1" % k
+        assert b1.get_record(k).sequence_bytes() == b"ACGT"
+        assert b2.get_record(k).id_bytes() == b"p%d/2 c2" % k
+        assert b2.get_record(k).sequence_bytes() == b"TTGGCA"
+        assert b2.get_record(k).quality_bytes() == b"JJJJJJ"
+    with pytest.raises(ValueError):
+        bt.FastqParser(bt.MemoryReader(
+            _interleave(2, odd_tail=True))).next_batch(100).deinterleave()

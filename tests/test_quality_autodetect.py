@@ -35,10 +35,37 @@ def test_detect_early_exit_and_errors():
     # one low byte early: detection can stop before max_records
     buf = _corpus(66, 80, n=5) + _corpus(34, 40, n=1) + _corpus(66, 80, n=5)
     assert detect_quality_schema(buf).SCHEMA == "Sanger"
+    # record-less input falls back to generic (every explicit-schema entry
+    # point handles empty files gracefully, so "auto" must too) ...
+    assert detect_quality_schema(b"").SCHEMA == "Generic"
     with pytest.raises(ValueError):
-        detect_quality_schema(b"")
+        detect_quality_schema(b"", default=None)
+    # ... but structurally invalid bytes still raise
     with pytest.raises(Exception):
         detect_quality_schema(b"not fastq at all\n")
+
+
+def test_auto_schema_on_empty_file(tmp_path, capsys):
+    from blazeseq_tpu.__main__ import main
+
+    p = tmp_path / "empty.fastq"
+    p.write_bytes(b"")
+    parser = bt.parser(str(p), quality_schema="auto")
+    assert parser.count() == (0, 0)
+    rc = main(["stats", "--schema", "auto", "--json", str(p)])
+    assert rc == 0
+    import json
+
+    assert json.loads(capsys.readouterr().out)["reads"] == 0
+
+
+def test_qc_model_auto_rejects_parser_entry_too():
+    from blazeseq_tpu.models import QCModel
+
+    m = QCModel(quality_schema="auto")
+    parser = bt.FastqParser(bt.MemoryReader(_corpus(33, 73, n=4)))
+    with pytest.raises(ValueError):
+        m.run_parser(parser)
 
 
 def test_detect_file_plain_and_gz(tmp_path):
