@@ -200,30 +200,6 @@ def _demux(args):
             print("%s\t%s\t%d" % (path, n, t))
 
 
-def _write_read(w, rid, seq, qual):
-    w.write(b"@")
-    w.write(rid)
-    w.write(b"\n")
-    w.write(seq)
-    w.write(b"\n+\n")
-    w.write(qual)
-    w.write(b"\n")
-
-
-def _batch_rows(batch):
-    """(id, seq, qual) byte views per record of a SoA batch."""
-    batch._finalize()
-    ids, ide = batch._id_bytes, batch._id_ends
-    seqs, ends = batch._sequence_bytes, batch._ends
-    quals = batch._quality_bytes
-    i0 = s0 = 0
-    for k in range(len(ends)):
-        i1, s1 = int(ide[k]), int(ends[k])
-        yield (ids[i0:i1].tobytes(), seqs[s0:s1].tobytes(),
-               quals[s0:s1].tobytes())
-        i0, s0 = i1, s1
-
-
 def _trim(args):
     """trim [--mode window|bwa|ends] [--q N] [--window N] [--out FILE] FILE"""
     import numpy as np
@@ -284,17 +260,20 @@ def _trim(args):
                     trailing=q if q is not None else 3)
                 starts = np.asarray(st)[: pb.n_records]
             new = np.asarray(new)[: pb.n_records]
-            for k, (rid, seq, ql) in enumerate(_batch_rows(batch)):
-                total += 1
-                bases_in += len(seq)
-                ln = int(new[k])
-                if ln <= 0:
-                    continue
-                a = int(starts[k]) if starts is not None else 0
-                kept += 1
-                bases_out += ln
-                if w is not None:
-                    _write_read(w, rid, seq[a:a + ln], ql[a:a + ln])
+            n = pb.n_records
+            total += n
+            bases_in += int(np.asarray(pb.lengths[:n], np.int64).sum())
+            kept += int((new > 0).sum())
+            bases_out += int(new[new > 0].sum())
+            if w is not None:
+                # bulk serialization: one vectorized pass over the batch
+                # (no per-record Python writes)
+                from blazeseq_tpu.fastq.batch import serialize_fastq_rows
+
+                w.write_bytes(serialize_fastq_rows(
+                    batch._id_bytes, batch._id_ends,
+                    np.asarray(pb.seq)[:n], np.asarray(pb.qual)[:n],
+                    new, sub_start=starts))
         print("%s\treads %d -> kept %d\tbases %d -> %d"
               % (path, total, kept, bases_in, bases_out))
     if w is not None:
@@ -382,18 +361,17 @@ def _merge(args):
             jnp.asarray(pb1.lengths, jnp.int32),
             jnp.asarray(pb2.seq), jnp.asarray(pb2.qual),
             jnp.asarray(pb2.lengths, jnp.int32), min_overlap=min_ov)
-        lens = np.asarray(res.merged_len)[: pb1.n_records]
-        seqs = np.asarray(res.seq)
-        quals = np.asarray(res.qual)
-        for k, (rid, _s, _q) in enumerate(_batch_rows(b1)):
-            pairs += 1
-            ln = int(lens[k])
-            if ln <= 0:
-                continue
-            merged += 1
-            if w is not None:
-                _write_read(w, rid, seqs[k, :ln].tobytes(),
-                            quals[k, :ln].tobytes())
+        n = pb1.n_records
+        lens = np.asarray(res.merged_len)[:n]
+        pairs += n
+        merged += int((lens > 0).sum())
+        if w is not None:
+            from blazeseq_tpu.fastq.batch import serialize_fastq_rows
+
+            b1._finalize()
+            w.write_bytes(serialize_fastq_rows(
+                b1._id_bytes, b1._id_ends, np.asarray(res.seq)[:n],
+                np.asarray(res.qual)[:n], lens))
     if w is not None:
         w.close()
     src = paths[0] if inter else "%s + %s" % (paths[0], paths[1])

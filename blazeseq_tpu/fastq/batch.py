@@ -309,3 +309,49 @@ class PaddedFastqBatch:
 def upload_batch_to_device(batch: FastqBatch, device=None) -> DeviceFastqBatch:
     """Functional upload helper (reference: record_batch.mojo:404-411)."""
     return batch.to_device(device)
+
+
+def serialize_fastq_soa(id_bytes, id_ends, seq, qual, ends,
+                        sub_start=None, sub_len=None) -> bytes:
+    """Bulk FASTQ serialization of an SoA batch (the write-side
+    complement of the bulk parser): one native memcpy pass per record,
+    no per-record Python. Optional sub_start/sub_len (i64[n]) emit
+    per-record sub-slices of seq/qual (the trimming case); records with
+    sub_len <= 0 are dropped. Returns the '@id\nseq\n+\nqual\n'
+    byte stream."""
+    from .. import native
+
+    id_ends = np.asarray(id_ends, np.int64)
+    ends = np.asarray(ends, np.int64)
+    id_starts = np.concatenate(([0], id_ends[:-1]))
+    starts = np.concatenate(([0], ends[:-1]))
+    if sub_len is None:
+        offs = starts
+        ln = ends - starts
+    else:
+        offs = starts + np.asarray(sub_start, np.int64) \
+            if sub_start is not None else starts
+        ln = np.asarray(sub_len, np.int64)
+    return native.serialize_fastq(id_bytes, id_starts,
+                                  id_ends - id_starts, seq, qual, offs, ln)
+
+
+def serialize_fastq_rows(id_bytes, id_ends, seq_rows, qual_rows, lengths,
+                         sub_start=None) -> bytes:
+    """serialize_fastq_soa for padded [n, L] rows (lengths i32[n] are the
+    emitted per-record lengths; rows with length 0 are dropped).
+    sub_start offsets each row's slice start (the clip_ends case)."""
+    from .. import native
+
+    seq_rows = np.ascontiguousarray(seq_rows)
+    qual_rows = np.ascontiguousarray(qual_rows)
+    id_ends = np.asarray(id_ends, np.int64)
+    n = len(np.asarray(lengths))
+    L = seq_rows.shape[1]
+    offs = np.arange(n, dtype=np.int64) * L
+    if sub_start is not None:
+        offs = offs + np.asarray(sub_start, np.int64)
+    id_starts = np.concatenate(([0], id_ends[:-1]))
+    return native.serialize_fastq(
+        id_bytes, id_starts, id_ends - id_starts, seq_rows.reshape(-1),
+        qual_rows.reshape(-1), offs, np.asarray(lengths, np.int64))

@@ -122,6 +122,10 @@ def _load() -> Optional[ctypes.CDLL]:
         p_u8, i64, i64, i64, i64, i64, i32, i32, u8, u8,
         p_u8, p_u8, p_i64, p_u8, p_i64, p_i64, p_i64, p_i64, p_i32, p_i32,
     ]
+    lib.bs_serialize_fastq.restype = i64
+    lib.bs_serialize_fastq.argtypes = [
+        p_u8, p_i64, p_i64, p_u8, p_u8, p_i64, p_i64, i64, p_u8, i64,
+    ]
     _lib = lib
     return _lib
 
@@ -843,3 +847,49 @@ def find_newlines(window: np.ndarray, start: int = 0) -> np.ndarray:
         res = out[:cnt]
         return res + start if start else res
     return np.flatnonzero(window[start:] == 10).astype(np.int64) + start
+
+
+def serialize_fastq(ids, id_starts, id_lens, seq, qual, offs,
+                    lens) -> bytes:
+    """Bulk '@id\\nseq\\n+\\nqual\\n' serialization of per-record spans
+    (the write-side complement of the bulk scan): seq/qual spans are
+    (offs[i], lens[i]) into the shared arrays; records with lens[i] <= 0
+    are dropped. C kernel; bytes-join fallback with identical output."""
+    ids = np.ascontiguousarray(ids, np.uint8)
+    seq = np.ascontiguousarray(seq, np.uint8)
+    qual = np.ascontiguousarray(qual, np.uint8)
+    id_starts = np.ascontiguousarray(id_starts, np.int64)
+    id_lens = np.ascontiguousarray(id_lens, np.int64)
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    n = len(lens)
+    # per record: '@'(1) id '\n'(1) seq '\n+\n'(3) qual '\n'(1)
+    total = int(np.where(lens > 0, 6 + id_lens + 2 * lens, 0).sum())
+    lib = _load()
+    if lib is not None:
+        p_u8 = ctypes.POINTER(ctypes.c_uint8)
+        p_i64 = ctypes.POINTER(ctypes.c_int64)
+        out = np.empty(max(total, 1), np.uint8)
+        w = lib.bs_serialize_fastq(
+            ids.ctypes.data_as(p_u8), id_starts.ctypes.data_as(p_i64),
+            id_lens.ctypes.data_as(p_i64), seq.ctypes.data_as(p_u8),
+            qual.ctypes.data_as(p_u8), offs.ctypes.data_as(p_i64),
+            lens.ctypes.data_as(p_i64), n, out.ctypes.data_as(p_u8),
+            total)
+        if w == total:
+            return out[:total].tobytes()
+    mv_i = memoryview(ids)
+    mv_s = memoryview(seq)
+    mv_q = memoryview(qual)
+    parts = []
+    for k in range(n):
+        ln = int(lens[k])
+        if ln <= 0:
+            continue
+        a = int(offs[k])
+        ia = int(id_starts[k])
+        il = int(id_lens[k])
+        parts.append(b"@%s\n%s\n+\n%s\n" % (
+            mv_i[ia:ia + il].tobytes(), mv_s[a:a + ln].tobytes(),
+            mv_q[a:a + ln].tobytes()))
+    return b"".join(parts)

@@ -1774,4 +1774,39 @@ int64_t bs_scan_fasta(const uint8_t* buf, int64_t n, int64_t start,
   return count;
 }
 
+
+// Bulk FASTQ serialization: '@id\nseq\n+\nqual\n' per record, one
+// memcpy pass (the write-side complement of the bulk scan). Per-record
+// seq/qual spans are (offs[i], lens[i]) into the shared seq/qual arrays
+// (callers compute offsets for SoA or padded-row layouts); records with
+// lens[i] <= 0 are skipped. Returns bytes written, or -1 when out_cap is
+// too small (caller sizes exactly, so -1 means a caller bug).
+int64_t bs_serialize_fastq(const uint8_t* ids, const int64_t* id_starts,
+                           const int64_t* id_lens, const uint8_t* seq,
+                           const uint8_t* qual, const int64_t* offs,
+                           const int64_t* lens, int64_t n, uint8_t* out,
+                           int64_t out_cap) {
+  uint8_t* p = out;
+  uint8_t* const end = out + out_cap;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t ln = lens[i];
+    if (ln <= 0) continue;
+    const int64_t il = id_lens[i];
+    if (p + 1 + il + 1 + ln + 3 + ln + 1 > end) return -1;
+    *p++ = '@';
+    std::memcpy(p, ids + id_starts[i], (size_t)il);
+    p += il;
+    *p++ = '\n';
+    std::memcpy(p, seq + offs[i], (size_t)ln);
+    p += ln;
+    *p++ = '\n';
+    *p++ = '+';
+    *p++ = '\n';
+    std::memcpy(p, qual + offs[i], (size_t)ln);
+    p += ln;
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
 }  // extern "C"

@@ -137,3 +137,47 @@ def test_merge_cli_interleaved(tmp_path, capsys):
     assert seq == r1s[:8] + rc2
     text = capsys.readouterr().out
     assert "pairs 1" in text and "merged 1" in text
+
+
+def test_serialize_fastq_soa_round_trip():
+    """The bulk serializers must reproduce the input byte-for-byte
+    (full records) and agree with per-record slicing (trimmed)."""
+    import numpy as np
+
+    from blazeseq_tpu.fastq.batch import (serialize_fastq_rows,
+                                          serialize_fastq_soa)
+
+    buf = bytes(bt.generate_synthetic_fastq_buffer(500, 10, 80, 2, 40,
+                                                   "sanger"))
+    b = bt.FastqParser(bt.MemoryReader(buf)).next_batch(500)
+    b._finalize()
+    out = serialize_fastq_soa(b._id_bytes, b._id_ends, b._sequence_bytes,
+                              b._quality_bytes, b._ends)
+    assert out == buf  # fixed-width generator ids: byte-exact round trip
+
+    # trimmed sub-slices: compare against a scalar reference
+    rng = np.random.default_rng(0)
+    lens = np.diff(b._ends, prepend=0)
+    sub_start = rng.integers(0, np.maximum(lens // 2, 1))
+    sub_len = rng.integers(0, np.maximum(lens - sub_start, 1))
+    out2 = serialize_fastq_soa(b._id_bytes, b._id_ends, b._sequence_bytes,
+                               b._quality_bytes, b._ends,
+                               sub_start=sub_start, sub_len=sub_len)
+    expect = []
+    recs = list(bt.FastqParser(bt.MemoryReader(buf)).records())
+    for k, r in enumerate(recs):
+        a, ln = int(sub_start[k]), int(sub_len[k])
+        if ln <= 0:
+            continue
+        expect.append(b"@%s\n%s\n+\n%s\n" % (
+            r.id_bytes(), r.sequence_bytes()[a:a + ln],
+            r.quality_bytes()[a:a + ln]))
+    assert out2 == b"".join(expect)
+
+    # padded-rows variant agrees with the SoA variant
+    pb = b.to_padded()
+    out3 = serialize_fastq_rows(b._id_bytes, b._id_ends,
+                                pb.seq[: pb.n_records],
+                                pb.qual[: pb.n_records],
+                                lens)
+    assert out3 == buf
