@@ -110,6 +110,8 @@ def demultiplex_to_writers(parser, barcodes: Sequence[bytes], writers,
     per-sample counts list (+ unassigned last)."""
     if len(writers) != len(barcodes):
         raise ValueError("one writer per barcode required")
+    from .. import native
+
     codes_np, bl = _prep_barcodes(barcodes)
     totals = [0] * (len(barcodes) + 1)
     for batch in parser.batches(batch_records):
@@ -117,21 +119,45 @@ def demultiplex_to_writers(parser, barcodes: Sequence[bytes], writers,
         assign, _ = demux_assign(pb.seq, pb.lengths, barcodes,
                                  max_mismatches)
         a = np.asarray(assign)[: pb.n_records]
-        for i in range(pb.n_records):
-            rec = batch.get_record(i)
-            k = int(a[i])
-            if k < 0:
-                totals[-1] += 1
-                if unassigned_writer is not None:
-                    rec.write(unassigned_writer)
+        batch._finalize()
+        ends = batch._ends
+        starts = np.concatenate(([0], ends[:-1]))
+        lens = ends - starts
+        id_ends = batch._id_ends
+        id_starts = np.concatenate(([0], id_ends[:-1]))
+        id_lens = id_ends - id_starts
+        # bulk write per sample: one native serialization pass per group
+        # (order within a sample's file is preserved — masks keep batch
+        # order — and inter-sample order is irrelevant across files)
+        for k in range(-1, len(barcodes)):
+            m = a == k
+            cnt = int(m.sum())
+            if cnt == 0:
                 continue
-            totals[k] += 1
-            if trim_barcode:
-                from ..fastq.record import FastqRecord
+            totals[k] += cnt  # k == -1 lands on the unassigned slot
+            w = unassigned_writer if k < 0 else writers[k]
+            if w is None:
+                continue
+            offs_k = starts[m]
+            lens_k = lens[m]
+            if k >= 0 and trim_barcode:
+                offs_k = offs_k + bl
+                lens_k = np.maximum(lens_k - bl, 0)
+                if (lens_k == 0).any():
+                    # a read exactly the barcode's length trims to an
+                    # empty record, which the bulk serializer drops —
+                    # keep the historical "@id\n\n+\n\n" output
+                    from ..fastq.record import FastqRecord
 
-                rec = FastqRecord(rec.id_bytes(),
-                                  rec.sequence_bytes()[bl:],
-                                  rec.quality_bytes()[bl:],
-                                  phred_offset=rec._phred_offset)
-            rec.write(writers[k])
+                    for i in np.flatnonzero(m):
+                        rec = batch.get_record(int(i))
+                        FastqRecord(rec.id_bytes(),
+                                    rec.sequence_bytes()[bl:],
+                                    rec.quality_bytes()[bl:],
+                                    phred_offset=rec._phred_offset).write(w)
+                    continue
+            w.write_bytes(native.serialize_fastq(
+                batch._id_bytes, id_starts[m], id_lens[m],
+                batch._sequence_bytes, batch._quality_bytes,
+                offs_k, lens_k))
     return totals
