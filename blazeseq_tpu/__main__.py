@@ -21,6 +21,10 @@ takes argv paths) plus the ecosystem basics:
   demux --barcode NAME=SEQ [...] [--mismatches K] [--out DIR] FILE
                         split reads by 5' barcode (device Hamming
                         assignment; 'N' in a barcode matches any base)
+  filter [--min-len N] [--max-len N] [--min-q Q] [--fraction F]
+         [--seed S] [--out FILE] FILE [...]
+                        length / mean-quality / random-subsample read
+                        filtering (bulk-serialized output)
   trim [--mode window|bwa|ends] [--q N] [--window N] [--out FILE] FILE
                         quality trimming on device (Trimmomatic
                         SLIDINGWINDOW / BWA -q / LEADING+TRAILING
@@ -198,6 +202,88 @@ def _demux(args):
             w.close()
         for n, t in zip(names + ["unassigned"], totals):
             print("%s\t%s\t%d" % (path, n, t))
+
+
+def _filter(args):
+    """filter [--min-len N] [--max-len N] [--min-q Q] [--fraction F]
+    [--seed S] [--out FILE] FILE [...]
+
+    Length / mean-quality / random-subsample read filtering (the
+    seqkit/fastp basics), written through the bulk serializer."""
+    import numpy as np
+
+    import blazeseq_tpu as bt
+    from blazeseq_tpu.fastq.batch import serialize_fastq_soa
+    from blazeseq_tpu.io.writers import BufferedWriter, FileWriter
+
+    min_len = max_len = min_q = frac = None
+    seed = 0
+    out_path = None
+    paths = []
+    it = iter(args)
+    for a in it:
+        try:
+            if a == "--min-len":
+                min_len = int(next(it))
+            elif a == "--max-len":
+                max_len = int(next(it))
+            elif a == "--min-q":
+                min_q = float(next(it))
+            elif a == "--fraction":
+                frac = float(next(it))
+            elif a == "--seed":
+                seed = int(next(it))
+            elif a == "--out":
+                out_path = next(it)
+            else:
+                paths.append(a)
+        except StopIteration:
+            paths = []
+            break
+    if not paths:
+        print("usage: filter [--min-len N] [--max-len N] [--min-q Q]"
+              " [--fraction F] [--seed S] [--out FILE] FILE",
+              file=sys.stderr)
+        raise SystemExit(2)
+    rng = np.random.default_rng(seed)
+    w = BufferedWriter(FileWriter(out_path)) if out_path else None
+    for path in paths:
+        parser = bt.FastqParser(bt.open_reader(path))
+        off = parser.quality_schema.OFFSET
+        total = kept = 0
+        for batch in parser.batches(8192):
+            batch._finalize()
+            ends = batch._ends
+            starts = np.concatenate(([0], ends[:-1]))
+            lens = (ends - starts).astype(np.int64)
+            keep = np.ones(len(lens), bool)
+            if min_len is not None:
+                keep &= lens >= min_len
+            if max_len is not None:
+                keep &= lens <= max_len
+            if min_q is not None:
+                # exact mean phred per read from the SoA quality bytes
+                q64 = batch._quality_bytes.astype(np.int64)
+                sums = np.add.reduceat(q64, starts.clip(max=max(
+                    len(q64) - 1, 0))) if len(q64) else np.zeros(0)
+                sums = np.where(lens > 0, sums, 0)
+                mean = np.where(lens > 0,
+                                (sums - off * lens) / np.maximum(lens, 1),
+                                0.0)
+                keep &= mean >= min_q
+            if frac is not None:
+                keep &= rng.random(len(lens)) < frac
+            total += len(lens)
+            kept += int(keep.sum())
+            if w is not None and keep.any():
+                w.write_bytes(serialize_fastq_soa(
+                    batch._id_bytes, batch._id_ends,
+                    batch._sequence_bytes, batch._quality_bytes, ends,
+                    sub_start=np.zeros(len(lens), np.int64),
+                    sub_len=np.where(keep, lens, 0)))
+        print("%s\treads %d -> kept %d" % (path, total, kept))
+    if w is not None:
+        w.close()
 
 
 def _trim(args):
@@ -423,6 +509,7 @@ _COMMANDS = {
     "faidx": _faidx,
     "fetch": _fetch,
     "demux": _demux,
+    "filter": _filter,
     "trim": _trim,
     "merge": _merge,
     "tiles": _tiles,

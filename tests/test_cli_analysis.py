@@ -181,3 +181,39 @@ def test_serialize_fastq_soa_round_trip():
                                 pb.qual[: pb.n_records],
                                 lens)
     assert out3 == buf
+
+
+def test_filter_cli(tmp_path, capsys):
+    import numpy as np
+
+    from blazeseq_tpu.__main__ import main
+
+    recs = [
+        (b"short", b"ACG", b"III"),                 # len 3
+        (b"long", b"A" * 30, b"I" * 30),            # len 30, high Q
+        (b"lowq", b"ACGTACGT", b"####$$$$"),        # mean Q ~2.5
+        (b"good", b"ACGTACGTAC", b"I" * 10),        # len 10, Q40
+    ]
+    src = tmp_path / "f.fastq"
+    src.write_bytes(_fastq(recs))
+    out = tmp_path / "out.fastq"
+    rc = main(["filter", "--min-len", "5", "--max-len", "20",
+               "--min-q", "20", "--out", str(out), str(src)])
+    assert rc == 0
+    got = _read_fastq(out)
+    assert [r[0] for r in got] == [b"good"]
+    assert "reads 4 -> kept 1" in capsys.readouterr().out
+
+    # subsample: deterministic under a seed, roughly the right rate
+    big = tmp_path / "big.fastq"
+    big.write_bytes(_fastq([(b"r%d" % i, b"ACGTACGT", b"IIIIIIII")
+                            for i in range(2000)]))
+    o1 = tmp_path / "s1.fastq"
+    o2 = tmp_path / "s2.fastq"
+    main(["filter", "--fraction", "0.25", "--seed", "7",
+          "--out", str(o1), str(big)])
+    main(["filter", "--fraction", "0.25", "--seed", "7",
+          "--out", str(o2), str(big)])
+    assert o1.read_bytes() == o2.read_bytes()
+    n = o1.read_bytes().count(b"@r")
+    assert 380 < n < 620
