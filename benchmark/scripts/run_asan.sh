@@ -42,3 +42,42 @@ python -m pytest -p asan_patch -q \
     tests/test_mixed_mode_stress.py tests/test_line_iterator_api.py \
     --deselect tests/test_pugz.py::test_per_core_decode_not_slower_than_zlib
 # (the deselected test is a perf assertion; sanitized builds are slower by design)
+
+# serializer churn (not in the test list above: its test file imports jax
+# jit paths that the preloaded ASan runtime cannot unwind through)
+LD_PRELOAD="$LIBASAN" ASAN_OPTIONS=detect_leaks=0 \
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu PYTHONPATH=/tmp \
+python - <<'PYEOF'
+import sys
+sys.path.insert(0, '/root/repo')
+import blazeseq_tpu.native as nat
+def patched(src, lib_name, extra_flags=()):
+    yield "/tmp/bs_asan/" + lib_name
+nat._shared_candidates = patched
+import numpy as np, random
+import blazeseq_tpu as bt
+from blazeseq_tpu.fastq.batch import serialize_fastq_rows, serialize_fastq_soa
+rng = random.Random(0)
+for trial in range(6):
+    n = rng.randint(1, 3000)
+    lo = rng.randint(0, 50)
+    hi = max(lo, rng.randint(lo, 200))
+    buf = bytes(bt.generate_synthetic_fastq_buffer(
+        n, max(lo, 1), max(hi, 1), 2, 40, "sanger"))
+    b = bt.FastqParser(bt.MemoryReader(buf)).next_batch(n)
+    b._finalize()
+    assert serialize_fastq_soa(b._id_bytes, b._id_ends, b._sequence_bytes,
+                               b._quality_bytes, b._ends) == buf
+    lens = np.diff(b._ends, prepend=0)
+    ss = np.array([rng.randint(0, max(int(l) // 2, 1)) for l in lens],
+                  np.int64)
+    sl = np.array([rng.randint(0, max(int(l) - int(s), 1))
+                   for l, s in zip(lens, ss)], np.int64)
+    serialize_fastq_soa(b._id_bytes, b._id_ends, b._sequence_bytes,
+                        b._quality_bytes, b._ends, sub_start=ss, sub_len=sl)
+    pb = b.to_padded()
+    assert serialize_fastq_rows(b._id_bytes, b._id_ends,
+                                pb.seq[: pb.n_records],
+                                pb.qual[: pb.n_records], lens) == buf
+print("serializer ASan churn OK")
+PYEOF
