@@ -35,6 +35,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_GBPS = 4.29  # reference views + ascii + quality validation
+# Most recent device-verified pipeline-B headline (driver artifact
+# BENCH_r02.json, TPU v5 lite via axon tunnel). Update whenever a healthy
+# device run lands; reported as last_device_value in degraded output.
+LAST_DEVICE_GBPS = 17.7
 
 
 def _get_corpus(size_mb: int, read_len: int):
@@ -176,11 +180,19 @@ def main():
             os.environ.get("BENCH_DEVICE_PROBE_S", "120"))):
         print("# device backend unreachable (tunnel down?) -> host-only "
               "result: stage A %.2f GB/s" % a_gbps, file=sys.stderr)
+        # Degraded output is a DIFFERENT metric: nothing device-side ran.
+        # Make that unambiguous in the artifact (VERDICT-r3 weak #4): the
+        # metric name says host_only, "degraded" flags it for tooling, and
+        # last_device_value carries the most recent driver-captured device
+        # headline (BENCH_r02.json, 2026-08-17) so a reader sees what the
+        # pipeline measured when silicon was reachable.
         print(json.dumps({
-            "metric": "fastq_parse_validate_throughput",
+            "metric": "fastq_parse_validate_throughput_host_only",
             "value": round(a_gbps, 3),
             "unit": "GB/s",
             "vs_baseline": round(a_gbps / BASELINE_GBPS, 3),
+            "degraded": True,
+            "last_device_value": LAST_DEVICE_GBPS,
         }))
         return
 
@@ -621,6 +633,11 @@ def main():
         "value": round(gbps, 3),
         "unit": "GB/s",
         "vs_baseline": round(gbps / BASELINE_GBPS, 3),
+        "stages": {
+            "host_feed": round(a_gbps, 3),
+            "device_uniform_qc": round(b2_gbps, 3),
+            "device_padded_qc": round(b_gbps, 3),
+        },
     }))
 
 

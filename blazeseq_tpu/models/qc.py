@@ -190,8 +190,12 @@ class QCModel:
         alignment, and mesh sharding take the host path — call run_file.
         Non-uniform layouts (varying header widths / read lengths) use the
         general ragged device engine (ops/ragged_qc.py) — still a full
-        device parse; only layouts outside its proven tier (records
-        smaller than max_read_len bytes) drop to the host."""
+        device parse. Reads LONGER than max_read_len stay on device too
+        (exact truncation semantics: bases/length panels true, composition
+        and quality panels over the first max_read_len bases — identical
+        to run_file). Only layouts outside the ragged tier's proven bounds
+        (records spanning fewer than ~max_read_len/2 bytes beyond the
+        head-peeked slot capacity) drop to the host."""
         if (self.adapters or self.track_duplicates or self.mesh is not None
                 or self.align_to is not None):
             raise ValueError(
@@ -255,13 +259,19 @@ class QCModel:
             pos += n_valid
         consume(ing.drain())
         if fail_pos is not None:
-            pos = fail_pos
+            # The template proof failed mid-file (head looked uniform, the
+            # rest is not — or bytes are invalid). fail_pos is a proven
+            # record boundary, so the general ragged device engine takes
+            # the remainder; IT falls back to the exact host engine for
+            # anything outside its tier (including truly invalid bytes).
+            return self._run_ragged_mmap(data[fail_pos:], chunk_mb, acc=acc)
         if pos < total:
-            # exact host engine for the remainder (pos is a proven record
-            # boundary: every accepted chunk ends at one). Structure-only
-            # host parse, validation on device via the fused step — the
-            # same division of labor as run_reader, so bad records COUNT
-            # as error_reads instead of raising.
+            # trailing partial record (or no provable boundary): exact host
+            # engine for the remainder (pos is a proven record boundary:
+            # every accepted chunk ends at one). Structure-only host parse,
+            # validation on device via the fused step — the same division
+            # of labor as run_reader, so bad records COUNT as error_reads
+            # instead of raising.
             parser = FastqParser(MemoryReader(data[pos:]),
                                  config=ParserConfig())
             parser.quality_schema = self.schema
@@ -301,7 +311,7 @@ class QCModel:
         slot_cap = 4 * (K // max(min_span, 8) + 2) + 4
         return int(min(max(12, slot_cap), 96))
 
-    def _run_ragged_mmap(self, data, chunk_mb: int) -> QCReport:
+    def _run_ragged_mmap(self, data, chunk_mb: int, acc=None) -> QCReport:
         """Pipeline B, general tier: device-parse a non-uniform mmap'd file
         with OVERLAPPED ingest. Chunk cuts come from a cheap host-side
         record-boundary resync (parallel/sharding.find_record_boundary_bytes),
@@ -321,7 +331,8 @@ class QCModel:
         total = len(data)
         csize = max((chunk_mb << 20) // K, 1) * K
         csize = min(csize, -(-total // K) * K)
-        acc = QCAccumulator()
+        if acc is None:
+            acc = QCAccumulator()
 
         step = lambda c, nv: self._device_rqc(c, jnp.int32(nv),
                                               slot_cap=slot_cap)
@@ -539,8 +550,14 @@ class QCModel:
             if buf is not None and fill > carry:
                 fail_parts.append(bytes(buf[carry:fill]))
             leftover = b"".join(fail_parts)
-        else:
-            leftover = bytes(buf[:fill]) if buf is not None and fill else b""
+            # head looked uniform but the stream is not (or bytes are
+            # invalid): the general ragged device engine takes the rest —
+            # it starts at a proven record boundary (accepted chunks end on
+            # one) and itself drops to the exact host engine when out of
+            # tier or on truly invalid bytes.
+            return self._run_ragged_stream(
+                b"", _ChainedReader(leftover, reader), chunk_mb, acc)
+        leftover = bytes(buf[:fill]) if buf is not None and fill else b""
         if leftover or not eof:
             parser = FastqParser(
                 _ChainedReader(leftover, reader),
@@ -558,8 +575,7 @@ class QCModel:
         unconsumed bytes back into the exact host engine."""
         K = 2 * self.max_read_len
         csize = max((chunk_mb << 20) // K, 1) * K
-        slot_cap = self._peek_ragged_slot_cap(
-            np.frombuffer(head, np.uint8), self.max_read_len)
+        slot_cap = None  # sized from the first filled buffer below
         buf = np.zeros(csize, dtype=np.uint8)
         fill = len(head)
         if fill > csize:  # enormous max_read_len vs tiny chunk_mb: host
@@ -571,6 +587,7 @@ class QCModel:
         buf[:fill] = np.frombuffer(head, np.uint8)
         eof = False
         stop = False
+        first = True
         while True:
             while fill < csize and not eof:
                 n = reader.readinto(memoryview(buf.data)[fill:])
@@ -580,8 +597,18 @@ class QCModel:
                     fill += n
             if fill == 0:
                 break
+            if first and eof and fill < csize:
+                # whole stream fits in one chunk: shrink it so a tiny
+                # corpus never pays for a full chunk_mb of zero padding
+                # (one compile either way — the size is seen once)
+                csize = max(-(-fill // K) * K, K)
+                buf = np.ascontiguousarray(buf[:csize])
+            first = False
             if fill < csize:
                 buf[fill:] = 0
+            if slot_cap is None:
+                slot_cap = self._peek_ragged_slot_cap(buf[:fill],
+                                                      self.max_read_len)
             r = self._device_rqc(jnp.asarray(buf), jnp.int32(fill),
                                  slot_cap=slot_cap)
             tail = int(r.tail_start)

@@ -164,12 +164,19 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
     2*round_up(width, 128); n_valid: real byte count. Schema bounds static.
 
     Device tier bounds (reported via `fallback`, stats then untrusted):
-      * every record spans >= the longest seq/qual line in the chunk
+      * every record spans >= min(longest seq/qual line, width) bytes
         (no-leak correlation condition — holds for any real corpus short of
         pathological length mixes like 10bp reads next to 300bp reads),
-      * every line fits in `width` (no truncation semantics on device),
-      * <= 12 line ends per 2*round_up(width,128) tile (rank-compaction
-        capacity: records below ~width/2 bytes overflow it).
+      * <= `slot_cap` line ends per 2*round_up(width,128) tile
+        (rank-compaction capacity: records below ~width/2 bytes overflow
+        the default 12; QCModel sizes the cap from a host head-peek).
+
+    Reads LONGER than `width` stay on device with the host engine's exact
+    truncation semantics (ops/stats.qc_stats over a [n, width] padded
+    batch): `bases`/`length_hist` use TRUE lengths, while base/quality
+    panels, the Phred histogram, and per-read GC%%/mean-quality cover only
+    each line's first `width` bytes — the windowed masks below come from a
+    newline-count window difference, no gather.
     """
     Wc = round_up(width, 128)
     K = 2 * Wc
@@ -187,8 +194,9 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
 
     nl = (r2 == jnp.uint8(NEWLINE)) & valid
     nl_u8 = nl.astype(jnp.uint8)
-    c_nl = jnp.cumsum(nl_u8, axis=1)          # u8 wrap ≡ exact mod 4
-    m_t = jnp.sum(nl, axis=1, dtype=jnp.int32)
+    c16 = jnp.cumsum(nl.astype(jnp.uint16), axis=1)  # exact per-tile count
+    c_nl = c16.astype(jnp.uint8)              # u8 wrap ≡ exact mod 4
+    m_t = c16[:, -1].astype(jnp.int32)
     offs = _excl_scan(m_t)                    # newlines before tile t
     offs_u8 = offs.astype(jnp.uint8)[:, None]
 
@@ -201,20 +209,38 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
     seq_m = (phase == 1) & (~nl) & complete
     qual_m = (phase == 3) & (~nl) & complete
 
-    # ---- global panels (raw_stream_qc semantics) --------------------------
+    # Truncation window: a byte is in-window iff its offset within its line
+    # is < width, i.e. a newline (or the chunk start) lies within the
+    # preceding `width` bytes. Windowed newline count = difference of the
+    # inclusive global newline count at i-1 and i-1-width; u16 wraparound
+    # subtraction is exact because a width-window holds < 2^16 newlines.
+    g16 = (offs.astype(jnp.uint16)[:, None] + c16).reshape(n)
+    z1 = jnp.zeros((1,), jnp.uint16)
+    gm1 = jnp.concatenate([z1, g16[:-1]])
+    gmw = jnp.concatenate([jnp.zeros((width + 1,), jnp.uint16),
+                           g16[: n - width - 1]])
+    iota_n = jax.lax.iota(jnp.int32, n)
+    in_win = (((gm1 - gmw) != jnp.uint16(0)) | (iota_n < width)) \
+        .reshape(T, K)
+    seq_w = seq_m & in_win
+    qual_w = qual_m & in_win
+
+    # ---- global panels (qc_stats truncation semantics) --------------------
+    # bases = TRUE lengths; composition/quality panels = in-window bytes only
     upper = r2 & jnp.uint8(0xDF)
-    acgt = [jnp.sum(seq_m & (upper == jnp.uint8(b)), dtype=jnp.int32)
+    acgt = [jnp.sum(seq_w & (upper == jnp.uint8(b)), dtype=jnp.int32)
             for b in _BASES]
     bases = jnp.sum(seq_m, dtype=jnp.int32)
-    base_counts = jnp.stack(acgt + [bases - sum(acgt)])
+    win_bases = jnp.sum(seq_w, dtype=jnp.int32)
+    base_counts = jnp.stack(acgt + [win_bases - sum(acgt)])
     reads = jnp.sum(rec_end, dtype=jnp.int32)
-    qual_bytes = jnp.sum(qual_m, dtype=jnp.int32)
+    qual_bytes = jnp.sum(qual_w, dtype=jnp.int32)
 
     n_bins = min(q_hi - offset, MAX_PHRED - 1) + 1 if check_quality \
         else MAX_PHRED
     n_bins = max(1, min(n_bins, MAX_PHRED))
     # cumulative ge-trick off raw quality bytes (see ops/uniform_qc.py)
-    qm_b = jnp.where(qual_m, r2, jnp.uint8(0))  # 0 < offset always
+    qm_b = jnp.where(qual_w, r2, jnp.uint8(0))  # 0 < offset always
     ge = [qual_bytes]
     ge += [jnp.sum(qm_b >= jnp.uint8(offset + k), dtype=jnp.int32)
            for k in range(1, n_bins)]
@@ -236,13 +262,16 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
                                  | (r2 > jnp.uint8(q_hi))))
 
     # ---- per-line slot compaction ----------------------------------------
-    cg = seq_m & ((upper == jnp.uint8(ord("C")))
+    # windowed masks here give per-read GC/mean-quality over each line's
+    # first `width` bytes for free: bytes past the window contribute 0 to
+    # the cumulative sums, so slot differences are windowed sums
+    cg = seq_w & ((upper == jnp.uint8(ord("C")))
                   | (upper == jnp.uint8(ord("G"))))
     c_cg = jnp.cumsum(cg.astype(jnp.uint16), axis=1)
     # u8->i32 phred arithmetic: the all-u8 form miscompiles on fused strided
     # producers (ops/stats._masked_phred has the full story)
     ph_i = jnp.clip(r2.astype(jnp.int32) - offset, 0, MAX_PHRED - 1)
-    ph_i = jnp.where(qual_m, ph_i, 0)
+    ph_i = jnp.where(qual_w, ph_i, 0)
     if 63 * K <= 65535:
         c_ph = jnp.cumsum(ph_i.astype(jnp.uint16), axis=1)
     else:
@@ -301,18 +330,24 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
     gap_mask = entry & ((role == 0) | (role == 2)) & (l_idx >= 4)
     min_gap = jnp.min(jnp.where(gap_mask, pos_slot - p4, big), initial=big)
     max_line = jnp.max(jnp.where(e_r1 | e_r3, line_len, 0), initial=0)
-    fallback = (jnp.max(m_t, initial=0) > B) | (min_gap < max_line) \
-        | (max_line > width)
+    # correlation lags stop at width-1, so leaked lags (>= min_gap) are
+    # harmless once min_gap >= width even when lines exceed width — long
+    # reads stay on device (truncation semantics above)
+    fallback = (jnp.max(m_t, initial=0) > B) \
+        | (min_gap < jnp.minimum(max_line, jnp.int32(width)))
 
     # ---- per-read histograms on the slot structure ------------------------
     flat = lambda x: x.reshape(-1)
     lens_f = flat(jnp.where(e_r1, jnp.minimum(line_len, LEN_BINS - 1), -1))
-    safe_len = jnp.maximum(line_len, 1)
+    # GC%/mean-quality are over the in-window bases (host row_histograms
+    # semantics: cnt = min(true length, width)); length_hist stays TRUE
+    eff_len = jnp.minimum(line_len, jnp.int32(width))
+    safe_len = jnp.maximum(eff_len, 1)
     gcb_f = flat(jnp.where(e_r1 & (line_len > 0),
-                           (200 * line_cg + line_len) // (2 * safe_len), -1))
+                           (200 * line_cg + eff_len) // (2 * safe_len), -1))
     mqb_f = flat(jnp.where(
         e_r3 & (line_len > 0),
-        jnp.minimum((2 * line_ph + line_len) // (2 * safe_len),
+        jnp.minimum((2 * line_ph + eff_len) // (2 * safe_len),
                     MAX_PHRED - 1), -1))
 
     def onehot_hist(v, nb):
@@ -328,8 +363,8 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
     resh = lambda x: x.reshape(Tc, Wc)
     sstart = resh(start_m & (phase == 1) & (~nl)).astype(jnp.int8)
     qstart = resh(start_m & (phase == 3) & (~nl)).astype(jnp.int8)
-    seq_chans = [resh(seq_m & (upper == jnp.uint8(b))).astype(jnp.int8)
-                 for b in _BASES] + [resh(seq_m).astype(jnp.int8)]
+    seq_chans = [resh(seq_w & (upper == jnp.uint8(b))).astype(jnp.int8)
+                 for b in _BASES] + [resh(seq_w).astype(jnp.int8)]
     M_seq = jnp.concatenate(seq_chans, axis=1)        # [Tc, 5*Wc]
     M_q = resh(ph_i).astype(jnp.int8)                  # phred 0..63 fits i8
     G1s, G2s = _corr(sstart, M_seq, Wc)

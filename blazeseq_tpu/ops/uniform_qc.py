@@ -22,7 +22,7 @@ can be hit, and hist[k] = ge[k] - ge[k+1] where ge[k] = #(phred >= k) —
 Reference behavior spec: blazeseq/utils.mojo:472-551 (_scan_record) +
 blazeseq/fastq/record.mojo:77-148 (Validator); panel semantics are
 bit-identical to uniform_parse(fused_checks=True) + qc_stats (the parity
-oracle in tests/test_uniform_qc.py).
+oracle in tests/test_fused_qc.py::test_parity_clean_corpus et al.).
 """
 
 from __future__ import annotations

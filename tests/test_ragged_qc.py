@@ -134,16 +134,38 @@ def test_per_record_len_mismatch_flagged_even_when_totals_match():
     assert not bool(r.ok)
 
 
-def test_fallback_small_records_and_long_reads():
+def test_fallback_small_records():
     tiny = gen(200, 10, 20, seed=11)  # records far below width bytes
     assert bool(dev_qc(tiny, 128).fallback)
-    # a read longer than width: device has no truncation semantics
+
+
+@pytest.mark.parametrize("width", [128, 384])
+def test_long_reads_on_device(width):
+    """Reads longer than `width` stay in tier with the host engine's exact
+    truncation semantics (bases/length_hist true; panels windowed)."""
     longr = gen(50, 200, 300, seed=12)
-    assert bool(dev_qc(longr, 128).fallback)
-    # but a wider window brings it back in tier
-    r = dev_qc(longr, 384)
+    r = dev_qc(longr, width)
     assert not bool(r.fallback) and bool(r.ok)
-    assert_stats_equal(host_stats(longr, 384), r.stats)
+    assert_stats_equal(host_stats(longr, width), r.stats)
+
+
+def test_very_long_reads_multi_tile_lines():
+    """Lines spanning several compaction tiles (tiles with zero newlines)."""
+    longr = gen(12, 900, 1600, seed=13)
+    r = dev_qc(longr, 128)
+    assert not bool(r.fallback) and bool(r.ok)
+    assert_stats_equal(host_stats(longr, 128), r.stats)
+
+
+def test_long_reads_mixed_with_width_sized(width=256):
+    """Mix of ~width reads and far-longer reads: min_gap >= width holds as
+    long as every record spans >= width bytes."""
+    a = gen(40, 230, 260, seed=14)
+    b = gen(10, 700, 900, seed=15)
+    buf = a + b
+    r = dev_qc(buf, width)
+    assert not bool(r.fallback) and bool(r.ok)
+    assert_stats_equal(host_stats(buf, width), r.stats)
 
 
 def test_empty_chunk():
@@ -197,18 +219,31 @@ def test_model_run_file_device_gzip_ragged(tmp_path):
                    mk().run_file(str(p)))
 
 
-def test_model_out_of_tier_falls_back_to_host(tmp_path):
-    # reads longer than max_read_len: max_line > width has no device
-    # truncation semantics, so every chunk drops to the exact host engine
-    # (short records no longer fall back — the adaptive slot_cap test
-    # below keeps them on device)
+def test_model_long_reads_stay_on_device(tmp_path):
+    """Reads longer than max_read_len run the full device pipeline with
+    ZERO host-fallback chunks (round-4: device truncation semantics +
+    uniform-fail -> ragged chaining), and the report matches run_file."""
     buf = gen(500, 200, 300, seed=27)
     p = tmp_path / "long.fastq"
     p.write_bytes(buf)
+    pgz = tmp_path / "long.fastq.gz"
+    pgz.write_bytes(gzip.compress(buf, 1))
     mk = lambda: bt.models.QCModel(quality_schema="sanger",
                                    max_read_len=128)
-    _reports_equal(mk().run_file_device(str(p), chunk_mb=1),
-                   mk().run_file(str(p)))
+    from blazeseq_tpu.models.qc import QCModel
+
+    hc = []
+    orig = QCModel._host_consume
+    try:
+        QCModel._host_consume = lambda self, parser, acc: hc.append(1) \
+            or orig(self, parser, acc)
+        dev = mk().run_file_device(str(p), chunk_mb=1)
+        dev_gz = mk().run_file_device(str(pgz), chunk_mb=1)
+        assert hc == [], "long reads must not drop to the host engine"
+    finally:
+        QCModel._host_consume = orig
+    _reports_equal(dev, mk().run_file(str(p)))
+    _reports_equal(dev_gz, mk().run_file(str(pgz)))
 
 
 # --------------------------------- adaptive slot capacity (short records)
