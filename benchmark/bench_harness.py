@@ -143,21 +143,38 @@ def _runner_env():
     return env
 
 
-def _time_subprocess(cmd, warmup=1, reps=3):
-    """hyperfine-style: warmup runs then reps, return (times, stdout)."""
+def _time_subprocess(cmd, warmup=1, reps=3, timed_output=False):
+    """hyperfine-style: warmup runs then reps, return (times, stdout).
+
+    timed_output: the runner prints `records base_pairs seconds` — the
+    third field is its in-runner parse time (interpreter startup excluded);
+    returns (wall_times, "records base_pairs", inner_times)."""
     out = None
     env = _runner_env()
+    inner = []
+
+    def _split(stdout):
+        parts = stdout.strip().split()
+        if timed_output:
+            return " ".join(parts[:2]), float(parts[2])
+        return " ".join(parts), None
+
     for _ in range(warmup):
         r = subprocess.run(cmd, capture_output=True, text=True, check=True,
                            env=env)
-        out = r.stdout.strip()
+        out, _ = _split(r.stdout)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         r = subprocess.run(cmd, capture_output=True, text=True, check=True,
                            env=env)
         times.append(time.perf_counter() - t0)
-        assert r.stdout.strip() == out, "nondeterministic runner output"
+        o, secs = _split(r.stdout)
+        assert o == out, "nondeterministic runner output"
+        if secs is not None:
+            inner.append(secs)
+    if timed_output:
+        return times, out, inner
     return times, out
 
 
@@ -185,15 +202,25 @@ def workload_parser(size_mb, reps):
     runner = os.path.join(REPO, "benchmark", "runners", "run_fastq.py")
     rows = []
     for mode in ["count", "padded", "batch", "records"]:
-        cmd = _pin_prefix() + [sys.executable, runner, corpus, "--mode", mode]
-        times, out = _time_subprocess(cmd, reps=reps)
+        cmd = _pin_prefix() + [sys.executable, runner, corpus, "--mode",
+                               mode, "--time"]
+        times, out, inner = _time_subprocess(cmd, reps=reps,
+                                             timed_output=True)
         records, bases = map(int, out.split())
         mean = sum(times) / len(times)
+        # headline gbps from in-runner parse time: interpreter startup
+        # (~0.15s) would otherwise fabricate regressions on sub-second
+        # corpora relative to the in-process throughput matrix
         rows.append(dict(mode=mode, mean_s=mean, min_s=min(times),
-                         times=times, gbps=size / min(times) / 1e9,
+                         times=times, parse_s=min(inner),
+                         parse_times=inner,
+                         gbps=size / min(inner) / 1e9,
+                         wall_gbps=size / min(times) / 1e9,
                          records=records, base_pairs=bases))
-        print("parser/%s: %.3fs (%.2f GB/s incl. interpreter startup)"
-              % (mode, min(times), size / min(times) / 1e9))
+        print("parser/%s: parse %.3fs (%.2f GB/s) | wall %.3fs (%.2f GB/s "
+              "incl. interpreter startup)"
+              % (mode, min(inner), size / min(inner) / 1e9,
+                 min(times), size / min(times) / 1e9))
     native = _build_native_runner()
     if native:
         for flag, name in ((["--validate"], "native_count_validated"),
@@ -233,14 +260,18 @@ def workload_gzip(size_mb, reps):
     rows = []
     for par in [4, 1]:
         cmd = _pin_prefix() + [sys.executable, runner, corpus,
-                               "--mode", "count", "--parallelism", str(par)]
-        times, out = _time_subprocess(cmd, reps=reps)
+                               "--mode", "count", "--parallelism", str(par),
+                               "--time"]
+        times, out, inner = _time_subprocess(cmd, reps=reps,
+                                             timed_output=True)
         records, bases = map(int, out.split())
         rows.append(dict(mode="gzip_p%d" % par, mean_s=sum(times) / len(times),
-                         min_s=min(times), times=times,
-                         gbps=plain_size / min(times) / 1e9,
+                         min_s=min(times), times=times, parse_s=min(inner),
+                         gbps=plain_size / min(inner) / 1e9,
+                         wall_gbps=plain_size / min(times) / 1e9,
                          records=records, base_pairs=bases))
-        print("gzip/p%d: %.3fs" % (par, min(times)))
+        print("gzip/p%d: parse %.3fs | wall %.3fs" % (par, min(inner),
+                                                      min(times)))
     native = _build_native_runner()
     if native:
         times, out = _time_subprocess(_pin_prefix() + [native, corpus],
