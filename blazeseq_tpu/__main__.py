@@ -6,7 +6,7 @@ takes argv paths) plus the ecosystem basics:
   count FILE [...]      records and base_pairs per FASTQ file (the benchmark
                         runner contract, run_blazeseq.mojo:3-5)
   stats [--adapter SEQ ...] [--duplicates] [--json] [--device]
-        [--schema NAME|auto] FILE [...]
+        [--schema NAME|auto] [--html OUT.html] FILE [...]
                         device QC report (reads, bases, GC, mean quality,
                         distribution panels) — uses the TPU when attached;
                         --adapter adds FastQC adapter-content scans,
@@ -14,7 +14,9 @@ takes argv paths) plus the ecosystem basics:
                         overrepresented sequences; --device parses on the
                         TPU (pipeline B: uniform-template proof with exact
                         host fallback; core QC only); --schema auto infers
-                        the Phred encoding from the file head
+                        the Phred encoding from the file head; --html writes
+                        a standalone FastQC-style HTML report (inline SVG,
+                        light/dark, no dependencies)
   fasta-count FILE      records/bases for FASTA
   faidx FILE            build FILE.fai (samtools-compatible)
   fetch FILE NAME [START END]   random-access FASTA subsequence via .fai
@@ -42,6 +44,7 @@ takes argv paths) plus the ecosystem basics:
 
 from __future__ import annotations
 
+import os
 import sys
 
 
@@ -68,11 +71,18 @@ def _stats(args):
     duplicates = False
     as_json = False
     device_ingest = False
+    html_out = None
     schema = "sanger"
     paths = []
     it = iter(args)
     for a in it:
-        if a == "--adapter":
+        if a == "--html":
+            try:
+                html_out = next(it)
+            except StopIteration:
+                print("usage: stats --html OUT.html FILE", file=sys.stderr)
+                raise SystemExit(2)
+        elif a == "--adapter":
             try:
                 adapters.append(next(it).encode("ascii"))
             except StopIteration:
@@ -100,6 +110,15 @@ def _stats(args):
                      track_duplicates=duplicates)
         report = (qc.run_file_device(path) if device_ingest
                   else qc.run_file(path))
+        if html_out:
+            from blazeseq_tpu.report import write_html
+
+            out = html_out if len(paths) == 1 else \
+                "%s.%s.html" % (html_out.rsplit(".html", 1)[0],
+                                os.path.basename(path))
+            write_html(report, out, title="QC report — %s"
+                       % os.path.basename(path))
+            print("wrote %s" % out)
         if as_json:
             import json
 

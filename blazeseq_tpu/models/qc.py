@@ -44,6 +44,10 @@ class QCReport:
     length_hist: Optional[np.ndarray] = None  # [LEN_BINS] reads by length
     gc_hist: Optional[np.ndarray] = None  # [101] reads by GC%
     mean_qual_hist: Optional[np.ndarray] = None  # reads by rounded mean Phred
+    # [5, width] A/C/G/T/other counts per position + [width] in-window read
+    # count (for %-composition panels; report.py renders them)
+    per_pos_base_counts: Optional[np.ndarray] = None
+    per_pos_count: Optional[np.ndarray] = None
     # adapter panel: {adapter: merged AdapterStats} when adapters= was given
     adapter_stats: Optional[dict] = None
     # duplication panel (track_duplicates=True): levels[k] = distinct
@@ -87,6 +91,14 @@ class QCReport:
             d["length_hist"] = _trim(self.length_hist)
             d["gc_hist"] = _trim(self.gc_hist)
             d["mean_qual_hist"] = _trim(self.mean_qual_hist)
+        if self.per_pos_count is not None:
+            cnt = np.asarray(self.per_pos_count)
+            nz = np.flatnonzero(cnt)
+            w = int(nz[-1]) + 1 if nz.size else 0
+            d["per_pos_count"] = cnt[:w].astype(int).tolist()
+            d["per_pos_base_counts"] = [
+                row[:w].astype(int).tolist()
+                for row in np.asarray(self.per_pos_base_counts)]
         if self.adapter_stats:
             d["adapters"] = {
                 a.decode("ascii", "replace"): dict(
@@ -447,6 +459,8 @@ class QCModel:
             length_hist=np.asarray(t.length_hist),
             gc_hist=np.asarray(t.gc_hist),
             mean_qual_hist=np.asarray(t.mean_qual_hist),
+            per_pos_base_counts=np.asarray(t.per_pos_base_counts),
+            per_pos_count=np.asarray(t.per_pos_count),
         )
 
     def _run_stream_device(self, path, chunk_mb: int,
@@ -726,6 +740,8 @@ class QCModel:
             length_hist=np.asarray(t.length_hist),
             gc_hist=np.asarray(t.gc_hist),
             mean_qual_hist=np.asarray(t.mean_qual_hist),
+            per_pos_base_counts=np.asarray(t.per_pos_base_counts),
+            per_pos_count=np.asarray(t.per_pos_count),
             adapter_stats=(
                 {a: jax.tree.map(lambda x: np.asarray(x, np.int64), s)
                  for a, s in ad_totals.items() if s is not None}
