@@ -36,6 +36,12 @@ def run_mode(buf, mode, check_ascii, check_quality, schema):
         # honest analog of the reference's compiled consumer loop
         bases = sum(map(len, parser.views()))
         records = parser.records_served()
+    elif mode == "views_reuse":
+        # one mutated view shell per iteration (views(reuse=True)): skips
+        # the per-record object create/destroy — the view-contract-legal
+        # fast path for scan-and-inspect loops
+        bases = sum(map(len, parser.views(reuse=True)))
+        records = parser.records_served()
     elif mode == "records":
         bases = sum(map(len, parser.records()))
         records = parser.records_served()
@@ -76,7 +82,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("file")
     ap.add_argument("--modes",
-                    default="count,views,padded,batch,batch_reuse,records")
+                    default="count,views,views_reuse,padded,batch,batch_reuse,records")
     ap.add_argument("--validations", default="none,ascii,ascii_quality")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--schema", default="sanger")

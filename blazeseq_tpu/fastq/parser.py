@@ -798,7 +798,8 @@ class FastqParser:
     # going through next_view()/next_record() per record: objects are built
     # with __new__ + direct slot writes and byte slices come off one window
     # reference, so the per-record Python work is a few C-level operations.
-    def _chain_iter(self, ext, out_type, is_view: bool):
+    def _chain_iter(self, ext, out_type, is_view: bool,
+                    reuse: bool = False):
         """Build a C chain iterator (native/records_ext.c): its refill
         callable commits the previous snapshot (via _sync_chain), scans when
         the queue is empty, and hands out a frozen (buffer, rows) snapshot +
@@ -835,17 +836,25 @@ class FastqParser:
 
         return ext.make_chain_iter(refill, self._epoch, progress,
                                    self.quality_schema.OFFSET, out_type,
-                                   is_view)
+                                   is_view, reuse)
 
     @_iterable_method
-    def views(self) -> Iterator[FastqView]:
+    def views(self, reuse: bool = False) -> Iterator[FastqView]:
         """Zero-copy record iteration (reference views mode,
         parser.mojo:628-661). With the C extension, iteration runs through
         a C chain iterator producing C view objects (one allocation, zero
-        copies per record); otherwise the Python generator below."""
+        copies per record); otherwise the Python generator below.
+
+        reuse=True serves ONE view shell mutated in place each iteration —
+        the view contract already says a view is invalidated by the next
+        parser operation (record.mojo:435-441); reuse makes the iteration
+        itself that operation. Skips the per-record object create/destroy
+        (the dominant per-object cost, docs/perf_views_floor.md); do not
+        store the yielded view. Without the C extension this degrades to
+        ordinary views (a strictly stronger guarantee)."""
         ext = native.records_ext()
         if ext is not None and issubclass(FastqView, ext.View):
-            return self._chain_iter(ext, FastqView, True)
+            return self._chain_iter(ext, FastqView, True, reuse)
         return self._views_py()
 
     def _views_py(self) -> Iterator[FastqView]:

@@ -625,6 +625,8 @@ typedef struct {
     int held;                 /* buf/rows views held */
     int epoch_held;
     int exhausted;
+    int reuse;                /* views(reuse=True): serve ONE mutated shell */
+    ViewObj *reuse_view;      /* iterator-owned shell for reuse mode */
 } ChainIter;
 
 static void Chain_drop_batch(ChainIter *self) {
@@ -643,6 +645,7 @@ static void Chain_drop_batch(ChainIter *self) {
 
 static void Chain_dealloc(ChainIter *self) {
     Chain_drop_batch(self);
+    Py_XDECREF((PyObject *)self->reuse_view);
     if (self->epoch_held) PyBuffer_Release(&self->epoch_view);
     if (self->progress_held) PyBuffer_Release(&self->progress_view);
     Py_XDECREF(self->epoch_obj);
@@ -732,6 +735,46 @@ static PyObject *Chain_next(ChainIter *self) {
         while (b > a && WS[self->buf[b - 1]]) --b;
 
         PyObject *obj;
+        if (self->is_view && self->reuse) {
+            /* reuse mode: mutate ONE iterator-owned shell in place. Legal
+             * under the documented view contract (a view is invalidated by
+             * the next parser operation, record.mojo:435-441) — here the
+             * "next operation" is the next iteration. Skips the per-record
+             * alloc/teardown and owner INCREF/DECREF that dominate the
+             * per-object floor (docs/perf_views_floor.md). */
+            ViewObj *v = self->reuse_view;
+            if (!v) {
+                if (self->out_type == ViewTypeExact && view_freelist_n > 0) {
+                    v = view_freelist[--view_freelist_n];
+                    PyObject_Init((PyObject *)v, ViewTypeExact);
+                } else {
+                    v = (ViewObj *)self->out_type->tp_alloc(self->out_type,
+                                                            0);
+                    if (!v) return NULL;
+                }
+                v->nbufs = 0;  /* freelist shells carry stale fields */
+                v->own[0] = v->own[1] = v->own[2] = NULL;
+                v->phred_offset = self->phred;
+                if (PyObject_IS_GC((PyObject *)v) &&
+                    PyObject_GC_IsTracked((PyObject *)v))
+                    PyObject_GC_UnTrack((PyObject *)v);
+                self->reuse_view = v;  /* iterator's permanent reference */
+            }
+            v->ptr[0] = self->buf + a;
+            v->len[0] = b - a;
+            v->ptr[1] = self->buf + s;
+            v->len[1] = p - 1 - s;
+            v->ptr[2] = self->buf + q;
+            v->len[2] = e - q;
+            if (v->own[0] != self->buf_obj) {
+                Py_INCREF(self->buf_obj);
+                Py_XSETREF(v->own[0], self->buf_obj);
+            }
+            self->cursor++;
+            self->progress[0] = (int64_t)self->cursor;
+            Py_INCREF((PyObject *)v);
+            return (PyObject *)v;
+        }
         if (self->is_view) {
             ViewObj *v;
             if (self->out_type == ViewTypeExact && view_freelist_n > 0) {
@@ -797,14 +840,22 @@ static PyTypeObject ChainIterType = {
 };
 
 /* make_chain_iter(refill, epoch_arr, progress_arr, phred_offset,
- *                 out_type, is_view) */
+ *                 out_type, is_view[, reuse]) */
 static PyObject *make_chain_iter(PyObject *mod, PyObject *args) {
     PyObject *refill, *epoch_obj, *progress_obj, *type_obj;
     long phred;
     int is_view;
-    if (!PyArg_ParseTuple(args, "OOOlOp", &refill, &epoch_obj, &progress_obj,
-                          &phred, &type_obj, &is_view))
+    int reuse = 0;
+    if (!PyArg_ParseTuple(args, "OOOlOp|p", &refill, &epoch_obj,
+                          &progress_obj, &phred, &type_obj, &is_view,
+                          &reuse))
         return NULL;
+    if (reuse && !is_view) {
+        PyErr_SetString(PyExc_ValueError,
+                        "reuse=True applies to views only (records are "
+                        "owned copies)");
+        return NULL;
+    }
     if (!PyType_Check(type_obj)) {
         PyErr_SetString(PyExc_TypeError, "out_type must be a class");
         return NULL;
@@ -834,6 +885,8 @@ static PyObject *make_chain_iter(PyObject *mod, PyObject *args) {
     it->buf = NULL;
     it->phred = phred;
     it->is_view = is_view;
+    it->reuse = reuse;
+    it->reuse_view = NULL;
     it->my_epoch = -1;  /* forces an initial refill */
     if (PyObject_GetBuffer(epoch_obj, &it->epoch_view, PyBUF_SIMPLE) < 0) {
         Py_DECREF(it);

@@ -360,3 +360,51 @@ def test_bucketed_padding_waste_below_uniform():
     assert padded_cells < uniform_cells * 0.7
     assert used_cells == sum(
         len(r) for r in bt.FastqParser(bt.MemoryReader(buf)).records())
+
+
+# ------------------------------------------------------------------ reuse views
+
+def test_views_reuse_parity_and_identity():
+    """views(reuse=True) yields the same record stream as views(); with the
+    C extension, every iteration returns ONE mutated shell (the documented
+    invalidate-on-next contract made literal)."""
+    import blazeseq_tpu.native as native
+
+    buf = bt.generate_synthetic_fastq_buffer(500, 20, 80, 2, 40, "sanger")
+    p1 = bt.FastqParser(bt.MemoryReader(buf))
+    p2 = bt.FastqParser(bt.MemoryReader(buf))
+    got1 = [(bytes(v.id_bytes()), bytes(v.sequence_bytes()),
+             bytes(v.quality_bytes())) for v in p1.views()]
+    got2 = []
+    shells = set()
+    for v in p2.views(reuse=True):
+        shells.add(id(v))
+        got2.append((bytes(v.id_bytes()), bytes(v.sequence_bytes()),
+                     bytes(v.quality_bytes())))
+    assert got1 == got2 and len(got2) == 500
+    if native.records_ext() is not None:
+        assert len(shells) == 1
+
+
+def test_views_reuse_validation_still_raises():
+    bad = b"@r1\nACGT\n+\nII\xffI\n"
+    cfg = bt.ParserConfig(check_ascii=True)
+    p = bt.FastqParser(bt.MemoryReader(bad), config=cfg)
+    with pytest.raises(bt.FastxError):
+        for _v in p.views(reuse=True):
+            pass
+
+
+def test_views_reuse_across_refills():
+    """Shell must re-anchor its keep-alive owner when the parser window
+    moves (chunked stream: many refills)."""
+    buf = bt.generate_synthetic_fastq_buffer(300, 50, 120, 2, 40, "sanger")
+    p = _parser(bytes(buf), chunk=1024)
+    n = 0
+    total = 0
+    for v in p.views(reuse=True):
+        n += 1
+        total += len(v)
+    p2 = bt.FastqParser(bt.MemoryReader(buf))
+    r, b = p2.count()
+    assert (n, total) == (r, b)
