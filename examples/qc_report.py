@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Streaming on-device QC over a FASTQ file (FastQC-style statistics computed
-by the fused TPU pass). Usage: python examples/qc_report.py file.fastq[.gz]"""
+by the fused TPU pass), optionally rendered as a standalone HTML report.
+
+Usage: python examples/qc_report.py file.fastq[.gz] [out.html]"""
 
 import sys
 
@@ -26,6 +28,12 @@ def main():
         shown = ppq[: nz[-1] + 1]
         print("Per-position mean quality (first 20):",
               [round(float(x), 1) for x in shown[:20]])
+    if len(sys.argv) > 2:
+        from blazeseq_tpu.report import write_html
+
+        write_html(report, sys.argv[2],
+                   title="QC report — %s" % sys.argv[1].rsplit("/", 1)[-1])
+        print("wrote", sys.argv[2])
     return 0
 
 

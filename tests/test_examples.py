@@ -42,9 +42,12 @@ def test_example_qc_report(tmp_path):
                                                    "sanger"))
     p = tmp_path / "t.fastq"
     p.write_bytes(buf)
-    out = _run([os.path.join(REPO, "examples", "qc_report.py"), str(p)])
+    html = tmp_path / "t.html"
+    out = _run([os.path.join(REPO, "examples", "qc_report.py"), str(p),
+                str(html)])
     assert "reads=200" in out
     assert "bases=12000" in out
+    assert html.exists() and "<svg" in html.read_text()
 
 
 def test_example_analysis_panels():
