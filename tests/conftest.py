@@ -9,9 +9,28 @@ Environment notes:
   subprocess (PYTHONPATH="" PALLAS_AXON_POOL_IPS="" JAX_PLATFORMS=cpu); see
   tests/test_multichip.py. The env defaults below cover non-axon
   environments where in-process forcing works.
+* An EXPLICIT ``JAX_PLATFORMS=cpu`` in the caller's environment is honored
+  even under axon: the sitecustomize overrides the env with
+  ``jax_platforms="axon,cpu"`` at interpreter start, so without the guard
+  below a tunnel outage makes the very first ``device_put`` block forever
+  inside ``make_c_api_client`` (no timeout) and the whole suite hangs.
+  ``JAX_PLATFORMS=cpu python -m pytest tests/`` must mean cpu.
 """
 
 import os
+
+_explicit_platforms = os.environ.get("JAX_PLATFORMS")
+if _explicit_platforms and not any(
+        p in _explicit_platforms for p in ("axon", "tpu")):
+    try:
+        import jax
+        from jax._src import xla_bridge as _xb
+
+        if "axon" in getattr(_xb, "_backend_factories", {}):
+            _xb._backend_factories.pop("axon", None)
+            jax.config.update("jax_platforms", _explicit_platforms)
+    except Exception:
+        pass
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
