@@ -33,6 +33,8 @@ from .fai.record import FaiRecord, FaiView
 from .fasta.parser import FastaBatch, FastaParser, FastaParserConfig
 from .fasta.record import FastaRecord
 from .fastq.batch import DeviceFastqBatch, FastqBatch, PaddedFastqBatch, upload_batch_to_device
+from .fastq.index import (FastqIndex, IndexedFastq,
+                          build_fqi, read_fqi, write_fqi)
 from .fastq.paired import (InterleavedFastqParser,
                            PairedFastqParser, PairSyncError)
 from .fastq.parser import FastqParser, ParserConfig

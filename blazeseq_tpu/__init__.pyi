@@ -50,6 +50,13 @@ from .fastq.batch import (
     PaddedFastqBatch as PaddedFastqBatch,
     upload_batch_to_device as upload_batch_to_device,
 )
+from .fastq.index import (
+    FastqIndex as FastqIndex,
+    IndexedFastq as IndexedFastq,
+    build_fqi as build_fqi,
+    read_fqi as read_fqi,
+    write_fqi as write_fqi,
+)
 from .fastq.paired import (
     InterleavedFastqParser as InterleavedFastqParser,
     PairedFastqParser as PairedFastqParser,

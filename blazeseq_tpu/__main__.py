@@ -20,6 +20,11 @@ takes argv paths) plus the ecosystem basics:
   fasta-count FILE      records/bases for FASTA
   faidx FILE            build FILE.fai (samtools-compatible)
   fetch FILE NAME [START END]   random-access FASTA subsequence via .fai
+  fqidx [--stride N] FILE [...]          build FILE.fqi (FASTQ record index)
+  fqidx --fetch START [--count K] FILE   print records START..START+K-1 via
+                        the .fqi (built on the fly if absent) — FASTQ random
+                        access, an open item upstream (reference
+                        README.md:129-134: "end-to-end, no seek")
   demux --barcode NAME=SEQ [...] [--mismatches K] [--out DIR] FILE
                         split reads by 5' barcode (device Hamming
                         assignment; 'N' in a barcode matches any base)
@@ -157,6 +162,38 @@ def _faidx(args):
         bt.write_fai(recs, w)
         w.close()
         print("wrote %s.fai (%d sequences)" % (path, len(recs)))
+
+
+def _fqidx(args):
+    """fqidx [--stride N] [--fetch START [--count K]] FILE [...]"""
+    import blazeseq_tpu as bt
+
+    stride, fetch_start, count, paths = 10_000, None, 1, []
+    it = iter(args)
+    for a in it:
+        if a == "--stride":
+            stride = int(next(it))
+        elif a == "--fetch":
+            fetch_start = int(next(it))
+        elif a == "--count":
+            count = int(next(it))
+        else:
+            paths.append(a)
+    if not paths:
+        print("usage: fqidx [--stride N] [--fetch START [--count K]] FILE",
+              file=sys.stderr)
+        raise SystemExit(2)
+    for path in paths:
+        if fetch_start is None:
+            ix = bt.build_fqi(path, stride=stride)
+            bt.write_fqi(ix, path + ".fqi")
+            print("wrote %s.fqi (%d records, %d bases, %d checkpoints)"
+                  % (path, ix.n_records, ix.n_bases, len(ix.offsets)))
+        else:
+            with bt.IndexedFastq(path, stride=stride) as ix:
+                out = sys.stdout.buffer
+                for rec in ix.fetch(fetch_start, count):
+                    out.write(rec.to_bytes())
 
 
 def _fetch(args):
@@ -527,6 +564,7 @@ _COMMANDS = {
     "fasta-count": _fasta_count,
     "faidx": _faidx,
     "fetch": _fetch,
+    "fqidx": _fqidx,
     "demux": _demux,
     "filter": _filter,
     "trim": _trim,

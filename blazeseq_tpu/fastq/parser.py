@@ -1003,3 +1003,36 @@ class FastqParser:
             if s.fill() == 0 and s.available() == 0:
                 break
         return records, bases
+
+    def offset_chunks(self):
+        """Yield ``(first_record_index, starts, seq_lens)`` per internal scan
+        batch, consuming the stream at scan speed without materializing
+        records. ``starts`` are absolute byte offsets (in the decompressed
+        stream) of each record's ``@`` byte; ``seq_lens`` are the sequence
+        line lengths — both int64 arrays of equal length. Validation flags
+        are honored (errors raise exactly where views()/count() would).
+
+        Powers the ``.fqi`` record index (fastq/index.py). Random access is
+        an open item upstream (reference README.md:129-134, docs/TODO.md:5-8:
+        "end-to-end, no seek"); bulk offset extraction is the primitive that
+        makes it possible here.
+        """
+        self._sync_chain()
+        s = self._stream
+        while True:
+            if self._q_pos < len(self._q):
+                rows = self._q[self._q_pos:]
+                # buffer offset -> stream offset: consume() moves _head and
+                # _consumed in lockstep, so their difference only changes on
+                # compaction/growth — which _scan_more only performs while
+                # the queue is empty. The delta is therefore constant for
+                # every row of the current queue.
+                base = s.stream_position() - s._head
+                first = self._served
+                self._served += len(rows)
+                self._q_pos = len(self._q)
+                yield (first, rows[:, 0] + base, rows[:, 2] - rows[:, 1] - 1)
+            try:
+                self._scan_more()
+            except FastxEOFError:
+                return
