@@ -88,17 +88,51 @@ def find_record_boundary(path, offset: int, probe: int = 1 * MB) -> int:
     return _boundary_in_window(window, offset, prev[0], size)
 
 
-def shard_file(path, n_shards: int) -> List[Tuple[int, int]]:
-    """Split a FASTQ file into n contiguous byte ranges on record boundaries.
-    Ranges cover the file exactly; a shard may be empty when records are
-    larger than size/n."""
-    size = os.path.getsize(path)
+def _fqi_cuts(path, size: int, n_shards: int):
+    """Exact cut offsets from a fresh ``<path>.fqi`` record index, or None.
+
+    A sidecar built by ``build_fqi`` (fastq/index.py) replaces the probe
+    heuristic with PROVEN record starts: no resync window, no dependence on
+    the frame invariant holding inside the probe. Ignored when absent,
+    unreadable, or stale (recorded size != file size)."""
+    fqi = str(path) + ".fqi"
+    if not os.path.exists(fqi):
+        return None
+    try:
+        from ..fastq.index import read_fqi
+
+        ix = read_fqi(fqi)
+    except Exception:
+        return None
+    if ix.n_bytes != size or len(ix.offsets) == 0:
+        return None
+    import numpy as np
+
+    offs = ix.offsets
     cuts = [0]
     for i in range(1, n_shards):
         target = size * i // n_shards
-        cut = find_record_boundary(path, target)
-        cuts.append(max(cut, cuts[-1]))
+        k = int(np.searchsorted(offs, target))
+        cuts.append(max(int(offs[k]) if k < len(offs) else size, cuts[-1]))
     cuts.append(size)
+    return cuts
+
+
+def shard_file(path, n_shards: int) -> List[Tuple[int, int]]:
+    """Split a FASTQ file into n contiguous byte ranges on record boundaries.
+    Ranges cover the file exactly; a shard may be empty when records are
+    larger than size/n. When a fresh ``<path>.fqi`` sidecar exists the cuts
+    come from its proven record offsets (exact, no probe window); otherwise
+    the resync heuristic above finds the boundaries."""
+    size = os.path.getsize(path)
+    cuts = _fqi_cuts(path, size, n_shards)
+    if cuts is None:
+        cuts = [0]
+        for i in range(1, n_shards):
+            target = size * i // n_shards
+            cut = find_record_boundary(path, target)
+            cuts.append(max(cut, cuts[-1]))
+        cuts.append(size)
     return [(cuts[i], cuts[i + 1]) for i in range(n_shards)]
 
 

@@ -95,6 +95,36 @@ def test_quality_line_at_boundary_not_mistaken(tmp_path):
     assert tot == 50
 
 
+def test_fqi_sidecar_gives_exact_cuts(corpus, tmp_path):
+    """With a fresh .fqi sidecar, shard_file cuts exactly on indexed record
+    starts (no probe heuristic), still covering the file; a stale sidecar is
+    ignored, falling back to the heuristic path."""
+    import shutil
+
+    path = str(tmp_path / "c.fastq")
+    shutil.copy(corpus, path)
+    ix = bt.build_fqi(path, stride=100)
+    bt.write_fqi(ix, path + ".fqi")
+    size = os.path.getsize(path)
+    for n in [2, 5, 8]:
+        ranges = shard_file(path, n)
+        assert ranges[0][0] == 0 and ranges[-1][1] == size
+        offs = set(int(o) for o in ix.offsets)
+        for lo, _ in ranges[1:]:
+            assert lo == size or lo in offs  # cut is a PROVEN record start
+        tot = 0
+        for a, b in ranges:
+            tot += bt.FastqParser(RangeReader(path, a, b)).count()[0]
+        assert tot == 5000
+    # stale sidecar: append a record, size no longer matches -> heuristic
+    with open(path, "ab") as f:
+        f.write(b"@x\nAC\n+\n!!\n")
+    ranges = shard_file(path, 3)
+    tot = sum(bt.FastqParser(RangeReader(path, a, b)).count()[0]
+              for a, b in ranges)
+    assert tot == 5001
+
+
 def test_tracer_sections():
     tr = Tracer()
     with tr.section("a"):
