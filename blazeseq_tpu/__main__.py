@@ -5,13 +5,15 @@ takes argv paths) plus the ecosystem basics:
 
   count FILE [...]      records and base_pairs per FASTQ file (the benchmark
                         runner contract, run_blazeseq.mojo:3-5)
-  stats [--adapter SEQ ...] [--duplicates] [--json] [--device]
-        [--schema NAME|auto] [--html OUT.html] FILE [...]
+  stats [--adapter SEQ ...] [--duplicates] [--quartiles] [--json]
+        [--device] [--schema NAME|auto] [--html OUT.html] FILE [...]
                         device QC report (reads, bases, GC, mean quality,
                         distribution panels) — uses the TPU when attached;
                         --adapter adds FastQC adapter-content scans,
                         --duplicates profiles duplication levels and
-                        overrepresented sequences; --device parses on the
+                        overrepresented sequences; --quartiles tracks the
+                        full per-position quality distribution (FastQC
+                        per-base boxplot percentiles); --device parses on the
                         TPU (pipeline B: uniform-template proof with exact
                         host fallback; core QC only); --schema auto infers
                         the Phred encoding from the file head; --html writes
@@ -74,6 +76,7 @@ def _stats(args):
 
     adapters = []
     duplicates = False
+    quartiles = False
     as_json = False
     device_ingest = False
     html_out = None
@@ -103,6 +106,8 @@ def _stats(args):
                 raise SystemExit(2)
         elif a == "--duplicates":
             duplicates = True
+        elif a == "--quartiles":
+            quartiles = True
         elif a == "--json":
             as_json = True
         elif a == "--device":
@@ -112,7 +117,8 @@ def _stats(args):
     for path in paths:
         qc = QCModel(quality_schema=schema, check_ascii=True,
                      check_quality=True, adapters=adapters or None,
-                     track_duplicates=duplicates)
+                     track_duplicates=duplicates,
+                     track_quartiles=quartiles)
         report = (qc.run_file_device(path) if device_ingest
                   else qc.run_file(path))
         if html_out:

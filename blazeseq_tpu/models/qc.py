@@ -58,6 +58,11 @@ class QCReport:
     # overrepresented sequences: [(prefix bytes <=50bp, count)] for sequences
     # making up > 0.1% of the tracked sample, most frequent first
     overrepresented: Optional[list] = None
+    # per-base quality boxplot panel (track_quartiles=True): [5, width]
+    # rows = p10, q1, median, q3, p90 per position (FastQC's whisker set),
+    # plus the raw distribution [MAX_PHRED, width] it derives from
+    quality_quartiles: Optional[np.ndarray] = None
+    per_pos_qual_hist: Optional[np.ndarray] = None
 
     def __str__(self) -> str:
         s = ("QCReport(reads=%d, bases=%d, errors=%d, gc=%.4f, meanQ=%.2f"
@@ -113,6 +118,12 @@ class QCReport:
             d["overrepresented"] = [
                 dict(sequence=s.decode("ascii", "replace"), count=c)
                 for s, c in (self.overrepresented or [])]
+        if self.quality_quartiles is not None:
+            w = len(d.get("per_pos_count", self.per_position_mean_quality))
+            qq = np.asarray(self.quality_quartiles)[:, :w].astype(int)
+            d["quality_quartiles"] = dict(zip(
+                ("p10", "q1", "median", "q3", "p90"),
+                (row.tolist() for row in qq)))
         if self.nw_scores is not None:
             d["nw_score_mean"] = round(float(np.mean(self.nw_scores)), 4)
         return d
@@ -150,6 +161,7 @@ class QCModel:
                  adapters: Optional[list] = None,
                  track_duplicates: bool = False,
                  dup_track_limit: int = 200_000,
+                 track_quartiles: bool = False,
                  mesh=None):
         # "auto": resolve lazily from the first file's head bytes
         # (fastq/quality.detect_quality_schema_file); reader-based entry
@@ -171,10 +183,15 @@ class QCModel:
         # reads (the TPU hashes every read; the host counts hash repeats)
         self.track_duplicates = track_duplicates
         self.dup_track_limit = dup_track_limit
+        # FastQC per-base quality boxplot: track the full [MAX_PHRED, L]
+        # per-position quality distribution (median/quartiles/deciles need
+        # the distribution, not the per-position sum)
+        self.track_quartiles = track_quartiles
         self.mesh = mesh
         self._step = build_qc_align_step(
             mesh, check_ascii=check_ascii, check_quality=check_quality,
-            with_alignment=align_to is not None)
+            with_alignment=align_to is not None,
+            qual_hist_2d=track_quartiles)
 
     def _resolve_auto_schema(self, path) -> None:
         if self._auto_schema:
@@ -209,10 +226,10 @@ class QCModel:
         (records spanning fewer than ~max_read_len/2 bytes beyond the
         head-peeked slot capacity) drop to the host."""
         if (self.adapters or self.track_duplicates or self.mesh is not None
-                or self.align_to is not None):
+                or self.align_to is not None or self.track_quartiles):
             raise ValueError(
                 "run_file_device covers core QC; use run_file for "
-                "adapters/duplicates/alignment/mesh")
+                "adapters/duplicates/alignment/quartiles/mesh")
         from ..io.readers import MemoryReader, MmapReader
         from ..ops.uniform_parse import detect_uniform_layout
 
@@ -444,7 +461,7 @@ class QCModel:
         if acc.total is None:
             from ..ops.stats import zero_stats
 
-            acc.add(zero_stats(self.max_read_len))
+            acc.add(zero_stats(self.max_read_len, self.track_quartiles))
         t = acc.total
         return QCReport(
             reads=int(t.reads),
@@ -461,6 +478,7 @@ class QCModel:
             mean_qual_hist=np.asarray(t.mean_qual_hist),
             per_pos_base_counts=np.asarray(t.per_pos_base_counts),
             per_pos_count=np.asarray(t.per_pos_count),
+            **self._quartile_report(acc),
         )
 
     def _run_stream_device(self, path, chunk_mb: int,
@@ -725,7 +743,7 @@ class QCModel:
         if acc.total is None:
             from ..ops.stats import zero_stats
 
-            acc.add(zero_stats(self.max_read_len))
+            acc.add(zero_stats(self.max_read_len, self.track_quartiles))
         t = acc.total
         return QCReport(
             reads=int(t.reads),
@@ -742,6 +760,7 @@ class QCModel:
             mean_qual_hist=np.asarray(t.mean_qual_hist),
             per_pos_base_counts=np.asarray(t.per_pos_base_counts),
             per_pos_count=np.asarray(t.per_pos_count),
+            **self._quartile_report(acc),
             adapter_stats=(
                 {a: jax.tree.map(lambda x: np.asarray(x, np.int64), s)
                  for a, s in ad_totals.items() if s is not None}
@@ -749,6 +768,16 @@ class QCModel:
             **(self._dup_report(dup_hashes, dup_prefixes)
                if dup_hashes is not None else {}),
         )
+
+    def _quartile_report(self, acc) -> dict:
+        """quality_quartiles / per_pos_qual_hist report fields (empty dict
+        when the distribution was not tracked)."""
+        t = acc.total
+        if t is None or t.per_pos_qual_hist is None:
+            return {}
+        return dict(
+            quality_quartiles=acc.per_position_quality_quartiles(),
+            per_pos_qual_hist=np.asarray(t.per_pos_qual_hist))
 
     @staticmethod
     def _dup_report(dup_hashes, dup_prefixes) -> dict:

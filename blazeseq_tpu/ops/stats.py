@@ -47,16 +47,24 @@ class QCStats(NamedTuple):
     length_hist: jnp.ndarray  # i32 [LEN_BINS] reads by true length (clipped)
     gc_hist: jnp.ndarray  # i32 [GC_BINS] reads by GC%% of in-window bases
     mean_qual_hist: jnp.ndarray  # i32 [MAX_PHRED] reads by rounded mean Phred
+    # optional full per-position quality distribution [MAX_PHRED, L] —
+    # the mergeable form behind FastQC's per-base quality boxplot
+    # (median/quartiles/deciles need the distribution, not the sum). None
+    # when not tracked; jax pytrees treat None as an empty subtree, so
+    # merge/psum/accumulation all work unchanged either way.
+    per_pos_qual_hist: jnp.ndarray = None
 
     def merge(self, other: "QCStats") -> "QCStats":
         return jax.tree.map(lambda a, b: a + b, self, other)
 
 
-def zero_stats(max_len: int) -> QCStats:
+def zero_stats(max_len: int, qual_hist_2d: bool = False) -> QCStats:
     z = lambda *s: jnp.zeros(s, jnp.int32)
     return QCStats(z(), z(), z(5), z(5, max_len), z(max_len), z(max_len),
                    z(MAX_PHRED), z(), z(), z(LEN_BINS), z(GC_BINS),
-                   z(MAX_PHRED))
+                   z(MAX_PHRED),
+                   per_pos_qual_hist=(z(MAX_PHRED, max_len)
+                                      if qual_hist_2d else None))
 
 
 def _base_class(seq: jnp.ndarray) -> jnp.ndarray:
@@ -139,10 +147,12 @@ def row_histograms(gc, qsum, cnt, lengths, n_records):
             _one_hot_hist(mq_bin, MAX_PHRED))
 
 
-@functools.partial(jax.jit, static_argnames=("count_scalars", "row_stats"))
+@functools.partial(jax.jit, static_argnames=("count_scalars", "row_stats",
+                                              "qual_hist_2d"))
 def qc_stats(seq, qual, lengths, offset, n_records=None,
              error_codes=None, col_offset=0,
-             count_scalars: bool = True, row_stats: bool = True) -> QCStats:
+             count_scalars: bool = True, row_stats: bool = True,
+             qual_hist_2d: bool = False) -> QCStats:
     """Compute QCStats for one padded batch [n, L].
 
     `n_records` distinguishes genuine records from padding rows when the
@@ -173,14 +183,28 @@ def qc_stats(seq, qual, lengths, offset, n_records=None,
     per_pos_base = jnp.stack(per_pos_rows)  # [5, L]
     base_counts = jnp.sum(per_pos_base, axis=1, dtype=jnp.int32)
 
-    qual_hist = jnp.stack([
-        jnp.sum(phred_u8 == jnp.uint8(k), dtype=jnp.int32)
-        for k in range(MAX_PHRED)
-    ])
+    if qual_hist_2d:
+        # full per-position distribution: one compare+row-reduce per bin
+        # (scatter-free). The 1-D hist and the per-position sum are exact
+        # column/moment reductions of it — no extra passes for those.
+        pp_qual_hist = jnp.stack([
+            jnp.sum(phred_u8 == jnp.uint8(k), axis=0, dtype=jnp.int32)
+            for k in range(MAX_PHRED)
+        ])  # [MAX_PHRED, L]
+        qual_hist = jnp.sum(pp_qual_hist, axis=1, dtype=jnp.int32)
+        per_pos_qual_sum = jnp.sum(
+            pp_qual_hist * jnp.arange(MAX_PHRED, dtype=jnp.int32)[:, None],
+            axis=0, dtype=jnp.int32)
+    else:
+        pp_qual_hist = None
+        qual_hist = jnp.stack([
+            jnp.sum(phred_u8 == jnp.uint8(k), dtype=jnp.int32)
+            for k in range(MAX_PHRED)
+        ])
 
-    per_pos_qual_sum = jnp.sum(
-        jnp.where(mask, phred_u8, jnp.uint8(0)).astype(jnp.int32), axis=0,
-        dtype=jnp.int32)
+        per_pos_qual_sum = jnp.sum(
+            jnp.where(mask, phred_u8, jnp.uint8(0)).astype(jnp.int32), axis=0,
+            dtype=jnp.int32)
 
     gc = base_counts[1] + base_counts[2]
     err = (jnp.sum((error_codes != 0) & row_valid, dtype=jnp.int32)
@@ -210,6 +234,7 @@ def qc_stats(seq, qual, lengths, offset, n_records=None,
         length_hist=len_h,
         gc_hist=gc_h,
         mean_qual_hist=mq_h,
+        per_pos_qual_hist=pp_qual_hist,
     )
 
 
@@ -252,6 +277,28 @@ class QCAccumulator:
     def modal_read_length(self) -> int:
         """Most common read length (lengths >= LEN_BINS clip to the last bin)."""
         return int(np.argmax(self._tot.length_hist))
+
+    def per_position_quality_quartiles(
+            self, probs=(0.10, 0.25, 0.50, 0.75, 0.90)) -> np.ndarray:
+        """[len(probs), L] lower empirical percentiles per position from the
+        tracked distribution (FastQC per-base boxplot: deciles + quartiles +
+        median). Requires qual_hist_2d tracking (QCModel(track_quartiles=True));
+        positions with no in-window bases report 0."""
+        t = self._tot
+        if t.per_pos_qual_hist is None:
+            raise ValueError(
+                "per-position quality distribution was not tracked; "
+                "construct QCModel(track_quartiles=True) or call "
+                "qc_stats(qual_hist_2d=True)")
+        cum = np.cumsum(t.per_pos_qual_hist, axis=0)  # [MAX_PHRED, L]
+        n = cum[-1]
+        rows = []
+        for p in probs:
+            # inverse empirical CDF: smallest phred v with cdf(v) >= p
+            thresh = np.maximum(np.ceil(p * n).astype(np.int64), 1)
+            v = (cum < thresh[None, :]).sum(axis=0)
+            rows.append(np.where(n > 0, v, 0))
+        return np.stack(rows)
 
 
 def _add_padded(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -38,7 +38,7 @@ class QCAlignResult(NamedTuple):
 def _local_step(seq, qual, lengths, n_records, ref, q_lower, q_upper, offset,
                 *, axis_name: Optional[str], check_ascii: bool,
                 check_quality: bool, with_alignment: bool,
-                sp_axis: Optional[str] = None):
+                sp_axis: Optional[str] = None, qual_hist_2d: bool = False):
     # under 'sp' sharding this device holds columns
     # [sp_idx*L_local, (sp_idx+1)*L_local) of every record in its dp shard
     if sp_axis is not None:
@@ -63,7 +63,8 @@ def _local_step(seq, qual, lengths, n_records, ref, q_lower, q_upper, offset,
         n_local = n_records
     st = stats_ops.qc_stats(seq, qual, lengths, offset,
                             n_records=n_local, error_codes=codes,
-                            col_offset=col0, row_stats=sp_axis is None)
+                            col_offset=col0, row_stats=sp_axis is None,
+                            qual_hist_2d=qual_hist_2d)
     if sp_axis is not None:
         # per-read distribution panels need full rows: psum the per-read
         # partial reductions across position shards, then bin. Every sp
@@ -118,7 +119,8 @@ def _local_record_count(block: jnp.ndarray, n_records, axis_name):
 
 def build_qc_align_step(mesh: Optional[Mesh] = None, *,
                         check_ascii: bool = True, check_quality: bool = True,
-                        with_alignment: bool = True, axis_name: str = DP_AXIS):
+                        with_alignment: bool = True, axis_name: str = DP_AXIS,
+                        qual_hist_2d: bool = False):
     """Build the jitted (optionally mesh-sharded) analysis step.
 
     Returns fn(seq[n,L] u8, qual[n,L] u8, lengths[n] i32, n_records i32[],
@@ -126,7 +128,7 @@ def build_qc_align_step(mesh: Optional[Mesh] = None, *,
     -> QCAlignResult. With a mesh, n must be divisible by mesh size; inputs
     are sharded P('dp') on the record dim, ref and scalars replicated."""
     kw = dict(check_ascii=check_ascii, check_quality=check_quality,
-              with_alignment=with_alignment)
+              with_alignment=with_alignment, qual_hist_2d=qual_hist_2d)
     if mesh is None:
         return jax.jit(
             functools.partial(_local_step, axis_name=None, **kw))
@@ -147,7 +149,8 @@ def build_qc_align_step(mesh: Optional[Mesh] = None, *,
                            **kw)
     row_spec = P(axis_name)
     if sp is None:
-        stats_specs = jax.tree.map(lambda _: P(), stats_ops.zero_stats(1))
+        stats_specs = jax.tree.map(
+            lambda _: P(), stats_ops.zero_stats(1, qual_hist_2d))
         mat_spec = P(axis_name)
     else:
         # per-position leaves remain position-sharded over 'sp'
@@ -157,7 +160,8 @@ def build_qc_align_step(mesh: Optional[Mesh] = None, *,
             per_pos_qual_sum=P(sp),
             per_pos_count=P(sp),
             qual_hist=P(), gc_count=P(), error_reads=P(),
-            length_hist=P(), gc_hist=P(), mean_qual_hist=P())
+            length_hist=P(), gc_hist=P(), mean_qual_hist=P(),
+            per_pos_qual_hist=P(None, sp) if qual_hist_2d else None)
         mat_spec = P(axis_name, sp)
     sharded = shard_map(
         fn,

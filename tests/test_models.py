@@ -211,3 +211,70 @@ def test_nw_aligner_semiglobal_mode():
         b"@e\nGATTACA\n+\nIIIIIII\n")).next_batch(1)
     a = NWAligner(b"CCCC" + b"GATTACA" + b"TTTT", mode="semiglobal")
     assert a.score_batch(emb)[0] == 7
+
+
+def test_qc_model_quartiles_panel():
+    """track_quartiles=True: the per-position distribution must reproduce the
+    existing exact panels (1-D hist, per-position sum) and its percentiles
+    must match numpy oracles computed from the raw reads."""
+    n = 400
+    buf = bytes(bt.generate_synthetic_fastq_buffer(n, 40, 80, 2, 40,
+                                                   "sanger"))
+    base = QCModel(quality_schema="sanger", batch_size=128, max_read_len=128)
+    plain = base.run_reader(bt.MemoryReader(buf))
+    model = QCModel(quality_schema="sanger", batch_size=128,
+                    max_read_len=128, track_quartiles=True)
+    rep = model.run_reader(bt.MemoryReader(buf))
+
+    # derived-identity: the 2-D hist collapses to the exact 1-D panels
+    assert rep.reads == plain.reads and rep.bases == plain.bases
+    assert np.array_equal(rep.qual_hist, plain.qual_hist)
+    assert np.allclose(rep.per_position_mean_quality,
+                       plain.per_position_mean_quality)
+    h = np.asarray(rep.per_pos_qual_hist)
+    assert h.ndim == 2 and h.shape[0] == 64
+    assert int(h.sum()) == rep.bases
+    assert np.array_equal(h.sum(axis=1)[: len(plain.qual_hist)],
+                          np.asarray(plain.qual_hist)[: h.shape[0]])
+
+    # percentile oracle from the raw reads
+    reads = [r.quality_bytes() for r in
+             bt.FastqParser(bt.MemoryReader(buf)).records()]
+    width = max(len(q) for q in reads)
+    qq = np.asarray(rep.quality_quartiles)
+    assert qq.shape == (5, h.shape[1])
+    for pos in [0, 1, width // 2, width - 1]:
+        vals = np.sort([q[pos] - 33 for q in reads if len(q) > pos])
+        if not vals.size:
+            continue
+        for row, p in zip(qq, (0.10, 0.25, 0.50, 0.75, 0.90)):
+            k = max(int(np.ceil(p * vals.size)), 1) - 1
+            assert row[pos] == vals[k], (pos, p)
+
+    # to_dict carries the panel; the plain report does not
+    d = rep.to_dict()
+    assert set(d["quality_quartiles"]) == {"p10", "q1", "median", "q3",
+                                           "p90"}
+    assert "quality_quartiles" not in plain.to_dict()
+
+    # device pipeline gates the knob with a clear error
+    import tempfile, os
+    with tempfile.NamedTemporaryFile(suffix=".fastq", delete=False) as f:
+        f.write(buf)
+    try:
+        with pytest.raises(ValueError, match="quartiles"):
+            model.run_file_device(f.name)
+    finally:
+        os.unlink(f.name)
+
+
+def test_quartiles_html_panel(tmp_path):
+    from blazeseq_tpu.report import render_html
+
+    buf = bytes(bt.generate_synthetic_fastq_buffer(100, 30, 50, 2, 40,
+                                                   "sanger"))
+    rep = QCModel(quality_schema="sanger",
+                  track_quartiles=True).run_reader(bt.MemoryReader(buf))
+    html = render_html(rep)
+    assert "Per-position quality (percentiles)" in html
+    assert "median" in html

@@ -55,8 +55,12 @@ def dev_qc(buf, width, schema="sanger", check=True):
 
 def assert_stats_equal(h, d):
     for name in h._fields:
-        a = np.asarray(getattr(h, name), dtype=np.int64)
-        b = np.asarray(getattr(d, name), dtype=np.int64)
+        va, vb = getattr(h, name), getattr(d, name)
+        if va is None or vb is None:
+            assert va is None and vb is None, name
+            continue
+        a = np.asarray(va, dtype=np.int64)
+        b = np.asarray(vb, dtype=np.int64)
         assert np.array_equal(a, b), (name, a, b)
 
 
