@@ -35,10 +35,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_GBPS = 4.29  # reference views + ascii + quality validation
-# Most recent device-verified pipeline-B headline (driver artifact
-# BENCH_r02.json, TPU v5 lite via axon tunnel). Update whenever a healthy
-# device run lands; reported as last_device_value in degraded output.
-LAST_DEVICE_GBPS = 17.7
+# Most recent device-verified pipeline-B headline (TPU v5 lite via axon
+# tunnel, 2026-08-18: 2-D row-tiled chunk upload, ops/uniform_qc.py).
+# Update whenever a healthy device run lands; reported as
+# last_device_value in degraded output.
+LAST_DEVICE_GBPS = 41.0
 
 
 def _get_corpus(size_mb: int, read_len: int):
@@ -250,8 +251,12 @@ def main():
                 arr = np.zeros(csize, dtype=np.uint8)
                 arr[: b - a] = buf_np[a:b]
                 n_valid = (b - a) // lay.rs * lay.rs
-                chunks.append((jax.device_put(jnp.asarray(arr), dev),
-                               jnp.int32(n_valid)))
+                # 2-D [nrec, rs] upload: row-tiled device layout makes the
+                # kernel's column slices lane-regular (ops/uniform_qc.py;
+                # 17.9 -> 40 GB/s measured on v5e)
+                chunks.append((jax.device_put(
+                    jnp.asarray(arr.reshape(-1, lay.rs)), dev),
+                    jnp.int32(n_valid)))
 
             def uqc(c, n_valid):
                 ok, st = uniform_qc(
@@ -612,7 +617,7 @@ def main():
             jax.block_until_ready(step_i(jax.device_put(stage, dev),
                                          csize_i))  # compile
             t0 = time.perf_counter()
-            ing = OverlappedIngest(step_i, csize_i)
+            ing = OverlappedIngest(step_i, csize_i, row_bytes=lay_i.rs)
             n_reads_i = 0
             for a in range(0, len(sub) - csize_i + 1, csize_i):
                 b_ = ing.acquire()

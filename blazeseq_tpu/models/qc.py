@@ -208,7 +208,7 @@ class QCModel:
                         parallelism: int = 4) -> QCReport:
         """Pipeline B: raw bytes go straight to HBM and the TPU parses,
         validates, and computes QC under the uniform-layout template proof
-        in one fused pass (ops/uniform_qc.py) — ~18.5 GB/s/chip, no host
+        in one fused pass (ops/uniform_qc.py) — ~41 GB/s/chip, no host
         byte work and no intermediate SoA materialization. Any
         chunk that fails the proof, and everything after it, streams
         through the exact host engine instead, so the report is always
@@ -258,7 +258,8 @@ class QCModel:
         # the host engine resumes from the failed chunk's start.
         from ..parallel.ingest import OverlappedIngest
 
-        ing = OverlappedIngest(lambda c, nv: uqc(c, jnp.int32(nv)), csize)
+        ing = OverlappedIngest(lambda c, nv: uqc(c, jnp.int32(nv)), csize,
+                               row_bytes=lay.rs)
         acc = QCAccumulator()
         fail_pos = None
 
@@ -427,7 +428,8 @@ class QCModel:
     def _device_uqc(self, lay, width):
         """Build the jitted device step for a layout: the one-pass fused
         parse+validate+QC (ops/uniform_qc.py) — the padded SoA is never
-        materialized, ~18.5 GB/s/chip measured vs 16.7 for the two-stage
+        materialized, ~41 GB/s/chip measured (2-D row-tiled chunks) vs
+        16.7 for the two-stage
         uniform_parse + qc_stats it replaced."""
         from ..ops.uniform_qc import uniform_qc
 
@@ -524,7 +526,7 @@ class QCModel:
         # keep_bytes: the failure path below reads delivered chunks' buffer
         # contents (stream reconstruction), so buffers must outlive delivery
         ing = OverlappedIngest(lambda c, nv: uqc(c, jnp.int32(nv)), csize,
-                               keep_bytes=True)
+                               keep_bytes=True, row_bytes=lay.rs)
         pending = deque()  # dispatch-ordered (buf, fill, carry) per chunk
         fail_parts = None  # bytes of the stream the device did not consume
 
