@@ -424,8 +424,10 @@ def main():
         for a, b in zip(bounds, bounds[1:]):
             arr = np.zeros(shape, dtype=np.uint8)
             arr[: b - a] = rbuf_np[a:b]
-            rchunks.append((jax.device_put(jnp.asarray(arr), dev),
-                            jnp.int32(b - a)))
+            # 2-D [rows, K] upload: row-tiled resident layout (1.23 ->
+            # 1.87 GB/s on v5e; same cliff as the uniform kernel)
+            rchunks.append((jax.device_put(jnp.asarray(
+                arr.reshape(-1, K)), dev), jnp.int32(b - a)))
 
         def rqc(c, nv):
             r = ragged_qc(c, nv, width=max_len,

@@ -85,6 +85,22 @@ def _excl_scan(x):
     return inc - x
 
 
+def _flat_shift(x2, s, fill):
+    """Flattened right-shift by `s` of a row-major [T, K] array, kept 2-D:
+    y[t, k] = x[t, k-s] for k >= s, else x[t-1, K-s+k] (fill on row 0).
+
+    The ragged kernel's windowed-newline-count differences need flat shifts
+    of 1 and width+1; doing them as 2-D slice+concat keeps every operand on
+    the chunk's (8,128) row tiling — a .reshape(n) round-trip would drop
+    the whole dataflow to 1-D tiling and strided-gather column reads (the
+    2.2x layout cliff measured in docs/perf_roofline_uniform_qc.md).
+    Requires s <= K (true: shifts are <= width+1 <= K/2+1)."""
+    T, K = x2.shape
+    head = jnp.concatenate(
+        [jnp.full((1, s), fill, x2.dtype), x2[:-1, K - s:]], axis=0)
+    return jnp.concatenate([head, x2[:, : K - s]], axis=1)
+
+
 def _carry_prev(vals, m_t, B):
     """Previous-entry value for every slot of a [T, B] rank-compacted
     structure whose valid slots are the first m_t of each tile row.
@@ -160,7 +176,10 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
               check_quality: bool = True, slot_cap: int = _B) -> RaggedQC:
     """Parse+validate+QC a general FASTQ chunk on device.
 
-    chunk: u8[n] starting at a record boundary, zero-padded to a multiple of
+    chunk: u8[n] (or, preferred, u8[T, 2*round_up(width,128)] — the same
+    bytes uploaded 2-D so the device buffer carries XLA's (8,128) row
+    tiling; a free numpy reshape on the host, ~3x on the device step)
+    starting at a record boundary, zero-padded to a multiple of
     2*round_up(width, 128); n_valid: real byte count. Schema bounds static.
 
     Device tier bounds (reported via `fallback`, stats then untrusted):
@@ -180,11 +199,18 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
     """
     Wc = round_up(width, 128)
     K = 2 * Wc
-    n = chunk.shape[0]
-    assert n % K == 0, "pad chunk to a multiple of 2*round_up(width, 128)"
+    if chunk.ndim == 2:
+        assert chunk.shape[1] == K, \
+            "2-D chunk rows must be 2*round_up(width, 128) bytes"
+        r2 = chunk
+        T = chunk.shape[0]
+        n = T * K
+    else:
+        n = chunk.shape[0]
+        assert n % K == 0, "pad chunk to a multiple of 2*round_up(width, 128)"
+        T = n // K
+        r2 = chunk.reshape(T, K)
     B = int(slot_cap)
-    T = n // K
-    r2 = chunk.reshape(T, K)
     n_valid = n_valid.astype(jnp.int32)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1)
@@ -214,14 +240,11 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
     # preceding `width` bytes. Windowed newline count = difference of the
     # inclusive global newline count at i-1 and i-1-width; u16 wraparound
     # subtraction is exact because a width-window holds < 2^16 newlines.
-    g16 = (offs.astype(jnp.uint16)[:, None] + c16).reshape(n)
-    z1 = jnp.zeros((1,), jnp.uint16)
-    gm1 = jnp.concatenate([z1, g16[:-1]])
-    gmw = jnp.concatenate([jnp.zeros((width + 1,), jnp.uint16),
-                           g16[: n - width - 1]])
-    iota_n = jax.lax.iota(jnp.int32, n)
-    in_win = (((gm1 - gmw) != jnp.uint16(0)) | (iota_n < width)) \
-        .reshape(T, K)
+    # Both shifts stay 2-D (see _flat_shift) to preserve the row tiling.
+    g16 = offs.astype(jnp.uint16)[:, None] + c16
+    gm1 = _flat_shift(g16, 1, jnp.uint16(0))
+    gmw = _flat_shift(g16, width + 1, jnp.uint16(0))
+    in_win = ((gm1 - gmw) != jnp.uint16(0)) | (idx2 < width)
     seq_w = seq_m & in_win
     qual_w = qual_m & in_win
 
@@ -249,9 +272,7 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
         jnp.stack([ge[k] - ge[k + 1] for k in range(n_bins)]))
 
     # ---- validation flags -------------------------------------------------
-    nl_flat = nl.reshape(n)
-    prev_nl = jnp.concatenate(
-        [jnp.ones(1, dtype=bool), nl_flat[:-1]]).reshape(T, K)
+    prev_nl = _flat_shift(nl, 1, True)
     start_m = prev_nl & complete
     bad = jnp.any(start_m & (phase == 0) & (r2 != jnp.uint8(AT)))
     bad |= jnp.any(start_m & (phase == 2) & (r2 != jnp.uint8(PLUS)))

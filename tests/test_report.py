@@ -103,7 +103,7 @@ def test_cli_stats_html(tmp_path, corpus):
     r = subprocess.run(
         [sys.executable, "-m", "blazeseq_tpu", "stats", "--html", str(out),
          corpus],
-        capture_output=True, text=True, timeout=240)
+        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr
     assert out.exists() and "<svg" in out.read_text()
 

@@ -34,9 +34,13 @@ def _stub_names():
 
 
 def _runtime_names():
-    names = {n for n in vars(bt) if not n.startswith("_")}
-    names -= {"constants", "errors", "bed", "fai", "fasta", "fastq",
-              "features", "gff", "gtf", "io", "utils", "tracing", "native"}
+    import types
+
+    # vars(bt) accumulates submodule attributes as OTHER tests import them
+    # (importing blazeseq_tpu.report binds bt.report, etc.), so filter
+    # module objects generically instead of by a list that goes stale
+    names = {n for n, v in vars(bt).items()
+             if not n.startswith("_") and not isinstance(v, types.ModuleType)}
     # lazy __getattr__ modules are part of the public surface
     names |= {"ops", "parallel", "models"}
     return names
