@@ -170,10 +170,11 @@ def _corr(S, M_flat, Kc):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "q_lo", "q_hi", "offset", "check_ascii",
-                     "check_quality", "slot_cap"))
+                     "check_quality", "slot_cap", "_ablate"))
 def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
               offset: int, check_ascii: bool = True,
-              check_quality: bool = True, slot_cap: int = _B) -> RaggedQC:
+              check_quality: bool = True, slot_cap: int = _B,
+              _ablate: frozenset = frozenset()) -> RaggedQC:
     """Parse+validate+QC a general FASTQ chunk on device.
 
     chunk: u8[n] (or, preferred, u8[T, 2*round_up(width,128)] — the same
@@ -189,6 +190,11 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
       * <= `slot_cap` line ends per 2*round_up(width,128) tile
         (rank-compaction capacity: records below ~width/2 bytes overflow
         the default 12; QCModel sizes the cap from a host head-peek).
+
+    `_ablate` is a perf-diagnosis knob ONLY (benchmark/scripts/ab_ragged_qc
+    uses it to attribute device step time): members of
+    {"win", "corr", "vals", "hist"} skip that sub-engine and substitute
+    zeros, producing WRONG stats. Never set it in production code.
 
     Reads LONGER than `width` stay on device with the host engine's exact
     truncation semantics (ops/stats.qc_stats over a [n, width] padded
@@ -241,12 +247,15 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
     # inclusive global newline count at i-1 and i-1-width; u16 wraparound
     # subtraction is exact because a width-window holds < 2^16 newlines.
     # Both shifts stay 2-D (see _flat_shift) to preserve the row tiling.
-    g16 = offs.astype(jnp.uint16)[:, None] + c16
-    gm1 = _flat_shift(g16, 1, jnp.uint16(0))
-    gmw = _flat_shift(g16, width + 1, jnp.uint16(0))
-    in_win = ((gm1 - gmw) != jnp.uint16(0)) | (idx2 < width)
-    seq_w = seq_m & in_win
-    qual_w = qual_m & in_win
+    if "win" in _ablate:
+        seq_w, qual_w = seq_m, qual_m
+    else:
+        g16 = offs.astype(jnp.uint16)[:, None] + c16
+        gm1 = _flat_shift(g16, 1, jnp.uint16(0))
+        gmw = _flat_shift(g16, width + 1, jnp.uint16(0))
+        in_win = ((gm1 - gmw) != jnp.uint16(0)) | (idx2 < width)
+        seq_w = seq_m & in_win
+        qual_w = qual_m & in_win
 
     # ---- global panels (qc_stats truncation semantics) --------------------
     # bases = TRUE lengths; composition/quality panels = in-window bytes only
@@ -262,6 +271,8 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
     n_bins = min(q_hi - offset, MAX_PHRED - 1) + 1 if check_quality \
         else MAX_PHRED
     n_bins = max(1, min(n_bins, MAX_PHRED))
+    if "hist" in _ablate:
+        n_bins = 1
     # cumulative ge-trick off raw quality bytes (see ops/uniform_qc.py)
     qm_b = jnp.where(qual_w, r2, jnp.uint8(0))  # 0 < offset always
     ge = [qual_bytes]
@@ -288,14 +299,18 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
     # the cumulative sums, so slot differences are windowed sums
     cg = seq_w & ((upper == jnp.uint8(ord("C")))
                   | (upper == jnp.uint8(ord("G"))))
-    c_cg = jnp.cumsum(cg.astype(jnp.uint16), axis=1)
     # u8->i32 phred arithmetic: the all-u8 form miscompiles on fused strided
     # producers (ops/stats._masked_phred has the full story)
     ph_i = jnp.clip(r2.astype(jnp.int32) - offset, 0, MAX_PHRED - 1)
     ph_i = jnp.where(qual_w, ph_i, 0)
-    if 63 * K <= 65535:
+    if "vals" in _ablate:
+        c_cg = jnp.zeros((T, K), jnp.uint16)
+        c_ph = jnp.zeros((T, K), jnp.uint16)
+    elif 63 * K <= 65535:
+        c_cg = jnp.cumsum(cg.astype(jnp.uint16), axis=1)
         c_ph = jnp.cumsum(ph_i.astype(jnp.uint16), axis=1)
     else:
+        c_cg = jnp.cumsum(cg.astype(jnp.uint16), axis=1)
         c_ph = jnp.cumsum(ph_i, axis=1)
     offs_cg = _excl_scan(c_cg[:, -1].astype(jnp.int32))
     offs_ph = _excl_scan(c_ph[:, -1].astype(jnp.int32))
@@ -382,16 +397,20 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
     # ---- per-position panels: MXU cross-correlations ----------------------
     Tc = n // Wc
     resh = lambda x: x.reshape(Tc, Wc)
-    sstart = resh(start_m & (phase == 1) & (~nl)).astype(jnp.int8)
-    qstart = resh(start_m & (phase == 3) & (~nl)).astype(jnp.int8)
-    seq_chans = [resh(seq_w & (upper == jnp.uint8(b))).astype(jnp.int8)
-                 for b in _BASES] + [resh(seq_w).astype(jnp.int8)]
-    M_seq = jnp.concatenate(seq_chans, axis=1)        # [Tc, 5*Wc]
-    M_q = resh(ph_i).astype(jnp.int8)                  # phred 0..63 fits i8
-    G1s, G2s = _corr(sstart, M_seq, Wc)
-    G1q, G2q = _corr(qstart, M_q, Wc)
-    d_seq = _diag_sums(G1s, G2s, Wc, 5, width)         # [5, width]
-    d_q = _diag_sums(G1q, G2q, Wc, 1, width)[0]        # [width]
+    if "corr" in _ablate:
+        d_seq = jnp.zeros((5, width), jnp.int32)
+        d_q = jnp.zeros((width,), jnp.int32)
+    else:
+        sstart = resh(start_m & (phase == 1) & (~nl)).astype(jnp.int8)
+        qstart = resh(start_m & (phase == 3) & (~nl)).astype(jnp.int8)
+        seq_chans = [resh(seq_w & (upper == jnp.uint8(b))).astype(jnp.int8)
+                     for b in _BASES] + [resh(seq_w).astype(jnp.int8)]
+        M_seq = jnp.concatenate(seq_chans, axis=1)        # [Tc, 5*Wc]
+        M_q = resh(ph_i).astype(jnp.int8)                 # phred 0..63 i8
+        G1s, G2s = _corr(sstart, M_seq, Wc)
+        G1q, G2q = _corr(qstart, M_q, Wc)
+        d_seq = _diag_sums(G1s, G2s, Wc, 5, width)        # [5, width]
+        d_q = _diag_sums(G1q, G2q, Wc, 1, width)[0]       # [width]
 
     # zero the provably-empty lag region (see the tier-bound comment): any
     # cross-record leakage lands at lags >= min_gap >= max_line only
