@@ -9,8 +9,11 @@ are lane-regular. This script answers whether the same move pays for the
 ragged engine, whose every mask/cumsum is a column-wise op over [T, K].
 
 Usage: python benchmark/scripts/ab_ragged_qc.py [SIZE_MB]
-Env: AB_WIDTH (default 128 -> K=256), AB_ABLATE=1 adds sub-engine timings
-     (requires the kernel's _parts hook).
+Env: AB_WIDTH (default 128 -> K=256), AB_ABLATE=1 adds sub-engine ablation
+     timings on the 2-D layout: each of the kernel's `_ablate` members
+     ({"win", "corr", "vals", "hist"}) is skipped in turn (stats then WRONG
+     by design); full-step minus ablated-step attributes time to that
+     sub-engine.
 
 Slope-timed (drain N, drain 3N, divide the difference) because on
 relay-attached devices block_until_ready can return early; see
@@ -80,6 +83,9 @@ def main():
     # one chunk = the whole (padded) corpus; cut at the last record end
     data = np.frombuffer(buf, np.uint8)
     nl = np.flatnonzero(data == 10)
+    if len(nl) < 4:
+        raise SystemExit("corpus has <1 complete record (%d newlines); "
+                         "raise SIZE_MB" % len(nl))
     tail = int(nl[len(nl) - len(nl) % 4 - 1] + 1) if len(nl) % 4 else \
         int(nl[-1] + 1)
     total = -(-tail // K) * K
@@ -87,7 +93,7 @@ def main():
     arr[:tail] = data[:tail]
     nv = jnp.int32(tail)
 
-    def make(shape2d):
+    def make(shape2d, ablate=frozenset()):
         host = arr.reshape(-1, K) if shape2d else arr
         c = jax.device_put(jnp.asarray(host), dev)
 
@@ -95,7 +101,8 @@ def main():
             return ragged_qc(c, nv, width=width,
                              q_lo=int(SANGER_SCHEMA.LOWER),
                              q_hi=int(SANGER_SCHEMA.UPPER),
-                             offset=int(SANGER_SCHEMA.OFFSET))
+                             offset=int(SANGER_SCHEMA.OFFSET),
+                             _ablate=ablate)
         return step
 
     ref = None
@@ -116,6 +123,21 @@ def main():
         per = slope(step)
         print("%s: %.3f ms/step = %.2f GB/s  (%d records)"
               % (name, per * 1e3, tail / per / 1e9, reads))
+        if two_d:
+            full_per = per
+
+    if os.environ.get("AB_ABLATE", "0") == "1":
+        # sub-engine attribution by subtraction: skip one engine at a time
+        # (stats intentionally wrong), full - ablated ~= that engine's cost.
+        # Combined rows bound interaction/fusion effects.
+        for members in (("win",), ("corr",), ("vals",), ("hist",),
+                        ("vals", "hist"), ("win", "corr", "vals", "hist")):
+            step = make(True, ablate=frozenset(members))
+            step()  # compile
+            per = slope(step)
+            print("2d -{%s}: %.3f ms/step = %.2f GB/s (d=%.3f ms)"
+                  % (",".join(members), per * 1e3, tail / per / 1e9,
+                     (full_per - per) * 1e3))
 
 
 if __name__ == "__main__":

@@ -306,12 +306,12 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
     if "vals" in _ablate:
         c_cg = jnp.zeros((T, K), jnp.uint16)
         c_ph = jnp.zeros((T, K), jnp.uint16)
-    elif 63 * K <= 65535:
-        c_cg = jnp.cumsum(cg.astype(jnp.uint16), axis=1)
-        c_ph = jnp.cumsum(ph_i.astype(jnp.uint16), axis=1)
     else:
         c_cg = jnp.cumsum(cg.astype(jnp.uint16), axis=1)
-        c_ph = jnp.cumsum(ph_i, axis=1)
+        # u16 phred cumsum is exact only when a full tile of max-phred
+        # bytes cannot overflow (63*K <= 65535); otherwise stay i32
+        c_ph = jnp.cumsum(ph_i.astype(jnp.uint16) if 63 * K <= 65535
+                          else ph_i, axis=1)
     offs_cg = _excl_scan(c_cg[:, -1].astype(jnp.int32))
     offs_ph = _excl_scan(c_ph[:, -1].astype(jnp.int32))
 
