@@ -562,6 +562,94 @@ def main():
                          min(inf_gbps, b2_gbps) if b2_gbps else inf_gbps),
                       file=sys.stderr)
 
+    # ---- stage M: multi-core scaling sweep (count / feed / inflate) -------
+    # parallel/feed.py's shard-parallel feed and the pinflate worker pool
+    # claim multi-worker wins that a 1-vCPU box cannot show. On hosts with
+    # >= 2 cores this stage sweeps worker counts and prints the scaling
+    # table (counts cross-checked per cell); on 1 core it prints the skip,
+    # so the first run on a real multi-core TPU host produces the table
+    # automatically. Reference row to beat: gzip with 4 rapidgzip threads,
+    # 0.42 GB/s (assets/parser_gzip.png; BASELINE.md).
+    ncpu = os.cpu_count() or 1
+    if os.environ.get("BENCH_MULTICORE", "1") != "1":
+        print("# stage M skipped (disabled)", file=sys.stderr)
+    elif ncpu < 2:
+        print("# stage M skipped: 1 core (on an N-core host this sweeps "
+              "workers 1,2,4..N over parallel count(), the shard-parallel "
+              "padded feed, and the gzip inflate pool)", file=sys.stderr)
+    elif corpus_path is None:
+        print("# stage M skipped (no corpus file)", file=sys.stderr)
+    elif time.perf_counter() - _T0 > float(
+            os.environ.get("BENCH_B2_BUDGET_S", "420")):
+        print("# stage M skipped (budget)", file=sys.stderr)
+    else:
+        from blazeseq_tpu.io.readers import open_reader as _open_reader_m
+        from blazeseq_tpu.parallel.feed import (parallel_count,
+                                                parallel_padded_batches)
+
+        sweep, w = [], 1
+        while w < ncpu:
+            sweep.append(w)
+            w *= 2
+        if sweep[-1] != ncpu:
+            sweep.append(ncpu)
+
+        def best2(fn):
+            b = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                ok_m = fn()
+                dt = time.perf_counter() - t0
+                if not ok_m:
+                    return None
+                b = dt if b is None else min(b, dt)
+            return b
+
+        rows = []
+        for w in sweep:
+            dt = best2(lambda: parallel_count(
+                corpus_path, workers=w, config=cfg) == (reads, bases))
+            rows.append("count w=%d %.2f" % (w, total_bytes / dt / 1e9)
+                        if dt else "count w=%d MISMATCH" % w)
+        for w in sweep:
+            def feed_w():
+                r_m = b_m = 0
+                for _sid, pb in parallel_padded_batches(
+                        corpus_path, workers=w, max_records=16384,
+                        max_len=max_len, pad_records_to=16384, config=cfg,
+                        reuse_buffers=True):
+                    r_m += pb.n_records
+                    b_m += int(np.asarray(pb.lengths[: pb.n_records],
+                                          dtype=np.int64).sum())
+                return (r_m, b_m) == (reads, bases)
+            dt = best2(feed_w)
+            rows.append("feed w=%d %.2f" % (w, total_bytes / dt / 1e9)
+                        if dt else "feed w=%d MISMATCH" % w)
+        import glob as _glob
+        gz_candidates = sorted(_glob.glob(
+            "/tmp/blazeseq_bench_*mb_*bp.fastq.gz"), key=os.path.getsize)
+        if gz_candidates:
+            gz_m = gz_candidates[-1]
+            scratch_m = bytearray(8 << 20)
+            for w in sweep:
+                got_m = 0
+
+                def inflate_w():
+                    nonlocal got_m
+                    rd = _open_reader_m(gz_m, parallelism=w)
+                    got_m = 0
+                    while True:
+                        k = rd.readinto(memoryview(scratch_m))
+                        if k == 0:
+                            return True
+                        got_m += k
+                dt = best2(inflate_w)
+                rows.append("inflate w=%d %.2f" % (w, got_m / dt / 1e9))
+        else:
+            rows.append("inflate skipped (no gz corpus; stage G builds it)")
+        print("# stage M (GB/s, %d cores): %s" % (ncpu, " | ".join(rows)),
+              file=sys.stderr)
+
     # ---- stage I: overlapped ingest (feed | transfer | kernel) ------------
     # The sustained pipeline-B rate WITH bytes actually arriving: host fill
     # -> device_put -> fused parse-QC, overlapped through

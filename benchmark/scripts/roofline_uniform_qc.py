@@ -49,29 +49,44 @@ def main():
     dev = jax.devices()[0]
     print("# device:", dev, file=sys.stderr)
     total = len(buf) // lay.rs * lay.rs
-    c = jax.device_put(jnp.asarray(np.frombuffer(buf, np.uint8)[:total]),
-                       dev)
+    host = np.frombuffer(buf, np.uint8)[:total]
+    c1 = jax.device_put(jnp.asarray(host), dev)
+    # production layout since r4: 2-D [nrec, rs] upload (row-tiled resident)
+    c2 = jax.device_put(jnp.asarray(host.reshape(-1, lay.rs)), dev)
     nv = jnp.int32(total)
     width = ((read_len + 127) // 128) * 128
     off = int(SANGER_SCHEMA.OFFSET)
 
-    def make(q_hi, mxu):
+    def make(q_hi, mxu, chunk=None, ablate=frozenset()):
+        cc = c2 if chunk is None else chunk
+
         def step():
             ok, st = uniform_qc(
-                c, nv, rs=lay.rs, o1=lay.o1, o2=lay.o2, o3=lay.o3,
+                cc, nv, rs=lay.rs, o1=lay.o1, o2=lay.o2, o3=lay.o3,
                 width=width, q_lo=int(SANGER_SCHEMA.LOWER), q_hi=q_hi,
-                offset=off, mxu_sums=mxu)
+                offset=off, mxu_sums=mxu, _ablate=ablate)
             return st
         return step
 
+    q_hi = int(SANGER_SCHEMA.UPPER)
     variants = [
-        ("full_ge_vpu_64bin", make(int(SANGER_SCHEMA.UPPER), False)),
-        ("ablate_hist_2bin", make(off + 1, False)),
-        ("full_mxu_sums", make(int(SANGER_SCHEMA.UPPER), True)),
+        ("full_2d (production)", make(q_hi, False)),
+        ("full_1d (pre-r4 layout)", make(q_hi, False, chunk=c1)),
+        ("full_mxu_sums_2d", make(q_hi, True)),
     ]
-    print("| configuration | ms/step (%d MB) | GB/s | implied HBM B/B |"
-          % size_mb)
-    print("|---|---|---|---|")
+    # sub-engine attribution by subtraction on the production 2-D step:
+    # skip one logical pass at a time (stats intentionally WRONG);
+    # full - ablated ~= that pass's cost. The final row is the leftover.
+    for members in (("proof",), ("perpos",), ("gcread",), ("qsum",),
+                    ("hist",), ("perread",),
+                    ("proof", "perpos", "gcread", "qsum", "hist",
+                     "perread")):
+        variants.append(("2d -{%s}" % ",".join(members),
+                         make(q_hi, False, ablate=frozenset(members))))
+    print("| configuration | ms/step (%d MB) | GB/s | implied HBM B/B "
+          "| d vs full (ms) |" % size_mb)
+    print("|---|---|---|---|---|")
+    full_per = None
     for name, step in variants:
         _ = int(step().reads)  # compile + drain
 
@@ -90,9 +105,12 @@ def main():
             t2 = drain(15)
             p = (t2 - t1) / 10
             per = p if per is None else min(per, p)
+        if full_per is None:
+            full_per = per
         gbps = total / per / 1e9
-        print("| %s | %.2f | %.2f | %.1f |"
-              % (name, per * 1e3, gbps, HBM_GBPS / gbps))
+        print("| %s | %.2f | %.2f | %.1f | %.2f |"
+              % (name, per * 1e3, gbps, HBM_GBPS / gbps,
+                 (full_per - per) * 1e3))
 
 
 if __name__ == "__main__":

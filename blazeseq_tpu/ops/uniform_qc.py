@@ -44,11 +44,12 @@ _BASES = b"ACGT"
 @functools.partial(
     jax.jit,
     static_argnames=("rs", "o1", "o2", "o3", "width", "check_ascii",
-                     "check_quality", "q_lo", "q_hi", "offset", "mxu_sums"))
+                     "check_quality", "q_lo", "q_hi", "offset", "mxu_sums",
+                     "_ablate"))
 def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
                width: int, q_lo: int, q_hi: int, offset: int,
                check_ascii: bool = True, check_quality: bool = True,
-               mxu_sums: bool = False):
+               mxu_sums: bool = False, _ablate: frozenset = frozenset()):
     """Parse+validate+QC a uniform-layout chunk in one fused XLA step.
 
     chunk: u8[n] with n % rs == 0, or u8[nrec, rs] (caller pads; padded
@@ -61,6 +62,13 @@ def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
     compile per layout+schema). Returns (template_ok bool[], stats
     QCStats); stats are only meaningful when template_ok — a rejected
     chunk goes to the byte-exact host path.
+
+    `_ablate` is a perf-diagnosis knob ONLY (the roofline breakdown script
+    benchmark/scripts/roofline_uniform_qc.py uses it to attribute step
+    time): members of {"proof", "perpos", "gcread", "qsum", "hist",
+    "perread"} skip that logical pass (P1 / P2 / P3 / P4 / P5 / the
+    per-read one-hot histograms) and substitute zeros, producing WRONG
+    results. Never set it in production code; ignored under mxu_sums.
     """
     if chunk.ndim == 2:
         assert chunk.shape[1] == rs, "2-D chunk must be [nrec, rs]"
@@ -74,6 +82,8 @@ def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
     n_bins = min(q_hi - offset, MAX_PHRED - 1) + 1 if check_quality \
         else MAX_PHRED
     n_bins = max(1, min(n_bins, MAX_PHRED))
+    if "hist" in _ablate:
+        n_bins = 1
 
     r2 = chunk if chunk.ndim == 2 else chunk.reshape(nrec, rs)
     nrec_valid = (n_valid // rs).astype(jnp.int32)
@@ -86,17 +96,21 @@ def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
     # row-major form keeps XLA's emitters in a single fused loop over r2
     # (measured 15.3ms vs 22ms per 256 MB on v5e for the whole step).
     col = jax.lax.broadcasted_iota(jnp.int32, (1, rs), 1)
-    tmpl = (col == o1) | (col == o2) | (col == o3) | (col == rs - 1)
-    bad = (r2 == jnp.uint8(NEWLINE)) != tmpl
-    if check_ascii:
-        bad |= r2 > jnp.uint8(127)
-    if check_quality:
-        in_qual_full = (col >= o3 + 1) & (col < rs - 1)
-        bad |= in_qual_full & ((r2 < jnp.uint8(q_lo)) | (r2 > jnp.uint8(q_hi)))
-    bad_rows = jnp.any(bad, axis=1, keepdims=True)
-    bad_rows |= (r2[:, 0:1] != jnp.uint8(AT)) \
-        | (r2[:, o2 + 1:o2 + 2] != jnp.uint8(PLUS))
-    template_ok = ~jnp.any(bad_rows & row_valid)
+    if "proof" in _ablate:
+        template_ok = jnp.array(True)
+    else:
+        tmpl = (col == o1) | (col == o2) | (col == o3) | (col == rs - 1)
+        bad = (r2 == jnp.uint8(NEWLINE)) != tmpl
+        if check_ascii:
+            bad |= r2 > jnp.uint8(127)
+        if check_quality:
+            in_qual_full = (col >= o3 + 1) & (col < rs - 1)
+            bad |= in_qual_full & ((r2 < jnp.uint8(q_lo))
+                                   | (r2 > jnp.uint8(q_hi)))
+        bad_rows = jnp.any(bad, axis=1, keepdims=True)
+        bad_rows |= (r2[:, 0:1] != jnp.uint8(AT)) \
+            | (r2[:, o2 + 1:o2 + 2] != jnp.uint8(PLUS))
+        template_ok = ~jnp.any(bad_rows & row_valid)
 
     # --- stats on the in-window column slices -----------------------------
     s_tile = r2[:, o1 + 1:o1 + 1 + cnt]
@@ -154,15 +168,24 @@ def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
         if raw_q_sums:
             qs_read = jnp.where(row_valid[:, 0], qs_read - offset * cnt, 0)
     else:
-        per_pos = []
-        for b in _BASES:
-            m = (upper == jnp.uint8(b)) & row_valid
-            per_pos.append(jnp.sum(m, axis=0, dtype=jnp.int32))
-        gc_read = jnp.sum((upper == jnp.uint8(ord("C")))
-                          | (upper == jnp.uint8(ord("G"))), axis=1,
-                          dtype=jnp.int32)  # [nrec] (invalid rows masked)
+        if "perpos" in _ablate:
+            per_pos = [jnp.zeros((cnt,), jnp.int32) for _ in _BASES]
+        else:
+            per_pos = []
+            for b in _BASES:
+                m = (upper == jnp.uint8(b)) & row_valid
+                per_pos.append(jnp.sum(m, axis=0, dtype=jnp.int32))
+        if "gcread" in _ablate:
+            gc_read = jnp.zeros((nrec,), jnp.int32)
+        else:
+            gc_read = jnp.sum((upper == jnp.uint8(ord("C")))
+                              | (upper == jnp.uint8(ord("G"))), axis=1,
+                              dtype=jnp.int32)  # [nrec] (invalid rows masked)
 
-        if raw_q_sums:
+        if "qsum" in _ablate:
+            per_pos_qual = jnp.zeros((cnt,), jnp.int32)
+            qs_read = jnp.zeros((nrec,), jnp.int32)
+        elif raw_q_sums:
             qs32 = qm.astype(jnp.int32)
             per_pos_qual = jnp.sum(qs32, axis=0) - offset * nrec_valid
             qs_read = jnp.where(
@@ -196,15 +219,20 @@ def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
     rv1 = row_valid[:, 0]
     # binning semantics identical to ops/stats.py row_histograms with
     # cnt == min(seq_len, width) (static, > 0)
-    gc_bin = jnp.where(rv1, (200 * gc_read + cnt) // (2 * cnt), -1)
-    mq_bin = jnp.where(
-        rv1, jnp.minimum((2 * qs_read + cnt) // (2 * cnt), MAX_PHRED - 1), -1)
-    bins_g = jnp.arange(GC_BINS, dtype=jnp.int32)
-    gc_hist = jnp.sum(gc_bin[:, None] == bins_g[None, :], axis=0,
-                      dtype=jnp.int32)
-    bins_m = jnp.arange(MAX_PHRED, dtype=jnp.int32)
-    mq_hist = jnp.sum(mq_bin[:, None] == bins_m[None, :], axis=0,
-                      dtype=jnp.int32)
+    if "perread" in _ablate:
+        gc_hist = jnp.zeros(GC_BINS, jnp.int32)
+        mq_hist = jnp.zeros(MAX_PHRED, jnp.int32)
+    else:
+        gc_bin = jnp.where(rv1, (200 * gc_read + cnt) // (2 * cnt), -1)
+        mq_bin = jnp.where(
+            rv1, jnp.minimum((2 * qs_read + cnt) // (2 * cnt),
+                             MAX_PHRED - 1), -1)
+        bins_g = jnp.arange(GC_BINS, dtype=jnp.int32)
+        gc_hist = jnp.sum(gc_bin[:, None] == bins_g[None, :], axis=0,
+                          dtype=jnp.int32)
+        bins_m = jnp.arange(MAX_PHRED, dtype=jnp.int32)
+        mq_hist = jnp.sum(mq_bin[:, None] == bins_m[None, :], axis=0,
+                          dtype=jnp.int32)
 
     # --- assemble ----------------------------------------------------------
     w = width
