@@ -226,9 +226,14 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
 
     nl = (r2 == jnp.uint8(NEWLINE)) & valid
     nl_u8 = nl.astype(jnp.uint8)
-    c16 = jnp.cumsum(nl.astype(jnp.uint16), axis=1)  # exact per-tile count
-    c_nl = c16.astype(jnp.uint8)              # u8 wrap ≡ exact mod 4
-    m_t = c16[:, -1].astype(jnp.int32)
+    # u8 per-tile inclusive newline count: wrap mod 256 is exact for every
+    # consumer — phase needs it mod 4 only; slot ranks only matter below
+    # slot_cap <= 96 (a tile with >= 256 newlines has m_t > B and the whole
+    # chunk reports `fallback`, m_t being an exact i32 reduce); the window
+    # difference below subtracts counts <= width+1 <= K/2+1 apart. Halves
+    # the census traffic vs the previous u16 cumsum.
+    c_nl = jnp.cumsum(nl_u8, axis=1, dtype=jnp.uint8)
+    m_t = jnp.sum(nl, axis=1, dtype=jnp.int32)
     offs = _excl_scan(m_t)                    # newlines before tile t
     offs_u8 = offs.astype(jnp.uint8)[:, None]
 
@@ -244,91 +249,94 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
     # Truncation window: a byte is in-window iff its offset within its line
     # is < width, i.e. a newline (or the chunk start) lies within the
     # preceding `width` bytes. Windowed newline count = difference of the
-    # inclusive global newline count at i-1 and i-1-width; u16 wraparound
-    # subtraction is exact because a width-window holds < 2^16 newlines.
-    # Both shifts stay 2-D (see _flat_shift) to preserve the row tiling.
+    # inclusive global newline count at i-1 and i-1-width; wraparound
+    # subtraction is exact because a width-window holds <= width+1
+    # newlines, so u8 counts suffice whenever width+1 < 256 (u16
+    # otherwise). Both shifts stay 2-D (see _flat_shift) to preserve the
+    # row tiling.
     if "win" in _ablate:
         seq_w, qual_w = seq_m, qual_m
     else:
-        g16 = offs.astype(jnp.uint16)[:, None] + c16
-        gm1 = _flat_shift(g16, 1, jnp.uint16(0))
-        gmw = _flat_shift(g16, width + 1, jnp.uint16(0))
-        in_win = ((gm1 - gmw) != jnp.uint16(0)) | (idx2 < width)
+        if width + 1 < 256:
+            gw = offs_u8 + c_nl
+        else:
+            gw = offs.astype(jnp.uint16)[:, None] \
+                + jnp.cumsum(nl.astype(jnp.uint16), axis=1)
+        gm1 = _flat_shift(gw, 1, gw.dtype.type(0))
+        gmw = _flat_shift(gw, width + 1, gw.dtype.type(0))
+        in_win = ((gm1 - gmw) != gw.dtype.type(0)) | (idx2 < width)
         seq_w = seq_m & in_win
         qual_w = qual_m & in_win
 
-    # ---- global panels (qc_stats truncation semantics) --------------------
-    # bases = TRUE lengths; composition/quality panels = in-window bytes only
     upper = r2 & jnp.uint8(0xDF)
-    acgt = [jnp.sum(seq_w & (upper == jnp.uint8(b)), dtype=jnp.int32)
-            for b in _BASES]
-    bases = jnp.sum(seq_m, dtype=jnp.int32)
-    win_bases = jnp.sum(seq_w, dtype=jnp.int32)
-    base_counts = jnp.stack(acgt + [win_bases - sum(acgt)])
-    reads = jnp.sum(rec_end, dtype=jnp.int32)
-    qual_bytes = jnp.sum(qual_w, dtype=jnp.int32)
-
-    n_bins = min(q_hi - offset, MAX_PHRED - 1) + 1 if check_quality \
-        else MAX_PHRED
-    n_bins = max(1, min(n_bins, MAX_PHRED))
-    if "hist" in _ablate:
-        n_bins = 1
-    # cumulative ge-trick off raw quality bytes (see ops/uniform_qc.py)
-    qm_b = jnp.where(qual_w, r2, jnp.uint8(0))  # 0 < offset always
-    ge = [qual_bytes]
-    ge += [jnp.sum(qm_b >= jnp.uint8(offset + k), dtype=jnp.int32)
-           for k in range(1, n_bins)]
-    ge.append(jnp.zeros((), jnp.int32))
-    qual_hist = jnp.zeros(MAX_PHRED, jnp.int32).at[:n_bins].set(
-        jnp.stack([ge[k] - ge[k + 1] for k in range(n_bins)]))
 
     # ---- validation flags -------------------------------------------------
     prev_nl = _flat_shift(nl, 1, True)
     start_m = prev_nl & complete
-    bad = jnp.any(start_m & (phase == 0) & (r2 != jnp.uint8(AT)))
-    bad |= jnp.any(start_m & (phase == 2) & (r2 != jnp.uint8(PLUS)))
+    # one fused flag mask + a single any-reduction (separate jnp.any calls
+    # each re-walked the chunk when XLA declined to merge them)
+    bad_m = start_m & (phase == 0) & (r2 != jnp.uint8(AT))
+    bad_m |= start_m & (phase == 2) & (r2 != jnp.uint8(PLUS))
     if check_ascii:
-        bad |= jnp.any(valid & complete & ((r2 & jnp.uint8(0x80)) > 0))
+        bad_m |= valid & complete & ((r2 & jnp.uint8(0x80)) > 0)
     if check_quality:
-        bad |= jnp.any(qual_m & ((r2 < jnp.uint8(q_lo))
-                                 | (r2 > jnp.uint8(q_hi))))
+        bad_m |= qual_m & ((r2 < jnp.uint8(q_lo)) | (r2 > jnp.uint8(q_hi)))
+    bad = jnp.any(bad_m)
 
     # ---- per-line slot compaction ----------------------------------------
     # windowed masks here give per-read GC/mean-quality over each line's
-    # first `width` bytes for free: bytes past the window contribute 0 to
-    # the cumulative sums, so slot differences are windowed sums
+    # first `width` bytes for free: bytes past the window contribute 0, so
+    # per-segment sums are windowed sums
     cg = seq_w & ((upper == jnp.uint8(ord("C")))
                   | (upper == jnp.uint8(ord("G"))))
     # u8->i32 phred arithmetic: the all-u8 form miscompiles on fused strided
-    # producers (ops/stats._masked_phred has the full story)
+    # producers (ops/stats._masked_phred has the full story); arithmetic in
+    # i32, then a cast — phred fits u8 and halves/quarters the traffic
     ph_i = jnp.clip(r2.astype(jnp.int32) - offset, 0, MAX_PHRED - 1)
-    ph_i = jnp.where(qual_w, ph_i, 0)
-    if "vals" in _ablate:
-        c_cg = jnp.zeros((T, K), jnp.uint16)
-        c_ph = jnp.zeros((T, K), jnp.uint16)
-    else:
-        c_cg = jnp.cumsum(cg.astype(jnp.uint16), axis=1)
-        # u16 phred cumsum is exact only when a full tile of max-phred
-        # bytes cannot overflow (63*K <= 65535); otherwise stay i32
-        c_ph = jnp.cumsum(ph_i.astype(jnp.uint16) if 63 * K <= 65535
-                          else ph_i, axis=1)
-    offs_cg = _excl_scan(c_cg[:, -1].astype(jnp.int32))
-    offs_ph = _excl_scan(c_ph[:, -1].astype(jnp.int32))
+    ph_u8 = jnp.where(qual_w, ph_i, 0).astype(jnp.uint8)
 
+    # Per-line values via DIRECT per-tile segment sums (replaces the r4 u16
+    # running-cumsum + slot-difference design: two [T, K] cumsums and their
+    # slot reads were ~27%% of the step). A byte's segment rank within its
+    # tile is its exclusive newline count c_nl - nl; the line ending at the
+    # newline of rank b sums segment b, plus — for b == 0 — the carried
+    # tail segments of the immediately preceding newline-free run of tiles
+    # (one associative segmented-sum scan per value, O(T) elements).
+    seg = c_nl - nl_u8
+    m_u8 = m_t.astype(jnp.uint8)[:, None]
     rank = (c_nl - jnp.uint8(1))  # rank of a newline within its tile
-    pos_s, cg_s, ph_s = [], [], []
-    for b in range(B):
-        m_b = nl & (rank == jnp.uint8(b))
-        pos_s.append(jnp.sum(jnp.where(m_b, col, 0), axis=1,
-                             dtype=jnp.int32))
-        cg_s.append(jnp.sum(jnp.where(m_b, c_cg, jnp.uint16(0))
-                            .astype(jnp.int32), axis=1))
-        ph_s.append(jnp.sum(jnp.where(m_b, c_ph, c_ph.dtype.type(0))
-                            .astype(jnp.int32), axis=1))
+    if "vals" in _ablate:
+        cg_v = jnp.zeros((T, K), jnp.uint8)
+        ph_v = jnp.zeros((T, K), jnp.uint8)
+    else:
+        cg_v = cg.astype(jnp.uint8)
+        ph_v = ph_u8
+
+    def seg_sums(vals_u8):
+        cols = [jnp.sum(jnp.where(seg == jnp.uint8(b), vals_u8, 0),
+                        axis=1, dtype=jnp.int32) for b in range(B)]
+        tail_v = jnp.sum(jnp.where(seg == m_u8, vals_u8, 0),
+                         axis=1, dtype=jnp.int32)
+        # carried-in partial-line sum: segmented scan over (has-newline,
+        # tail-sum) — a tile with a newline restarts the run
+        has = m_t > 0
+
+        def comb(a, b2):
+            ah, av = a
+            bh, bv = b2
+            return ah | bh, bv + jnp.where(bh, 0, av)
+
+        _, run = jax.lax.associative_scan(comb, (has, tail_v))
+        carry_in = jnp.concatenate([jnp.zeros((1,), jnp.int32), run[:-1]])
+        seg0 = jnp.stack(cols, axis=1)
+        return seg0.at[:, 0].add(carry_in)
+
+    pos_s = [jnp.sum(jnp.where(nl & (rank == jnp.uint8(b)), col, 0),
+                     axis=1, dtype=jnp.int32) for b in range(B)]
     pos_slot = jnp.stack(pos_s, axis=1) + (jnp.arange(T, dtype=jnp.int32)
                                            * K)[:, None]
-    cg_slot = jnp.stack(cg_s, axis=1) + offs_cg[:, None]
-    ph_slot = jnp.stack(ph_s, axis=1) + offs_ph[:, None]
+    line_cg = seg_sums(cg_v)
+    line_ph = seg_sums(ph_v)
 
     bcol = jax.lax.broadcasted_iota(jnp.int32, (T, B), 1)
     l_idx = offs[:, None] + bcol                      # global line index
@@ -339,13 +347,9 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
     p2 = _carry_prev(p1, m_t, B)
     p3 = _carry_prev(p2, m_t, B)
     p4 = _carry_prev(p3, m_t, B)
-    pcg = _carry_prev(cg_slot, m_t, B)
-    pph = _carry_prev(ph_slot, m_t, B)
     p1e = jnp.where(l_idx == 0, -1, p1)
 
     line_len = pos_slot - p1e - 1
-    line_cg = cg_slot - jnp.where(l_idx == 0, 0, pcg)
-    line_ph = ph_slot - jnp.where(l_idx == 0, 0, pph)
 
     e_r1 = entry & (role == 1)
     e_r3 = entry & (role == 3)
@@ -373,44 +377,83 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
         | (min_gap < jnp.minimum(max_line, jnp.int32(width)))
 
     # ---- per-read histograms on the slot structure ------------------------
-    flat = lambda x: x.reshape(-1)
-    lens_f = flat(jnp.where(e_r1, jnp.minimum(line_len, LEN_BINS - 1), -1))
+    # Binned values fit u16 (lengths clip to LEN_BINS-1) / u8 (GC%% <= 100,
+    # mean phred <= 63); invalid slots carry an out-of-range sentinel. The
+    # one-hot compare then runs in packed sub-32-bit lanes, and the first
+    # accumulation stage stays u8 (a tile row holds B <= slot_cap <= 255
+    # slots, so per-(tile, bin) counts cannot wrap).
+    lens_b = jnp.where(e_r1, jnp.minimum(line_len, LEN_BINS - 1),
+                       0xFFFF).astype(jnp.uint16)
     # GC%/mean-quality are over the in-window bases (host row_histograms
     # semantics: cnt = min(true length, width)); length_hist stays TRUE
     eff_len = jnp.minimum(line_len, jnp.int32(width))
     safe_len = jnp.maximum(eff_len, 1)
-    gcb_f = flat(jnp.where(e_r1 & (line_len > 0),
-                           (200 * line_cg + eff_len) // (2 * safe_len), -1))
-    mqb_f = flat(jnp.where(
+    gcb_b = jnp.where(e_r1 & (line_len > 0),
+                      (200 * line_cg + eff_len) // (2 * safe_len),
+                      0xFF).astype(jnp.uint8)
+    mqb_b = jnp.where(
         e_r3 & (line_len > 0),
         jnp.minimum((2 * line_ph + eff_len) // (2 * safe_len),
-                    MAX_PHRED - 1), -1))
+                    MAX_PHRED - 1), 0xFF).astype(jnp.uint8)
 
-    def onehot_hist(v, nb):
-        bins = jnp.arange(nb, dtype=jnp.int32)
+    def onehot_hist(v2d, nb):
+        # narrow-dtype compares (packed lanes), flat i32 accumulation —
+        # the measured-fast shape on v5e (staged u8 partials lose)
+        bins = jnp.arange(nb, dtype=v2d.dtype)
+        v = v2d.reshape(-1)
         return jnp.sum(v[:, None] == bins[None, :], axis=0, dtype=jnp.int32)
 
-    length_hist = onehot_hist(lens_f, LEN_BINS)
-    gc_hist = onehot_hist(gcb_f, GC_BINS)
-    mq_hist = onehot_hist(mqb_f, MAX_PHRED)
+    length_hist = onehot_hist(lens_b, LEN_BINS)
+    gc_hist = onehot_hist(gcb_b, GC_BINS)
+    mq_hist = onehot_hist(mqb_b, MAX_PHRED)
+
+    # ---- global panels (qc_stats truncation semantics) --------------------
+    # bases/length_hist use TRUE lengths; composition/quality panels cover
+    # in-window bytes. The r4 design burned five full-[T, K] masked
+    # reductions here; each is a tiny [T, B] slot reduction instead, and
+    # the A/C/G/T composition comes free below as row sums of the corr
+    # per-position panels.
+    reads = jnp.sum(e_r3, dtype=jnp.int32)
+    bases = jnp.sum(jnp.where(e_r1, line_len, 0), dtype=jnp.int32)
+    win_bases = jnp.sum(jnp.where(e_r1, eff_len, 0), dtype=jnp.int32)
+    qual_bytes = jnp.sum(jnp.where(e_r3, eff_len, 0), dtype=jnp.int32)
+
+    # Phred histogram: cumulative ge-trick off raw quality bytes (see
+    # ops/uniform_qc.py); flat u8-compare + i32 reduce — staged u8/u16
+    # partial accumulation measured slower on v5e
+    n_bins = min(q_hi - offset, MAX_PHRED - 1) + 1 if check_quality \
+        else MAX_PHRED
+    n_bins = max(1, min(n_bins, MAX_PHRED))
+    if "hist" in _ablate:
+        n_bins = 1
+    qm_b = jnp.where(qual_w, r2, jnp.uint8(0))  # 0 < offset always
+    ge = [qual_bytes]
+    ge += [jnp.sum(qm_b >= jnp.uint8(offset + k), dtype=jnp.int32)
+           for k in range(1, n_bins)]
+    ge.append(jnp.zeros((), jnp.int32))
+    qual_hist = jnp.zeros(MAX_PHRED, jnp.int32).at[:n_bins].set(
+        jnp.stack([ge[k] - ge[k + 1] for k in range(n_bins)]))
 
     # ---- per-position panels: MXU cross-correlations ----------------------
-    Tc = n // Wc
-    resh = lambda x: x.reshape(Tc, Wc)
+    # Operands stay in the chunk's native [T, K] layout: lags < width <= K
+    # land in the same row or spill exactly one row (G2 covers it), so no
+    # [Tc, Wc] reshape is needed — the r4 design's per-channel reshapes
+    # were physical tile-relayout copies that broke XLA's fusion of the
+    # mask math into the concat write (measured ~3x on this sub-engine).
     if "corr" in _ablate:
         d_seq = jnp.zeros((5, width), jnp.int32)
         d_q = jnp.zeros((width,), jnp.int32)
     else:
-        sstart = resh(start_m & (phase == 1) & (~nl)).astype(jnp.int8)
-        qstart = resh(start_m & (phase == 3) & (~nl)).astype(jnp.int8)
-        seq_chans = [resh(seq_w & (upper == jnp.uint8(b))).astype(jnp.int8)
-                     for b in _BASES] + [resh(seq_w).astype(jnp.int8)]
-        M_seq = jnp.concatenate(seq_chans, axis=1)        # [Tc, 5*Wc]
-        M_q = resh(ph_i).astype(jnp.int8)                 # phred 0..63 i8
-        G1s, G2s = _corr(sstart, M_seq, Wc)
-        G1q, G2q = _corr(qstart, M_q, Wc)
-        d_seq = _diag_sums(G1s, G2s, Wc, 5, width)        # [5, width]
-        d_q = _diag_sums(G1q, G2q, Wc, 1, width)[0]       # [width]
+        sstart = (start_m & (phase == 1) & (~nl)).astype(jnp.int8)
+        qstart = (start_m & (phase == 3) & (~nl)).astype(jnp.int8)
+        seq_chans = [(seq_w & (upper == jnp.uint8(b))).astype(jnp.int8)
+                     for b in _BASES] + [seq_w.astype(jnp.int8)]
+        M_seq = jnp.concatenate(seq_chans, axis=1)        # [T, 5*K]
+        M_q = ph_u8.astype(jnp.int8)                      # phred 0..63 i8
+        G1s, G2s = _corr(sstart, M_seq, K)
+        G1q, G2q = _corr(qstart, M_q, K)
+        d_seq = _diag_sums(G1s, G2s, K, 5, width)         # [5, width]
+        d_q = _diag_sums(G1q, G2q, K, 1, width)[0]        # [width]
 
     # zero the provably-empty lag region (see the tier-bound comment): any
     # cross-record leakage lands at lags >= min_gap >= max_line only
@@ -421,6 +464,11 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
     per_pos_count = d_seq[4]
     per_pos_base = jnp.concatenate(
         [d_seq[:4], (per_pos_count - jnp.sum(d_seq[:4], axis=0))[None, :]])
+    # global composition = row sums of the per-position panels (exact
+    # in-tier: lags past max_line are zeroed above and provably empty)
+    acgt_tot = jnp.sum(d_seq[:4], axis=1)
+    base_counts = jnp.concatenate(
+        [acgt_tot, (win_bases - jnp.sum(acgt_tot))[None]])
 
     stats = QCStats(
         reads=reads,

@@ -208,6 +208,13 @@ def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
     # phred 0, and the cap at 63 only ever ADDS to >= k counts, matching
     # q >= OFFSET + k exactly for k <= 63). ge[0] is the free in-window
     # count. 2 uint8 ops per bin, no decode chain in the loop.
+    # NOTE (r5, measured): the flat u8-compare + i32 reduce IS the fast
+    # form — staged u8/u16 partial accumulation (per-row or row-group)
+    # measured 1.7x-50x SLOWER on v5e (cross-lane reduces / reshape
+    # relayouts), and the in-kernel hist already runs at the dense-array
+    # bound (docs/perf_roofline_uniform_qc.md). The remaining lever is
+    # n_bins itself: binned-quality corpora (NovaSeq 4-level) compile with
+    # q_hi of the OBSERVED max and skip most of P5.
     ge = [nrec_valid * jnp.int32(cnt)]
     ge += [jnp.sum(qm >= jnp.uint8(offset + k), dtype=jnp.int32)
            for k in range(1, n_bins)]
