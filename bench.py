@@ -349,6 +349,7 @@ def main():
                   file=sys.stderr)
 
 
+    r_gbps = rhost_gbps = norm_gbps = nrm_e2e_gbps = 0.0
     # ---- stage R: ragged device parse on a variable-id corpus -------------
     # The general-tier engine (ops/ragged_qc.py): realistic coordinate-id
     # headers + mixed read lengths, which the uniform template can never
@@ -469,6 +470,79 @@ def main():
                   "GB/s on variable-id corpus (%d records %d base_pairs)"
                   % (r_gbps, rhost_gbps, rr, rb_), file=sys.stderr)
         del rchunks
+
+        # ---- stage R2: semi-uniform tier (fixed L, variable ids) ---------
+        # Fixed read length + variable coordinate ids is the REALISTIC
+        # Illumina shape — the one the uniform template rejects. It routes
+        # through host id-normalization (native bs_normalize_semi_uniform:
+        # ids padded to a fixed stride at memcpy speed, shardable across
+        # cores) into the uniform one-pass kernel. Components: host
+        # normalize rate and the end-to-end wall through
+        # QCModel.run_file_device (normalize | transfer | kernel
+        # overlapped); the device leg is the B2 headline kernel itself.
+        from blazeseq_tpu import native as _nat
+        from blazeseq_tpu.models import QCModel as _QCM
+
+        n2cache = "/tmp/blazeseq_bench_varid_fixL_%dmb.fastq" % rsize_mb
+        if os.environ.get("BENCH_CACHE", "1") == "1" \
+                and os.path.exists(n2cache):
+            with open(n2cache, "rb") as f:
+                nbuf = f.read()
+        else:
+            n_n2 = bt.compute_num_reads_for_size(
+                rsize_mb << 20, read_len, read_len) * 160 // 190
+            nbuf = bytes(bt.generate_variable_id_fastq_buffer(
+                n_n2, read_len, read_len, 2, 40, "sanger", seed=11))
+            try:
+                with open(n2cache, "wb") as f:
+                    f.write(nbuf)
+            except OSError:
+                pass
+        if not os.path.exists(n2cache):
+            n2cache = "/tmp/blazeseq_bench_varid_fixL_tmp.fastq"
+            with open(n2cache, "wb") as f:
+                f.write(nbuf)
+        nbuf_np = np.frombuffer(nbuf, dtype=np.uint8)
+        exp_n = int(np.sum(nbuf_np == 10)) // 4  # 4 newlines per record
+        peek_n = _QCM._peek_semi_uniform(nbuf_np)
+        if peek_n is None:
+            print("# stage R2 skipped (corpus not semi-uniform)",
+                  file=sys.stderr)
+        else:
+            L_n, idw_n = peek_n
+            rs_n = idw_n + 2 * L_n + 6
+            span = min(len(nbuf), 256 << 20)
+            dst_n = np.empty((span // (2 * L_n + 7) + 2) * rs_n, np.uint8)
+            best_n = None
+            c_n = 0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _n, c_n = _nat.normalize_semi_uniform(
+                    nbuf_np[:span], 0, dst_n, idw_n, L_n)
+                dt = time.perf_counter() - t0
+                best_n = dt if best_n is None else min(best_n, dt)
+            norm_gbps = c_n / best_n / 1e9
+            del dst_n
+            m_n = _QCM(quality_schema="sanger", max_read_len=max_len)
+            t0 = time.perf_counter()
+            rep_n = m_n.run_file_device(
+                n2cache,
+                chunk_mb=int(os.environ.get("BENCH_RAW_CHUNK_MB", "256")))
+            nrm_e2e_gbps = len(nbuf) / (time.perf_counter() - t0) / 1e9
+            if (rep_n.reads, rep_n.bases) != (exp_n, exp_n * read_len):
+                print("# stage R2: COUNT MISMATCH (%d,%d) vs (%d,%d)"
+                      % (rep_n.reads, rep_n.bases, exp_n,
+                         exp_n * read_len), file=sys.stderr)
+                norm_gbps = nrm_e2e_gbps = 0.0
+            else:
+                print("# stage R2: host id-normalize %.2f GB/s | uniform "
+                      "kernel %.2f GB/s | steady-state min %.2f | e2e wall "
+                      "(incl. tunnel transfer) %.2f GB/s (%d records %d "
+                      "base_pairs)"
+                      % (norm_gbps, b2_gbps,
+                         min(norm_gbps, b2_gbps) if b2_gbps else norm_gbps,
+                         nrm_e2e_gbps, rep_n.reads, rep_n.bases),
+                      file=sys.stderr)
 
     # ---- stage G: gzip -> parallel inflate -> device parse-QC, end to end -
     # The reference's gzip benchmark row is a 1 GB .fastq.gz parsed in
@@ -825,6 +899,10 @@ def main():
             "device_uniform_qc": round(b2_gbps, 3),
             "device_padded_qc": round(b_gbps, 3),
             "gzip_device_e2e": round(g_gbps, 3),
+            "ragged_device": round(r_gbps, 3),
+            "ragged_host_feed": round(rhost_gbps, 3),
+            "varid_normalize_host": round(norm_gbps, 3),
+            "varid_normalized_e2e": round(nrm_e2e_gbps, 3),
         },
     }))
 

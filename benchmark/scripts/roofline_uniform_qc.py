@@ -83,9 +83,14 @@ def main():
                      "perread")):
         variants.append(("2d -{%s}" % ",".join(members),
                          make(q_hi, False, ablate=frozenset(members))))
+    only = os.environ.get("AB_ONLY", "")
+    if only:
+        # keep the full-2d row (the delta baseline) plus the filtered set
+        variants = [variants[0]] + [
+            (n, s) for n, s in variants[1:] if only in n]
     print("| configuration | ms/step (%d MB) | GB/s | implied HBM B/B "
-          "| d vs full (ms) |" % size_mb)
-    print("|---|---|---|---|---|")
+          "| d vs full (ms) |" % size_mb, flush=True)
+    print("|---|---|---|---|---|", flush=True)
     full_per = None
     for name, step in variants:
         _ = int(step().reads)  # compile + drain
@@ -110,7 +115,7 @@ def main():
         gbps = total / per / 1e9
         print("| %s | %.2f | %.2f | %.1f | %.2f |"
               % (name, per * 1e3, gbps, HBM_GBPS / gbps,
-                 (full_per - per) * 1e3))
+                 (full_per - per) * 1e3), flush=True)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+from .. import native
 from ..constants import DEFAULT_BATCH_SIZE, TPU_LANE
 from ..fastq.parser import FastqParser, ParserConfig
 from ..fastq.quality import QualitySchema, parse_schema
@@ -243,6 +244,11 @@ class QCModel:
             return self.run_reader(reader)
         lay = detect_uniform_layout(data)
         if lay is None or lay.rs > chunk_mb << 19:
+            # semi-uniform tier first (fixed L, ragged ids -> normalize to
+            # the uniform kernel); general ragged tier when it declines
+            rep = self._run_normalized_mmap(data, chunk_mb)
+            if rep is not None:
+                return rep
             return self._run_ragged_mmap(data, chunk_mb)
         total = len(data)
         csize = max((chunk_mb << 20) // lay.rs, 1) * lay.rs
@@ -291,9 +297,14 @@ class QCModel:
         if fail_pos is not None:
             # The template proof failed mid-file (head looked uniform, the
             # rest is not — or bytes are invalid). fail_pos is a proven
-            # record boundary, so the general ragged device engine takes
-            # the remainder; IT falls back to the exact host engine for
-            # anything outside its tier (including truly invalid bytes).
+            # record boundary, so the semi-uniform tier (then the general
+            # ragged engine) takes the remainder; those fall back to the
+            # exact host engine for anything outside their tiers
+            # (including truly invalid bytes).
+            rep = self._run_normalized_mmap(data[fail_pos:], chunk_mb,
+                                            acc=acc)
+            if rep is not None:
+                return rep
             return self._run_ragged_mmap(data[fail_pos:], chunk_mb, acc=acc)
         if pos < total:
             # trailing partial record (or no provable boundary): exact host
@@ -340,6 +351,120 @@ class QCModel:
         min_span = int(np.diff(rec_ends).min())
         slot_cap = 4 * (K // max(min_span, 8) + 2) + 4
         return int(min(max(12, slot_cap), 96))
+
+    @staticmethod
+    def _peek_semi_uniform(data, head_bytes=1 << 16, margin=16):
+        """(L, idw) for the semi-uniform tier from a host peek at the
+        corpus head: fixed seq/qual length L, bare '+' separators, id text
+        up to idw bytes (max observed + margin). A pure sizing hint — the
+        normalizer re-checks every record byte-wise and the device
+        template proof re-verifies every produced chunk, so correctness
+        never depends on the peek. Returns None when the head is not
+        semi-uniform (mixed lengths, '+' with text, malformed)."""
+        head = np.asarray(data[: min(len(data), head_bytes)])
+        nl = np.flatnonzero(head == 10)
+        k = len(nl) // 4
+        if k < 1:
+            return None
+        id_nl = nl[0:4 * k:4]
+        seq_nl = nl[1:4 * k:4]
+        sep_nl = nl[2:4 * k:4]
+        qual_nl = nl[3:4 * k:4]
+        starts = np.empty(k, np.int64)
+        starts[0] = 0
+        starts[1:] = qual_nl[:-1] + 1
+        L = int(seq_nl[0] - id_nl[0] - 1)
+        if L <= 0:
+            return None
+        ok = head[starts] == ord("@")
+        ok &= (seq_nl - id_nl - 1) == L
+        ok &= (sep_nl - seq_nl) == 2
+        ok &= head[np.minimum(seq_nl + 1, len(head) - 1)] == ord("+")
+        ok &= (qual_nl - sep_nl - 1) == L
+        if not ok.all():
+            return None
+        return L, int((id_nl - starts - 1).max()) + margin
+
+    def _run_normalized_mmap(self, data, chunk_mb: int, acc=None):
+        """Pipeline B, semi-uniform tier: real corpora are overwhelmingly
+        FIXED read length with VARIABLE-width ids (coordinate headers) —
+        the one shape the uniform template rejects but the 40 GB/s uniform
+        kernel could serve. The host rewrites each record's id line to a
+        fixed stride at memcpy speed (native bs_normalize_semi_uniform,
+        trailing-space padding — QC reads no id bytes) directly into the
+        overlapped-ingest staging buffers; the device runs the one-pass
+        uniform parse+validate+QC on the normalized chunks.
+
+        Exactness: the device template proof re-verifies every produced
+        chunk; a proof failure re-routes the REMAINDER from that chunk's
+        original record boundary to the general ragged tier (which itself
+        falls back to the exact host engine). A normalizer bail mid-file
+        (an id wider than the peeked bound, a read-length change) re-peeks
+        and continues with the new layout when possible — so block-wise
+        mixed-length corpora stay on this tier per block.
+
+        Returns None when the corpus head is not semi-uniform."""
+        from ..parallel.ingest import OverlappedIngest
+
+        peek = self._peek_semi_uniform(data)
+        if peek is None:
+            return None
+        L, idw = peek
+        total = len(data)
+        pos = 0
+        if acc is None:
+            acc = QCAccumulator()
+        from ..ops.uniform_parse import UniformLayout
+
+        while pos < total:
+            rs = idw + 2 * L + 6
+            if rs > (chunk_mb << 19):
+                break  # record bigger than half a chunk: not this tier
+            lay = UniformLayout(rs=rs, o1=idw + 1, o2=idw + 2 + L,
+                                o3=idw + 4 + L)
+            uqc = self._device_uqc(lay, self.max_read_len)
+            csize = max((chunk_mb << 20) // rs, 1) * rs
+            ing = OverlappedIngest(
+                lambda c, nv, _u=uqc: _u(c, jnp.int32(nv)), csize,
+                row_bytes=rs)
+            fail_orig = None
+
+            def consume(ready):
+                nonlocal fail_orig
+                for meta, (ok, st) in ready:
+                    if fail_orig is not None:
+                        continue
+                    if bool(ok):
+                        acc.add(st)
+                    else:
+                        fail_orig = meta  # chunk's ORIGINAL start offset
+            stalled = False
+            while pos < total and fail_orig is None:
+                buf = ing.acquire()
+                nrec, consumed = native.normalize_semi_uniform(
+                    data, pos, buf, idw, L)
+                if nrec == 0:
+                    stalled = True
+                    break
+                consume(ing.feed(buf, nrec * rs, meta=pos))
+                pos = consumed
+            consume(ing.drain())
+            if fail_orig is not None:
+                pos = fail_orig
+                break  # device rejected: remainder leaves this tier
+            if stalled and pos < total:
+                peek2 = self._peek_semi_uniform(data[pos:])
+                if peek2 is None:
+                    break
+                L2, idw2 = peek2
+                if L2 == L and idw2 <= idw:
+                    break  # no progress possible: stop re-peeking
+                L, idw = L2, max(idw2, idw if L2 == L else idw2)
+                continue
+            break
+        if pos >= total:
+            return self._report_from_acc(acc)
+        return self._run_ragged_mmap(data[pos:], chunk_mb, acc=acc)
 
     def _run_ragged_mmap(self, data, chunk_mb: int, acc=None) -> QCReport:
         """Pipeline B, general tier: device-parse a non-uniform mmap'd file

@@ -126,6 +126,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bs_serialize_fastq.argtypes = [
         p_u8, p_i64, p_i64, p_u8, p_u8, p_i64, p_i64, i64, p_u8, i64,
     ]
+    lib.bs_normalize_semi_uniform.restype = i64
+    lib.bs_normalize_semi_uniform.argtypes = [
+        p_u8, i64, i64, p_u8, i64, i64, i64, p_i64,
+    ]
     _lib = lib
     return _lib
 
@@ -314,6 +318,77 @@ def scan_fastq(
     return _scan_fastq_np(
         window, start, max_records, check_ascii, check_quality, q_lower, q_upper
     )
+
+
+def normalize_semi_uniform(window: np.ndarray, start: int, out: np.ndarray,
+                           idw: int, L: int):
+    """Rewrite the semi-uniform FASTQ region `window[start:]` (fixed
+    seq/qual length L, bare '+' separators, id text <= idw bytes) into
+    `out` as a UNIFORM layout with stride rs = idw + 2*L + 6, ids padded
+    with trailing spaces. Mirrors bs_normalize_semi_uniform (scan.cpp):
+    stops at the first non-matching record, a partial tail, or when `out`
+    is full. Returns (records_written, src_bytes_consumed); consumed is a
+    record boundary. The space padding is QC-invisible (no stat reads id
+    bytes) and the device template proof re-verifies the produced bytes,
+    so a false accept only costs a chunk fallback, never exactness."""
+    lib = _load()
+    if lib is not None:
+        consumed = ctypes.c_int64(0)
+        count = lib.bs_normalize_semi_uniform(
+            _ptr_u8(window), len(window), start, _ptr_u8(out), len(out),
+            idw, L, ctypes.byref(consumed))
+        return int(count), int(consumed.value)
+    return _normalize_semi_uniform_np(window, start, out, idw, L)
+
+
+def _normalize_semi_uniform_np(window: np.ndarray, start: int,
+                               out: np.ndarray, idw: int, L: int):
+    """Vectorized numpy twin of bs_normalize_semi_uniform: groups newlines
+    in fours (valid while every prior record is a well-formed 4-line
+    record — the cut at the first mismatch keeps the grouping
+    self-consistent) and gathers id/seq/qual rows into the padded
+    layout."""
+    rs = idw + 2 * L + 6
+    cap = len(out) // rs
+    sub = window[start:]
+    nl = np.flatnonzero(sub == 10)
+    k = len(nl) // 4
+    if k == 0 or cap == 0:
+        return 0, start
+    id_nl = nl[0:4 * k:4]
+    seq_nl = nl[1:4 * k:4]
+    sep_nl = nl[2:4 * k:4]
+    qual_nl = nl[3:4 * k:4]
+    starts = np.empty(k, np.int64)
+    starts[0] = 0
+    starts[1:] = qual_nl[:-1] + 1
+    okm = sub[starts] == ord("@")
+    okm &= (id_nl - starts - 1) <= idw
+    okm &= (seq_nl - id_nl - 1) == L
+    okm &= (sep_nl - seq_nl) == 2
+    okm &= sub[np.minimum(seq_nl + 1, len(sub) - 1)] == ord("+")
+    okm &= (qual_nl - sep_nl - 1) == L
+    bad = np.flatnonzero(~okm)
+    count = int(bad[0]) if len(bad) else k
+    count = min(count, cap)
+    if count == 0:
+        return 0, start
+    o = out[: count * rs].reshape(count, rs)
+    o[:, 0] = ord("@")
+    idlen = (id_nl - starts - 1)[:count, None]
+    idx_id = starts[:count, None] + 1 + np.arange(idw)[None, :]
+    o[:, 1:1 + idw] = np.where(np.arange(idw)[None, :] < idlen,
+                               sub[np.minimum(idx_id, len(sub) - 1)], 32)
+    o[:, idw + 1] = 10
+    o[:, idw + 2:idw + 2 + L] = sub[id_nl[:count, None] + 1
+                                    + np.arange(L)[None, :]]
+    o[:, idw + 2 + L] = 10
+    o[:, idw + 3 + L] = ord("+")
+    o[:, idw + 4 + L] = 10
+    o[:, idw + 5 + L:idw + 5 + 2 * L] = sub[sep_nl[:count, None] + 1
+                                            + np.arange(L)[None, :]]
+    o[:, idw + 5 + 2 * L] = 10
+    return count, start + int(qual_nl[count - 1] + 1)
 
 
 def _scan_fastq_np(

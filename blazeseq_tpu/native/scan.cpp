@@ -1809,4 +1809,57 @@ int64_t bs_serialize_fastq(const uint8_t* ids, const int64_t* id_starts,
   return p - out;
 }
 
+// Normalize a semi-uniform FASTQ region — fixed seq/qual length L, bare
+// '+' separator, variable id-line widths (id text <= idw bytes) — into a
+// UNIFORM layout: each record rewritten as
+//   '@' id <spaces to idw> '\n' seq[L] '\n' '+' '\n' qual[L] '\n'
+// with fixed stride rs = idw + 2*L + 6. The trailing-space id padding is
+// QC-invisible (no stat reads id bytes) and ASCII-clean; the device
+// template proof re-verifies the produced layout byte-for-byte, so a
+// false accept here (e.g. a short seq line whose byte at offset L happens
+// to be '\n') only costs a chunk fallback, never exactness.
+//
+// Stops at the first record that does not match (id too wide, seq/qual
+// length != L, '+' line not bare, partial tail) or when dst is full.
+// Returns the record count written to dst; *consumed = src bytes consumed
+// (a record boundary).
+int64_t bs_normalize_semi_uniform(const uint8_t* src, int64_t n,
+                                  int64_t start, uint8_t* dst,
+                                  int64_t dst_cap, int64_t idw, int64_t L,
+                                  int64_t* consumed) {
+  const int64_t rs = idw + 2 * L + 6;
+  int64_t p = start;
+  uint8_t* out = dst;
+  uint8_t* const dend = dst + dst_cap;
+  int64_t count = 0;
+  while (p < n && out + rs <= dend) {
+    if (src[p] != '@') break;
+    const int64_t id_span = (n - p - 1) < (idw + 1) ? (n - p - 1) : (idw + 1);
+    if (id_span <= 0) break;
+    const void* nl = std::memchr(src + p + 1, '\n', (size_t)id_span);
+    if (!nl) break;
+    const int64_t idl = (const uint8_t*)nl - (src + p);  // '@' + id text
+    const int64_t s = p + idl + 1;
+    if (s + L >= n || src[s + L] != '\n') break;
+    const int64_t sep = s + L + 1;
+    if (sep + 1 >= n || src[sep] != '+' || src[sep + 1] != '\n') break;
+    const int64_t q = sep + 2;
+    if (q + L >= n || src[q + L] != '\n') break;
+    std::memcpy(out, src + p, (size_t)idl);
+    std::memset(out + idl, ' ', (size_t)(idw + 1 - idl));
+    out[idw + 1] = '\n';
+    std::memcpy(out + idw + 2, src + s, (size_t)L);
+    out[idw + 2 + L] = '\n';
+    out[idw + 3 + L] = '+';
+    out[idw + 4 + L] = '\n';
+    std::memcpy(out + idw + 5 + L, src + q, (size_t)L);
+    out[idw + 5 + 2 * L] = '\n';
+    out += rs;
+    p = q + L + 1;
+    ++count;
+  }
+  *consumed = p;
+  return count;
+}
+
 }  // extern "C"
