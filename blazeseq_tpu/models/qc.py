@@ -207,6 +207,24 @@ class QCModel:
 
     def run_file_device(self, path, chunk_mb: int = 256,
                         parallelism: int = 4) -> QCReport:
+        """See _run_file_device_once; this wrapper adds the adaptive-
+        histogram contract: device chunks run with Phred bins capped at
+        the head-peeked max quality byte (the dominant kernel pass is
+        linear in bin count — binned-quality corpora run ~2-3x faster),
+        and a nonzero sentinel bin in the final report triggers ONE exact
+        full-bin re-run, so the result never depends on the peek."""
+        self._hist_his = set()
+        rep = self._run_file_device_once(path, chunk_mb, parallelism,
+                                         adaptive=True)
+        if any(self._hist_overflows(rep, h) for h in self._hist_his):
+            self._hist_his = set()
+            rep = self._run_file_device_once(path, chunk_mb, parallelism,
+                                             adaptive=False)
+        return rep
+
+    def _run_file_device_once(self, path, chunk_mb: int = 256,
+                              parallelism: int = 4,
+                              adaptive: bool = True) -> QCReport:
         """Pipeline B: raw bytes go straight to HBM and the TPU parses,
         validates, and computes QC under the uniform-layout template proof
         in one fused pass (ops/uniform_qc.py) — ~41 GB/s/chip, no host
@@ -246,7 +264,8 @@ class QCModel:
         if lay is None or lay.rs > chunk_mb << 19:
             # semi-uniform tier first (fixed L, ragged ids -> normalize to
             # the uniform kernel); general ragged tier when it declines
-            rep = self._run_normalized_mmap(data, chunk_mb)
+            rep = self._run_normalized_mmap(data, chunk_mb,
+                                            adaptive=adaptive)
             if rep is not None:
                 return rep
             return self._run_ragged_mmap(data, chunk_mb)
@@ -254,7 +273,8 @@ class QCModel:
         csize = max((chunk_mb << 20) // lay.rs, 1) * lay.rs
         # never allocate a chunk larger than the (rs-rounded) input
         csize = min(csize, -(-total // lay.rs) * lay.rs)
-        uqc = self._device_uqc(lay, self.max_read_len)
+        hv = self._adaptive_hist_vals(data) if adaptive else ()
+        uqc = self._device_uqc(lay, self.max_read_len, hist_vals=hv)
 
         # Overlapped ingest (SURVEY §7.3): full-size chunks are read-only
         # slices of the mmap fed zero-copy; the device works `depth` chunks
@@ -302,7 +322,7 @@ class QCModel:
             # exact host engine for anything outside their tiers
             # (including truly invalid bytes).
             rep = self._run_normalized_mmap(data[fail_pos:], chunk_mb,
-                                            acc=acc)
+                                            acc=acc, adaptive=adaptive)
             if rep is not None:
                 return rep
             return self._run_ragged_mmap(data[fail_pos:], chunk_mb, acc=acc)
@@ -385,7 +405,8 @@ class QCModel:
             return None
         return L, int((id_nl - starts - 1).max()) + margin
 
-    def _run_normalized_mmap(self, data, chunk_mb: int, acc=None):
+    def _run_normalized_mmap(self, data, chunk_mb: int, acc=None,
+                             adaptive: bool = True):
         """Pipeline B, semi-uniform tier: real corpora are overwhelmingly
         FIXED read length with VARIABLE-width ids (coordinate headers) —
         the one shape the uniform template rejects but the 40 GB/s uniform
@@ -422,7 +443,9 @@ class QCModel:
                 break  # record bigger than half a chunk: not this tier
             lay = UniformLayout(rs=rs, o1=idw + 1, o2=idw + 2 + L,
                                 o3=idw + 4 + L)
-            uqc = self._device_uqc(lay, self.max_read_len)
+            hv = self._adaptive_hist_vals(data[pos:pos + (1 << 16)]) \
+                if adaptive else ()
+            uqc = self._device_uqc(lay, self.max_read_len, hist_vals=hv)
             csize = max((chunk_mb << 20) // rs, 1) * rs
             ing = OverlappedIngest(
                 lambda c, nv, _u=uqc: _u(c, jnp.int32(nv)), csize,
@@ -553,12 +576,15 @@ class QCModel:
             self._host_consume(parser, acc)
         return self._report_from_acc(acc)
 
-    def _device_uqc(self, lay, width):
+    def _device_uqc(self, lay, width, hist_vals=()):
         """Build the jitted device step for a layout: the one-pass fused
         parse+validate+QC (ops/uniform_qc.py) — the padded SoA is never
         materialized, ~41 GB/s/chip measured (2-D row-tiled chunks) vs
-        16.7 for the two-stage
-        uniform_parse + qc_stats it replaced."""
+        16.7 for the two-stage uniform_parse + qc_stats it replaced.
+        `hist_vals` (a host-peeked distinct-phred set) compiles the
+        eq-mode Phred-histogram variant — the caller must re-run
+        full-bins when the accumulated remainder bin is nonzero
+        (_hist_overflows)."""
         from ..ops.uniform_qc import uniform_qc
 
         def uqc(c, n_valid):
@@ -567,9 +593,56 @@ class QCModel:
                 width=width, q_lo=int(self.schema.LOWER),
                 q_hi=int(self.schema.UPPER), offset=int(self.schema.OFFSET),
                 check_ascii=self.check_ascii,
-                check_quality=self.check_quality)
+                check_quality=self.check_quality, hist_vals=hist_vals)
 
         return uqc
+
+    def _adaptive_hist_vals(self, data, head_bytes=1 << 16) -> tuple:
+        """Distinct phred values over the corpus head's quality lines
+        (lines 4k+3 of the newline grouping — self-consistent while the
+        head is well-formed), for the eq-mode histogram. Real corpora are
+        quality-BINNED (NovaSeq: 4 distinct values), so the dominant
+        device pass shrinks from ~41 reductions to a handful. Returns ()
+        (= off) when not profitable or outside the eq-mode preconditions;
+        a wrong peek is caught by the remainder bin and only costs one
+        full-bin re-run (run_file_device), never exactness."""
+        from ..ops.stats import MAX_PHRED
+
+        off = int(self.schema.OFFSET)
+        lo, hi = int(self.schema.LOWER), int(self.schema.UPPER)
+        if not self.check_quality or lo < off:
+            return ()
+        n_bins_full = min(hi - off, MAX_PHRED - 1) + 1
+        head = np.asarray(data[: min(len(data), head_bytes)])
+        nl = np.flatnonzero(head == 10)
+        k = len(nl) // 4
+        if k < 1:
+            return ()
+        sep_nl = nl[2:4 * k:4]
+        qual_nl = nl[3:4 * k:4]
+        seen = np.zeros(256, bool)
+        for s, e in zip(sep_nl, qual_nl):
+            if e > s + 1:
+                seen[np.unique(head[s + 1:e])] = True
+        bytes_seen = np.flatnonzero(seen)
+        if len(bytes_seen) == 0 or bytes_seen.min() < off:
+            return ()
+        vals = tuple(int(b) - off for b in bytes_seen)
+        # profitable and room for the remainder bin
+        if max(vals) + 1 >= n_bins_full or len(vals) + 2 >= n_bins_full:
+            return ()
+        self.__dict__.setdefault("_hist_his", set()).add(vals)
+        return vals
+
+    def _hist_overflows(self, report, hist_vals) -> bool:
+        """True when a device chunk saw a phred value OUTSIDE the eq-mode
+        set: its count landed in the remainder bin (max+1), so the report
+        is NOT exact and the caller re-runs with full bins. (Host/ragged
+        fallback legs use full bins and can legitimately populate that
+        bin; a false positive costs a re-run, never exactness.)"""
+        if not hist_vals or not self.check_quality:
+            return False
+        return int(report.qual_hist[max(hist_vals) + 1]) != 0
 
     def _host_consume(self, parser, acc) -> None:
         """Core-QC host loop: structure-only host parse, validation +

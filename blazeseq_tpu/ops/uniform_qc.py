@@ -45,11 +45,12 @@ _BASES = b"ACGT"
     jax.jit,
     static_argnames=("rs", "o1", "o2", "o3", "width", "check_ascii",
                      "check_quality", "q_lo", "q_hi", "offset", "mxu_sums",
-                     "_ablate"))
+                     "hist_vals", "_ablate"))
 def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
                width: int, q_lo: int, q_hi: int, offset: int,
                check_ascii: bool = True, check_quality: bool = True,
-               mxu_sums: bool = False, _ablate: frozenset = frozenset()):
+               mxu_sums: bool = False, hist_vals: tuple = (),
+               _ablate: frozenset = frozenset()):
     """Parse+validate+QC a uniform-layout chunk in one fused XLA step.
 
     chunk: u8[n] with n % rs == 0, or u8[nrec, rs] (caller pads; padded
@@ -62,6 +63,16 @@ def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
     compile per layout+schema). Returns (template_ok bool[], stats
     QCStats); stats are only meaningful when template_ok — a rejected
     chunk goes to the byte-exact host path.
+
+    `hist_vals` (static, () = off) is the caller-observed set of DISTINCT
+    phred values: the histogram then runs one equality reduction per
+    member plus a free remainder bin at max(hist_vals)+1 counting every
+    byte whose phred is NOT in the set — the caller re-runs full-bins
+    when the accumulated remainder is nonzero, so exactness never depends
+    on the peek (models/qc.py). The dominant P5 pass is linear in the
+    reduction count, and real corpora are quality-BINNED (NovaSeq: 4
+    distinct values vs sanger's 41 bins), so the whole step runs ~2-3x
+    faster on modern data. Validation bounds stay q_lo/q_hi.
 
     `_ablate` is a perf-diagnosis knob ONLY (the roofline breakdown script
     benchmark/scripts/roofline_uniform_qc.py uses it to attribute step
@@ -84,6 +95,15 @@ def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
     n_bins = max(1, min(n_bins, MAX_PHRED))
     if "hist" in _ablate:
         n_bins = 1
+    # eq-mode preconditions: every member representable as a byte equality
+    # (phred v <-> byte offset+v requires no clamping below offset, i.e.
+    # q_lo >= offset — same condition as raw_q_sums) and a free bin above
+    # the max for the remainder. The caller guarantees these; assert to
+    # keep a bad call from producing silently-wrong stats.
+    use_eq = bool(hist_vals) and check_quality and "hist" not in _ablate
+    if use_eq:
+        assert q_lo >= offset and max(hist_vals) + 1 < n_bins, \
+            "hist_vals outside the eq-mode preconditions"
 
     r2 = chunk if chunk.ndim == 2 else chunk.reshape(nrec, rs)
     nrec_valid = (n_valid // rs).astype(jnp.int32)
@@ -212,15 +232,28 @@ def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
     # form — staged u8/u16 partial accumulation (per-row or row-group)
     # measured 1.7x-50x SLOWER on v5e (cross-lane reduces / reshape
     # relayouts), and the in-kernel hist already runs at the dense-array
-    # bound (docs/perf_roofline_uniform_qc.md). The remaining lever is
-    # n_bins itself: binned-quality corpora (NovaSeq 4-level) compile with
-    # q_hi of the OBSERVED max and skip most of P5.
-    ge = [nrec_valid * jnp.int32(cnt)]
-    ge += [jnp.sum(qm >= jnp.uint8(offset + k), dtype=jnp.int32)
-           for k in range(1, n_bins)]
-    ge.append(jnp.zeros((), jnp.int32))
-    qual_hist = jnp.zeros(MAX_PHRED, jnp.int32).at[:n_bins].set(
-        jnp.stack([ge[k] - ge[k + 1] for k in range(n_bins)]))
+    # bound (docs/perf_roofline_uniform_qc.md). The remaining lever is the
+    # reduction COUNT: hist_vals eq-mode below.
+    if use_eq:
+        # one equality reduction per observed phred value; the remainder
+        # bin (max+1, free via subtraction from the in-window total) is
+        # nonzero iff some byte's phred was NOT in the set — the caller's
+        # signal to re-run full-bins
+        total_q = nrec_valid * jnp.int32(cnt)
+        counts = [jnp.sum(qm == jnp.uint8(offset + v), dtype=jnp.int32)
+                  for v in hist_vals]
+        qual_hist = jnp.zeros(MAX_PHRED, jnp.int32)
+        for v, cv in zip(hist_vals, counts):
+            qual_hist = qual_hist.at[v].set(cv)
+        qual_hist = qual_hist.at[max(hist_vals) + 1].set(
+            total_q - sum(counts))
+    else:
+        ge = [nrec_valid * jnp.int32(cnt)]
+        ge += [jnp.sum(qm >= jnp.uint8(offset + k), dtype=jnp.int32)
+               for k in range(1, n_bins)]
+        ge.append(jnp.zeros((), jnp.int32))
+        qual_hist = jnp.zeros(MAX_PHRED, jnp.int32).at[:n_bins].set(
+            jnp.stack([ge[k] - ge[k + 1] for k in range(n_bins)]))
 
     # --- per-read panels (qs_read computed with the sum panels above) ------
     rv1 = row_valid[:, 0]
