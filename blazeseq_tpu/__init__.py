@@ -85,7 +85,7 @@ from .utils import (
     generate_variable_id_fastq_buffer,
 )
 
-__version__ = "0.5.0"
+__version__ = "0.7.0"
 
 
 def parser(path, quality_schema: str = "generic", parallelism: int = 4,
