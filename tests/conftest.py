@@ -42,12 +42,46 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_blazeseq")
 
 
 def pytest_configure(config):
+    # The persistent compilation cache is OPT-IN for test runs
+    # (BLAZESEQ_TEST_CACHE=1): on the CPU backend, jax 0.9.0's cache
+    # deserializer (compilation_cache.get_executable_and_time) segfaults
+    # nondeterministically in long cold-cache processes — observed twice
+    # at the same point of a full-suite run on this image, never in
+    # smaller processes, never under ASan in our own native layer. Warm
+    # re-runs that want the ~10x speedup can enable it explicitly; the
+    # default favors a suite that cannot be killed by a cache artifact.
+    if os.environ.get("BLAZESEQ_TEST_CACHE", "0") != "1":
+        return
     try:
         import jax
 
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
+import pytest  # noqa: E402  (env setup above must run before plugins)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Cap the number of live compiled executables in the suite process.
+
+    The full suite compiles hundreds of kernel variants; with all of them
+    held live, XLA:CPU segfaulted DETERMINISTICALLY at the same late test
+    on this image (inside backend compile — and, when the persistent
+    cache was on, inside its deserializer; 4/4 full cold runs, never in
+    any subset run, never under ASan in our own native layer). Dropping
+    jit caches at module boundaries keeps intra-module warmth while
+    bounding cumulative executable state; measured overhead is small next
+    to the per-module compile cost it already pays."""
+    yield
+    try:
+        import jax
+
+        jax.clear_caches()
     except Exception:
         pass
 
