@@ -22,22 +22,29 @@ Design (three dense sub-engines over one [tiles, K] view of the chunk):
 2. **Per-position panels as MXU cross-correlations**: for lag p,
    per_pos_count[p] = sum_i seq_start[i] * seq_mask[i+p], and likewise per
    base class and for quality sums — cross-correlations of dense masks,
-   evaluated EXACTLY on the MXU by reshaping to [Tc, Kc] tiles and taking
-   lag-p diagonal sums of G1 = S^T M and G2 = S[:-1]^T M[1:] (int8 inputs,
-   int32 accumulation). This is exact whenever no two same-class line starts
-   are closer than `width` bytes (lags never reach the next record), which
-   holds whenever every record spans >= width bytes — true for any real
-   corpus when width ~ max read length; the kernel PROVES the condition on
-   device (min start-to-start gap) and reports `fallback` otherwise.
+   evaluated EXACTLY on the MXU as lag-p diagonal sums of G1 = S^T M and
+   G2 = S[:-1]^T M[1:] (int8 inputs, int32 accumulation) with operands in
+   the chunk's NATIVE [T, K] layout (lags < width <= K spill at most one
+   row, which G2 covers; round-4's per-channel [Tc, Wc] reshapes were
+   physical relayout copies that blocked fusion — 3x this sub-engine).
+   This is exact whenever no two same-class line starts are closer than
+   `width` bytes (lags never reach the next record), which holds whenever
+   every record spans >= width bytes — true for any real corpus when
+   width ~ max read length; the kernel PROVES the condition on device
+   (min start-to-start gap) and reports `fallback` otherwise. The global
+   composition panel comes free as row sums of these per-position panels.
 
 3. **Per-read panels via rank-compacted line boundaries**: per-tile newline
-   ranks (<= B) compact each newline's (position, cumulative-GC,
-   cumulative-Phred) into a dense [T, B] slot structure — a one-hot masked
-   sum per slot, no scatter. Tiny associative carry scans over the tile axis
-   recover each entry's 1..4-previous boundary, giving per-line lengths and
-   per-line value sums as slot differences. Role = line-index mod 4 assigns
-   lines to records; read-length / GC%% / mean-quality histograms then bin
-   the [T, B] structure (compare-reduce, scatter-free), and per-record
+   ranks (<= B) compact each newline's position into a dense [T, B] slot
+   structure — a one-hot masked sum per slot, no scatter — and per-line
+   GC / Phred sums come from DIRECT per-tile segment sums (a byte's
+   segment is its exclusive newline count) plus one associative
+   carried-tail scan for lines spanning tiles. Tiny carry scans over the
+   tile axis recover each entry's 1..4-previous boundary, giving per-line
+   lengths; role = line-index mod 4 assigns lines to records.
+   Read-length / GC%% / mean-quality histograms then bin the [T, B]
+   structure (narrow-dtype compare-reduce, scatter-free), reads/bases/
+   in-window/qual-byte totals are [T, B] slot reductions, and per-record
    seq-len == qual-len validation is a slot equality.
 
 The returned stats are bit-identical to the host engine's
