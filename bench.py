@@ -486,7 +486,11 @@ def main():
         from blazeseq_tpu.parallel.sharding import find_record_boundary
 
         K = 2 * max_len
-        chunk_b = int(os.environ.get("BENCH_RAW_CHUNK_MB", "256")) << 20
+        # ragged chunks cap at 128 MB: the kernel's [T, K] intermediates
+        # make 256 MB chunks ~12% slower on v5e (3.06 GB/s at 128 MB vs
+        # 2.73 at 256, slope-timed; 64 MB measures the same as 128)
+        chunk_b = min(int(os.environ.get("BENCH_RAW_CHUNK_MB", "256")),
+                      128) << 20
         if rpath is None:
             # never reuse a cache file we did not just read or write: its
             # bytes may be from an older generator and the boundary offsets
