@@ -268,7 +268,7 @@ class QCModel:
                                             adaptive=adaptive)
             if rep is not None:
                 return rep
-            return self._run_ragged_mmap(data, chunk_mb)
+            return self._run_ragged_mmap(data, chunk_mb, adaptive=adaptive)
         total = len(data)
         csize = max((chunk_mb << 20) // lay.rs, 1) * lay.rs
         # never allocate a chunk larger than the (rs-rounded) input
@@ -325,7 +325,8 @@ class QCModel:
                                             acc=acc, adaptive=adaptive)
             if rep is not None:
                 return rep
-            return self._run_ragged_mmap(data[fail_pos:], chunk_mb, acc=acc)
+            return self._run_ragged_mmap(data[fail_pos:], chunk_mb, acc=acc,
+                                         adaptive=adaptive)
         if pos < total:
             # trailing partial record (or no provable boundary): exact host
             # engine for the remainder (pos is a proven record boundary:
@@ -339,10 +340,12 @@ class QCModel:
             self._host_consume(parser, acc)
         return self._report_from_acc(acc)
 
-    def _device_rqc(self, c, n_valid, width=None, slot_cap=12):
+    def _device_rqc(self, c, n_valid, width=None, slot_cap=12,
+                    hist_vals=()):
         """The general (ragged-layout) fused device step — full parse +
         validate + QC for chunks whose header widths and read lengths vary
-        per record (ops/ragged_qc.py)."""
+        per record (ops/ragged_qc.py). `hist_vals` compiles the eq-mode
+        histogram (same re-run contract as the uniform kernel)."""
         from ..ops.ragged_qc import ragged_qc
 
         return ragged_qc(
@@ -350,7 +353,8 @@ class QCModel:
             else self.max_read_len,
             q_lo=int(self.schema.LOWER), q_hi=int(self.schema.UPPER),
             offset=int(self.schema.OFFSET), check_ascii=self.check_ascii,
-            check_quality=self.check_quality, slot_cap=int(slot_cap))
+            check_quality=self.check_quality, slot_cap=int(slot_cap),
+            hist_vals=hist_vals)
 
     @staticmethod
     def _peek_ragged_slot_cap(data, width, head_bytes=1 << 16):
@@ -487,9 +491,11 @@ class QCModel:
             break
         if pos >= total:
             return self._report_from_acc(acc)
-        return self._run_ragged_mmap(data[pos:], chunk_mb, acc=acc)
+        return self._run_ragged_mmap(data[pos:], chunk_mb, acc=acc,
+                                     adaptive=adaptive)
 
-    def _run_ragged_mmap(self, data, chunk_mb: int, acc=None) -> QCReport:
+    def _run_ragged_mmap(self, data, chunk_mb: int, acc=None,
+                         adaptive: bool = True) -> QCReport:
         """Pipeline B, general tier: device-parse a non-uniform mmap'd file
         with OVERLAPPED ingest. Chunk cuts come from a cheap host-side
         record-boundary resync (parallel/sharding.find_record_boundary_bytes),
@@ -515,8 +521,10 @@ class QCModel:
         if acc is None:
             acc = QCAccumulator()
 
+        hv_r = self._adaptive_hist_vals(data) if adaptive else ()
         step = lambda c, nv: self._device_rqc(c, jnp.int32(nv),
-                                              slot_cap=slot_cap)
+                                              slot_cap=slot_cap,
+                                              hist_vals=hv_r)
         # row_bytes=K: chunks upload as u8[csize//K, K] so the device
         # buffer carries the (8,128) row tiling (ragged kernel 1.23 ->
         # 1.87 GB/s measured on v5e; same layout win as the uniform path)

@@ -177,10 +177,11 @@ def _corr(S, M_flat, Kc):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "q_lo", "q_hi", "offset", "check_ascii",
-                     "check_quality", "slot_cap", "_ablate"))
+                     "check_quality", "slot_cap", "hist_vals", "_ablate"))
 def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
               offset: int, check_ascii: bool = True,
               check_quality: bool = True, slot_cap: int = _B,
+              hist_vals: tuple = (),
               _ablate: frozenset = frozenset()) -> RaggedQC:
     """Parse+validate+QC a general FASTQ chunk on device.
 
@@ -427,19 +428,34 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
 
     # Phred histogram: cumulative ge-trick off raw quality bytes (see
     # ops/uniform_qc.py); flat u8-compare + i32 reduce — staged u8/u16
-    # partial accumulation measured slower on v5e
+    # partial accumulation measured slower on v5e. `hist_vals` eq-mode:
+    # one equality reduction per observed phred value + a free remainder
+    # bin at max+1 (same contract as the uniform kernel — the caller
+    # re-runs full-bins when the accumulated remainder is nonzero).
     n_bins = min(q_hi - offset, MAX_PHRED - 1) + 1 if check_quality \
         else MAX_PHRED
     n_bins = max(1, min(n_bins, MAX_PHRED))
     if "hist" in _ablate:
         n_bins = 1
+    use_eq = bool(hist_vals) and check_quality and "hist" not in _ablate
     qm_b = jnp.where(qual_w, r2, jnp.uint8(0))  # 0 < offset always
-    ge = [qual_bytes]
-    ge += [jnp.sum(qm_b >= jnp.uint8(offset + k), dtype=jnp.int32)
-           for k in range(1, n_bins)]
-    ge.append(jnp.zeros((), jnp.int32))
-    qual_hist = jnp.zeros(MAX_PHRED, jnp.int32).at[:n_bins].set(
-        jnp.stack([ge[k] - ge[k + 1] for k in range(n_bins)]))
+    if use_eq:
+        assert q_lo >= offset and max(hist_vals) + 1 < n_bins, \
+            "hist_vals outside the eq-mode preconditions"
+        counts = [jnp.sum(qm_b == jnp.uint8(offset + v), dtype=jnp.int32)
+                  for v in hist_vals]
+        qual_hist = jnp.zeros(MAX_PHRED, jnp.int32)
+        for v, cv in zip(hist_vals, counts):
+            qual_hist = qual_hist.at[v].set(cv)
+        qual_hist = qual_hist.at[max(hist_vals) + 1].set(
+            qual_bytes - sum(counts))
+    else:
+        ge = [qual_bytes]
+        ge += [jnp.sum(qm_b >= jnp.uint8(offset + k), dtype=jnp.int32)
+               for k in range(1, n_bins)]
+        ge.append(jnp.zeros((), jnp.int32))
+        qual_hist = jnp.zeros(MAX_PHRED, jnp.int32).at[:n_bins].set(
+            jnp.stack([ge[k] - ge[k + 1] for k in range(n_bins)]))
 
     # ---- per-position panels: MXU cross-correlations ----------------------
     # Operands stay in the chunk's native [T, K] layout: lags < width <= K

@@ -83,6 +83,37 @@ def test_eq_mode_on_semi_uniform_tier(tmp_path):
     assert (2, 12, 23, 37) in m._hist_his
 
 
+def _rebin_quals(raw):
+    data = np.frombuffer(raw, np.uint8)
+    nl = np.flatnonzero(data == 10)
+    out = bytearray(raw)
+    for s, e in zip(nl[2::4], nl[3::4]):
+        q = data[s + 1:e].astype(np.int32) - 33
+        out[s + 1:e] = (LUT[np.searchsorted(EDGES, q)] + 33).astype(
+            np.uint8).tobytes()
+    return bytes(out)
+
+
+def test_eq_mode_on_ragged_tier(tmp_path):
+    # MIXED read lengths (not semi-uniform) with binned quality: the
+    # general ragged engine must engage eq-mode and stay byte-exact
+    raw = _rebin_quals(bytes(bt.generate_variable_id_fastq_buffer(
+        2000, 60, 110, 2, 40, "sanger", seed=9)))
+    m, _ = _check(raw, tmp_path)
+    assert (2, 12, 23, 37) in m._hist_his
+
+
+def test_ragged_overflow_triggers_exact_rerun(tmp_path):
+    raw = bytearray(_rebin_quals(bytes(bt.generate_variable_id_fastq_buffer(
+        2000, 60, 110, 2, 40, "sanger", seed=10))))
+    data = np.frombuffer(bytes(raw), np.uint8)
+    nl = np.flatnonzero(data == 10)
+    # last record's quality line gets an out-of-set phred
+    raw[int(nl[-2]) + 1] = 33 + 8
+    m, rep = _check(bytes(raw), tmp_path)
+    assert rep.qual_hist[8] > 0
+
+
 def test_kernel_eq_mode_equals_full_bins():
     import jax.numpy as jnp
 
