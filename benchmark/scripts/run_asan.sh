@@ -81,3 +81,50 @@ for trial in range(6):
                                 pb.qual[: pb.n_records], lens) == buf
 print("serializer ASan churn OK")
 PYEOF
+
+# semi-uniform id-normalizer churn (round 5): adversarial + generated
+# shapes through bs_normalize_semi_uniform under ASan+UBSan, native vs
+# numpy-twin equality asserted on the well-formed cases
+LD_PRELOAD="$LIBASAN" ASAN_OPTIONS=detect_leaks=0 \
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu PYTHONPATH=/tmp \
+python - <<'PYEOF'
+import sys
+sys.path.insert(0, '/root/repo')
+import blazeseq_tpu.native as nat
+def patched(src, lib_name, extra_flags=()):
+    yield "/tmp/bs_asan/" + lib_name
+nat._shared_candidates = patched
+import numpy as np
+import blazeseq_tpu as bt
+rng = np.random.default_rng(0)
+cases = 0
+for seed in range(12):
+    n_r = int(rng.integers(1, 200))
+    lo = int(rng.integers(1, 150)); hi = int(rng.integers(lo, 151))
+    raw = np.frombuffer(bytes(bt.generate_variable_id_fastq_buffer(
+        n_r, lo, hi, 2, 40, 'sanger', seed=seed)), np.uint8)
+    for cut in (len(raw), int(rng.integers(0, len(raw) + 1))):
+        buf = raw[:cut].copy()
+        for idw in (0, 1, 64, 200):
+            for L in (0, 1, lo, hi, 151):
+                rs = idw + 2 * L + 6
+                out_a = np.zeros(max((n_r + 2) * rs, 1), np.uint8)
+                out_b = out_a.copy()
+                na, ca = nat.normalize_semi_uniform(buf, 0, out_a, idw, L)
+                nb, cb = nat._normalize_semi_uniform_np(buf, 0, out_b,
+                                                        idw, L)
+                assert (na, ca) == (nb, cb), (seed, idw, L, na, ca, nb, cb)
+                assert np.array_equal(out_a[: na * rs], out_b[: na * rs])
+                cases += 1
+for seed in range(10):
+    buf = rng.integers(0, 256, size=int(rng.integers(1, 5000)),
+                       dtype=np.uint8).astype(np.uint8)
+    buf[rng.random(len(buf)) < 0.2] = 10
+    buf[rng.random(len(buf)) < 0.1] = ord('@')
+    out = np.zeros(8192, np.uint8)
+    for idw in (0, 3, 64):
+        for L in (0, 2, 100):
+            nat.normalize_semi_uniform(buf, 0, out, idw, L)
+            cases += 1
+print("normalizer ASan churn OK,", cases, "cases")
+PYEOF
