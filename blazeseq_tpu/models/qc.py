@@ -486,7 +486,10 @@ class QCModel:
                 L2, idw2 = peek2
                 if L2 == L and idw2 <= idw:
                     break  # no progress possible: stop re-peeking
-                L, idw = L2, max(idw2, idw if L2 == L else idw2)
+                # same-L stall: an id outgrew the bound, keep the wider of
+                # the two; new L: a block boundary, restart with its layout
+                idw = max(idw2, idw) if L2 == L else idw2
+                L = L2
                 continue
             break
         if pos >= total:
