@@ -98,3 +98,25 @@ def test_example_ragged_align():
     assert "matches host exactly" in out
     assert "short-read tier" in out
     assert out.count("device == twin") == 6
+
+
+def test_example_binned_quality(tmp_path):
+    import numpy as np
+
+    from blazeseq_tpu.ops.uniform_parse import detect_uniform_layout
+
+    buf = bytes(bt.generate_synthetic_fastq_buffer(2000, 80, 80, 2, 40,
+                                                   "sanger"))
+    lay = detect_uniform_layout(buf)
+    arr = np.frombuffer(buf, np.uint8).reshape(-1, lay.rs).copy()
+    q = arr[:, lay.o3 + 1:lay.rs - 1].astype(np.int32) - 33
+    lut, edges = np.array([2, 12, 23, 37]), np.array([7, 18, 30])
+    arr[:, lay.o3 + 1:lay.rs - 1] = (lut[np.searchsorted(edges, q)]
+                                     + 33).astype(np.uint8)
+    p = tmp_path / "b.fastq"
+    p.write_bytes(arr.tobytes())
+    out = _run([os.path.join(REPO, "examples", "binned_quality.py"),
+                str(p)])
+    assert "reads=2000" in out
+    assert "distinct phred values: [2, 12, 23, 37]" in out
+    assert "eq-mode histogram sets used" in out
