@@ -513,11 +513,23 @@ def main():
             rchunks.append((jax.device_put(jnp.asarray(
                 arr.reshape(-1, K)), dev), jnp.int32(b - a)))
 
+        # production configuration: the model peeks the head's distinct
+        # length/phred sets for the eq-mode histograms (the length set
+        # alone is +15% on this corpus; the full-range quality set stays
+        # off by its own profitability rule)
+        from blazeseq_tpu.models import QCModel as _QCM_R
+
+        _m_peek = _QCM_R(quality_schema="sanger", max_read_len=max_len)
+        rbuf_np0 = np.frombuffer(rbuf, dtype=np.uint8)
+        lv_r = _m_peek._adaptive_len_vals(rbuf_np0)
+        hv_r = _m_peek._adaptive_hist_vals(rbuf_np0)
+
         def rqc(c, nv):
             r = ragged_qc(c, nv, width=max_len,
                           q_lo=int(SANGER_SCHEMA.LOWER),
                           q_hi=int(SANGER_SCHEMA.UPPER),
-                          offset=int(SANGER_SCHEMA.OFFSET))
+                          offset=int(SANGER_SCHEMA.OFFSET),
+                          hist_vals=hv_r, len_vals=lv_r)
             return r
 
         rr = rb_ = 0

@@ -214,10 +214,13 @@ class QCModel:
         and a nonzero sentinel bin in the final report triggers ONE exact
         full-bin re-run, so the result never depends on the peek."""
         self._hist_his = set()
+        self._len_his = set()
         rep = self._run_file_device_once(path, chunk_mb, parallelism,
                                          adaptive=True)
-        if any(self._hist_overflows(rep, h) for h in self._hist_his):
+        if any(self._hist_overflows(rep, h) for h in self._hist_his) or \
+                any(self._len_overflows(rep, v) for v in self._len_his):
             self._hist_his = set()
+            self._len_his = set()
             rep = self._run_file_device_once(path, chunk_mb, parallelism,
                                              adaptive=False)
         return rep
@@ -341,11 +344,12 @@ class QCModel:
         return self._report_from_acc(acc)
 
     def _device_rqc(self, c, n_valid, width=None, slot_cap=12,
-                    hist_vals=()):
+                    hist_vals=(), len_vals=()):
         """The general (ragged-layout) fused device step — full parse +
         validate + QC for chunks whose header widths and read lengths vary
-        per record (ops/ragged_qc.py). `hist_vals` compiles the eq-mode
-        histogram (same re-run contract as the uniform kernel)."""
+        per record (ops/ragged_qc.py). `hist_vals`/`len_vals` compile the
+        eq-mode phred/length histograms (same re-run contract as the
+        uniform kernel)."""
         from ..ops.ragged_qc import ragged_qc
 
         return ragged_qc(
@@ -354,7 +358,7 @@ class QCModel:
             q_lo=int(self.schema.LOWER), q_hi=int(self.schema.UPPER),
             offset=int(self.schema.OFFSET), check_ascii=self.check_ascii,
             check_quality=self.check_quality, slot_cap=int(slot_cap),
-            hist_vals=hist_vals)
+            hist_vals=hist_vals, len_vals=len_vals)
 
     @staticmethod
     def _peek_ragged_slot_cap(data, width, head_bytes=1 << 16):
@@ -525,9 +529,11 @@ class QCModel:
             acc = QCAccumulator()
 
         hv_r = self._adaptive_hist_vals(data) if adaptive else ()
+        lv_r = self._adaptive_len_vals(data) if adaptive else ()
         step = lambda c, nv: self._device_rqc(c, jnp.int32(nv),
                                               slot_cap=slot_cap,
-                                              hist_vals=hv_r)
+                                              hist_vals=hv_r,
+                                              len_vals=lv_r)
         # row_bytes=K: chunks upload as u8[csize//K, K] so the device
         # buffer carries the (8,128) row tiling (ragged kernel 1.23 ->
         # 1.87 GB/s measured on v5e; same layout win as the uniform path)
@@ -647,6 +653,36 @@ class QCModel:
             return ()
         self.__dict__.setdefault("_hist_his", set()).add(vals)
         return vals
+
+    def _adaptive_len_vals(self, data, head_bytes=1 << 16) -> tuple:
+        """Distinct (clipped) read lengths over the corpus head, for the
+        ragged engine's eq-mode length histogram — real corpora hit a
+        handful of lengths, vs LEN_BINS=512 one-hot compares over the
+        slot structure. Same contract as _adaptive_hist_vals: a length
+        the peek missed lands in the remainder bin and costs one full-bin
+        re-run, never exactness."""
+        from ..ops.stats import LEN_BINS
+
+        head = np.asarray(data[: min(len(data), head_bytes)])
+        nl = np.flatnonzero(head == 10)
+        k = len(nl) // 4
+        if k < 1:
+            return ()
+        lens = np.minimum(nl[1:4 * k:4] - nl[0:4 * k:4] - 1, LEN_BINS - 1)
+        vals = np.unique(lens)
+        if len(vals) == 0 or int(vals.max()) + 1 >= LEN_BINS \
+                or len(vals) + 2 >= LEN_BINS:
+            return ()
+        vals = tuple(int(v) for v in vals)
+        self.__dict__.setdefault("_len_his", set()).add(vals)
+        return vals
+
+    def _len_overflows(self, report, len_vals) -> bool:
+        """True when a device chunk saw a read length OUTSIDE the eq-mode
+        set (its count landed in the remainder bin at max+1)."""
+        if not len_vals:
+            return False
+        return int(report.length_hist[max(len_vals) + 1]) != 0
 
     def _hist_overflows(self, report, hist_vals) -> bool:
         """True when a device chunk saw a phred value OUTSIDE the eq-mode

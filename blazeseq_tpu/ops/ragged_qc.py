@@ -177,11 +177,12 @@ def _corr(S, M_flat, Kc):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "q_lo", "q_hi", "offset", "check_ascii",
-                     "check_quality", "slot_cap", "hist_vals", "_ablate"))
+                     "check_quality", "slot_cap", "hist_vals", "len_vals",
+                     "_ablate"))
 def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
               offset: int, check_ascii: bool = True,
               check_quality: bool = True, slot_cap: int = _B,
-              hist_vals: tuple = (),
+              hist_vals: tuple = (), len_vals: tuple = (),
               _ablate: frozenset = frozenset()) -> RaggedQC:
     """Parse+validate+QC a general FASTQ chunk on device.
 
@@ -198,6 +199,13 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
       * <= `slot_cap` line ends per 2*round_up(width,128) tile
         (rank-compaction capacity: records below ~width/2 bytes overflow
         the default 12; QCModel sizes the cap from a host head-peek).
+
+    `hist_vals` / `len_vals` (static, () = off) are caller-observed
+    distinct phred-value / read-length sets: the corresponding histogram
+    runs one equality reduction per member plus a free remainder bin at
+    max+1, and the caller re-runs full-bins when the accumulated
+    remainder is nonzero — see ops/uniform_qc.py and models/qc.py for
+    the contract.
 
     `_ablate` is a perf-diagnosis knob ONLY (benchmark/scripts/ab_ragged_qc
     uses it to attribute device step time): members of
@@ -411,10 +419,6 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
         v = v2d.reshape(-1)
         return jnp.sum(v[:, None] == bins[None, :], axis=0, dtype=jnp.int32)
 
-    length_hist = onehot_hist(lens_b, LEN_BINS)
-    gc_hist = onehot_hist(gcb_b, GC_BINS)
-    mq_hist = onehot_hist(mqb_b, MAX_PHRED)
-
     # ---- global panels (qc_stats truncation semantics) --------------------
     # bases/length_hist use TRUE lengths; composition/quality panels cover
     # in-window bytes. The r4 design burned five full-[T, K] masked
@@ -425,6 +429,27 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
     bases = jnp.sum(jnp.where(e_r1, line_len, 0), dtype=jnp.int32)
     win_bases = jnp.sum(jnp.where(e_r1, eff_len, 0), dtype=jnp.int32)
     qual_bytes = jnp.sum(jnp.where(e_r3, eff_len, 0), dtype=jnp.int32)
+
+    if len_vals:
+        # eq-mode length histogram (same contract as hist_vals): real
+        # corpora hit a handful of distinct read lengths, so LEN_BINS=512
+        # one-hot compares — the biggest [T, B] cost — shrink to one
+        # equality per OBSERVED length; the remainder bin at max+1 is
+        # reads minus the sum (a slot outside the set can only be a
+        # length the peek missed), and the caller re-runs full-bins when
+        # it is nonzero. Sentinel slots (0xFFFF) never match.
+        assert max(len_vals) + 1 < LEN_BINS, "len_vals needs a remainder bin"
+        lcounts = [jnp.sum(lens_b == jnp.uint16(v), dtype=jnp.int32)
+                   for v in len_vals]
+        length_hist = jnp.zeros(LEN_BINS, jnp.int32)
+        for v, cv in zip(len_vals, lcounts):
+            length_hist = length_hist.at[v].set(cv)
+        length_hist = length_hist.at[max(len_vals) + 1].set(
+            reads - sum(lcounts))
+    else:
+        length_hist = onehot_hist(lens_b, LEN_BINS)
+    gc_hist = onehot_hist(gcb_b, GC_BINS)
+    mq_hist = onehot_hist(mqb_b, MAX_PHRED)
 
     # Phred histogram: cumulative ge-trick off raw quality bytes (see
     # ops/uniform_qc.py); flat u8-compare + i32 reduce — staged u8/u16

@@ -114,6 +114,29 @@ def test_ragged_overflow_triggers_exact_rerun(tmp_path):
     assert rep.qual_hist[8] > 0
 
 
+def test_eq_mode_lengths_on_ragged_tier(tmp_path):
+    # mixed lengths whose head covers the set: the ragged engine's
+    # eq-mode LENGTH histogram engages and stays byte-exact
+    raw = bytes(bt.generate_variable_id_fastq_buffer(
+        3000, 90, 110, 2, 40, "sanger", seed=21))
+    m, rep = _check(raw, tmp_path)
+    sets = getattr(m, "_len_his", set())
+    assert any(90 in s and 110 in s for s in sets), sets
+    assert rep.length_hist[90:111].sum() == rep.reads
+
+
+def test_unseen_length_triggers_exact_rerun(tmp_path):
+    # the tail introduces a read length the head never saw: the remainder
+    # bin fires and the model re-runs full-bins — still byte-exact
+    v = bytes(bt.generate_variable_id_fastq_buffer(
+        3000, 90, 110, 2, 40, "sanger", seed=22))
+    w = bytes(bt.generate_variable_id_fastq_buffer(
+        40, 55, 55, 2, 40, "sanger", seed=23))
+    m, rep = _check(v + w, tmp_path)
+    assert rep.length_hist[55] == 40
+    assert getattr(m, "_len_his", None) == set()  # cleared by the re-run
+
+
 def test_kernel_eq_mode_equals_full_bins():
     import jax.numpy as jnp
 
