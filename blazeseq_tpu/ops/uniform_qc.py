@@ -45,11 +45,12 @@ _BASES = b"ACGT"
     jax.jit,
     static_argnames=("rs", "o1", "o2", "o3", "width", "check_ascii",
                      "check_quality", "q_lo", "q_hi", "offset", "mxu_sums",
-                     "hist_vals", "_ablate"))
+                     "hist_vals", "hist_form", "_ablate"))
 def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
                width: int, q_lo: int, q_hi: int, offset: int,
                check_ascii: bool = True, check_quality: bool = True,
                mxu_sums: bool = False, hist_vals: tuple = (),
+               hist_form: str = "auto",
                _ablate: frozenset = frozenset()):
     """Parse+validate+QC a uniform-layout chunk in one fused XLA step.
 
@@ -73,6 +74,16 @@ def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
     reduction count, and real corpora are quality-BINNED (NovaSeq: 4
     distinct values vs sanger's 41 bins), so the whole step runs ~2-3x
     faster on modern data. Validation bounds stay q_lo/q_hi.
+
+    `hist_form` (static) picks the full-range histogram formulation:
+    "flat" is the one-reduction-per-bin form; "packed" packs 4 bins into
+    one i32 row accumulator as 8-bit fields (exact whenever the window is
+    <= 255 columns, since a per-row bin count is bounded by the window)
+    so the qual region is swept once per FOUR bins; "auto" (default)
+    picks packed when cnt <= 255, else flat. Bit-identical by
+    construction — same compares, same integer counts — and measured
+    ~1.5-1.9x faster on the 41-bin sanger corpus on v5e
+    (docs/perf_roofline_uniform_qc.md). Ignored in hist_vals eq-mode.
 
     `_ablate` is a perf-diagnosis knob ONLY (the roofline breakdown script
     benchmark/scripts/roofline_uniform_qc.py uses it to attribute step
@@ -249,8 +260,33 @@ def uniform_qc(chunk, n_valid, *, rs: int, o1: int, o2: int, o3: int,
             total_q - sum(counts))
     else:
         ge = [nrec_valid * jnp.int32(cnt)]
-        ge += [jnp.sum(qm >= jnp.uint8(offset + k), dtype=jnp.int32)
-               for k in range(1, n_bins)]
+        packed = hist_form == "packed" or (hist_form == "auto" and cnt <= 255)
+        if packed and cnt <= 255:
+            # 4 bins per pass: the per-row count of any bin is <= cnt <=
+            # 255, so four 8-bit fields of one i32 accumulate without
+            # carries (the bit pattern is exact mod 2^32 even when field
+            # 3 sets the sign bit; arithmetic shift + 0xFF mask recovers
+            # each field). One axis-1 sweep of qm per group instead of a
+            # global reduction per bin — measured 6.7 -> ~4.4 ms/256 MB
+            # on v5e (the losing alternatives — 4-bit fields w/ column
+            # blocks, select-form packing, 16-bit pairs — are recorded in
+            # docs/perf_roofline_uniform_qc.md).
+            ge_rest = [None] * (n_bins - 1)
+            kss = list(range(1, n_bins))
+            for g in range(0, len(kss), 4):
+                grp = kss[g:g + 4]
+                m = (qm >= jnp.uint8(offset + grp[0])).astype(jnp.int32)
+                for j, k in enumerate(grp[1:], 1):
+                    m = m + (qm >= jnp.uint8(offset + k)).astype(
+                        jnp.int32) * (1 << (8 * j))
+                rowp = jnp.sum(m, axis=1, dtype=jnp.int32)  # [nrec]
+                for j in range(len(grp)):
+                    ge_rest[g + j] = jnp.sum((rowp >> (8 * j)) & 0xFF,
+                                             dtype=jnp.int32)
+            ge += ge_rest
+        else:
+            ge += [jnp.sum(qm >= jnp.uint8(offset + k), dtype=jnp.int32)
+                   for k in range(1, n_bins)]
         ge.append(jnp.zeros((), jnp.int32))
         qual_hist = jnp.zeros(MAX_PHRED, jnp.int32).at[:n_bins].set(
             jnp.stack([ge[k] - ge[k + 1] for k in range(n_bins)]))
