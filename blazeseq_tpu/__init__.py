@@ -58,6 +58,7 @@ from .io.delimited import (
     LineAction,
 )
 from .io.readers import (
+    BgzfReader,
     FileReader,
     MmapReader,
     GZFile,
@@ -65,6 +66,7 @@ from .io.readers import (
     ParallelGzipReader,
     RapidgzipReader,
     open_reader,
+    scan_bgzf_blocks,
 )
 from .io.writers import (
     BGZFWriter,

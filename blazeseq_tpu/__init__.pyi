@@ -104,6 +104,7 @@ from .io.delimited import (
     LineAction as LineAction,
 )
 from .io.readers import (
+    BgzfReader as BgzfReader,
     FileReader as FileReader,
     GZFile as GZFile,
     MemoryReader as MemoryReader,
@@ -111,6 +112,7 @@ from .io.readers import (
     ParallelGzipReader as ParallelGzipReader,
     RapidgzipReader as RapidgzipReader,
     open_reader as open_reader,
+    scan_bgzf_blocks as scan_bgzf_blocks,
 )
 from .io.writers import (
     BGZFWriter as BGZFWriter,

@@ -167,6 +167,82 @@ class GZFile:
         self._f.close()
 
 
+class BgzfReader(GZFile):
+    """Gzip source positioned at a BGZF *virtual offset*.
+
+    BGZF (bgzip/samtools) files are a series of independent <=64 KiB gzip
+    members, so ``voffset = (compressed_block_start << 16) | in_block_offset``
+    pinpoints any decompressed byte with one seek + at most one block of
+    skipped inflate output — the htslib virtual-offset convention. Seeking
+    a block boundary is just a file seek; :class:`GZFile` already restarts
+    its decompressor per member, so streaming from there needs no extra
+    machinery. Used by the ``.fqi`` index for random access into
+    compressed FASTQ (fastq/index.py); random access is an open item
+    upstream (reference README.md:129-134, docs/TODO.md:5-8).
+    """
+
+    def __init__(self, path, voffset: int = 0, read_chunk: int = 1 * MB):
+        super().__init__(path, read_chunk)
+        coff, uoff = voffset >> 16, voffset & 0xFFFF
+        if coff:
+            self._f.seek(coff)
+        while uoff:  # drop the in-block prefix from the inflate output
+            self._decompress_more()
+            if not self._pending:
+                raise ValueError(
+                    "virtual offset %d points past the decompressed stream"
+                    % voffset)
+            n = min(uoff, len(self._pending))
+            self._pending = self._pending[n:]
+            uoff -= n
+
+
+def scan_bgzf_blocks(path):
+    """Header-only pass over a BGZF file -> block table, no decompression.
+
+    Returns ``(coffsets, ustarts, total_u)``: int64 arrays of each
+    non-empty block's compressed start offset and decompressed start
+    offset, plus the total decompressed size. Reads ~30 bytes per 64 KiB
+    block (header + trailing ISIZE), so it runs at effectively seek speed;
+    this is what lets ``build_fqi`` turn decompressed checkpoint offsets
+    into virtual offsets without a second inflate pass.
+    """
+    import numpy as np
+
+    coffs, ustarts = [], []
+    u = 0
+    with open(str(path), "rb") as f:
+        coff = 0
+        while True:
+            header = f.read(18)
+            if not header:
+                break
+            if len(header) < 18 or header[:2] != b"\x1f\x8b":
+                raise ValueError("not a BGZF file: %s" % path)
+            xlen = struct.unpack("<H", header[10:12])[0]
+            extra = header[12:18] + (f.read(xlen - 6) if xlen > 6 else b"")
+            bsize = None
+            e = extra
+            while len(e) >= 4:
+                si1, si2, slen = e[0], e[1], struct.unpack("<H", e[2:4])[0]
+                if si1 == 66 and si2 == 67 and slen == 2:
+                    bsize = struct.unpack("<H", e[4:6])[0]
+                e = e[4 + slen:]
+            if bsize is None:
+                raise ValueError("gzip member without a BC subfield (not "
+                                 "BGZF): %s @ %d" % (path, coff))
+            f.seek(coff + bsize + 1 - 4)
+            isize = struct.unpack("<I", f.read(4))[0]
+            if isize:
+                coffs.append(coff)
+                ustarts.append(u)
+                u += isize
+            coff += bsize + 1
+            f.seek(coff)
+    return (np.asarray(coffs, dtype=np.int64),
+            np.asarray(ustarts, dtype=np.int64), u)
+
+
 def _is_bgzf(header: bytes) -> bool:
     """Detect the BGZF variant of gzip (BC extra subfield)."""
     if len(header) < 18 or header[:2] != b"\x1f\x8b" or header[3] & 4 == 0:
