@@ -120,3 +120,9 @@ def test_example_binned_quality(tmp_path):
     assert "reads=2000" in out
     assert "distinct phred values: [2, 12, 23, 37]" in out
     assert "eq-mode histogram sets used" in out
+
+
+def test_example_random_access():
+    out = _run([os.path.join(REPO, "examples", "random_access.py"), "3000"])
+    assert "plain == bgzf record-for-record" in out
+    assert out.rstrip().endswith("OK")
