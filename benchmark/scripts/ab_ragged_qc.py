@@ -11,9 +11,11 @@ ragged engine, whose every mask/cumsum is a column-wise op over [T, K].
 Usage: python benchmark/scripts/ab_ragged_qc.py [SIZE_MB]
 Env: AB_WIDTH (default 128 -> K=256), AB_ABLATE=1 adds sub-engine ablation
      timings on the 2-D layout: each of the kernel's `_ablate` members
-     ({"win", "corr", "vals", "hist"}) is skipped in turn (stats then WRONG
-     by design); full-step minus ablated-step attributes time to that
-     sub-engine.
+     ({"win", "corr", "vals", "hist", "rhist", "slots"}) is skipped in turn
+     (stats then WRONG by design); full-step minus ablated-step attributes
+     time to that sub-engine. "slots" drops the whole rank-compaction
+     engine (the roadmap's "base bucket"); "rhist" just its [T, B] bin
+     compares, so slots-minus-rhist isolates the compaction/carry cost.
 
 Slope-timed (drain N, drain 3N, divide the difference) because on
 relay-attached devices block_until_ready can return early; see
@@ -131,7 +133,9 @@ def main():
         # (stats intentionally wrong), full - ablated ~= that engine's cost.
         # Combined rows bound interaction/fusion effects.
         for members in (("win",), ("corr",), ("vals",), ("hist",),
-                        ("vals", "hist"), ("win", "corr", "vals", "hist")):
+                        ("rhist",), ("slots",), ("vals", "hist"),
+                        ("slots", "vals", "hist"),
+                        ("win", "corr", "vals", "hist")):
             step = make(True, ablate=frozenset(members))
             step()  # compile
             per = slope(step)

@@ -209,8 +209,10 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
 
     `_ablate` is a perf-diagnosis knob ONLY (benchmark/scripts/ab_ragged_qc
     uses it to attribute device step time): members of
-    {"win", "corr", "vals", "hist"} skip that sub-engine and substitute
-    zeros, producing WRONG stats. Never set it in production code.
+    {"win", "corr", "vals", "hist", "slots", "rhist"} skip that sub-engine
+    and substitute zeros, producing WRONG stats ("slots" drops the whole
+    rank-compaction engine; "rhist" just its [T, B] bin compares). Never
+    set it in production code.
 
     Reads LONGER than `width` stay on device with the host engine's exact
     truncation semantics (ops/stats.qc_stats over a [n, width] padded
@@ -347,109 +349,137 @@ def ragged_qc(chunk, n_valid, *, width: int, q_lo: int, q_hi: int,
         seg0 = jnp.stack(cols, axis=1)
         return seg0.at[:, 0].add(carry_in)
 
-    pos_s = [jnp.sum(jnp.where(nl & (rank == jnp.uint8(b)), col, 0),
-                     axis=1, dtype=jnp.int32) for b in range(B)]
-    pos_slot = jnp.stack(pos_s, axis=1) + (jnp.arange(T, dtype=jnp.int32)
-                                           * K)[:, None]
-    line_cg = seg_sums(cg_v)
-    line_ph = seg_sums(ph_v)
-
-    bcol = jax.lax.broadcasted_iota(jnp.int32, (T, B), 1)
-    l_idx = offs[:, None] + bcol                      # global line index
-    entry = (bcol < jnp.minimum(m_t, B)[:, None]) & (pos_slot < tail_start)
-    role = l_idx & 3
-
-    p1 = _carry_prev(pos_slot, m_t, B)
-    p2 = _carry_prev(p1, m_t, B)
-    p3 = _carry_prev(p2, m_t, B)
-    p4 = _carry_prev(p3, m_t, B)
-    p1e = jnp.where(l_idx == 0, -1, p1)
-
-    line_len = pos_slot - p1e - 1
-
-    e_r1 = entry & (role == 1)
-    e_r3 = entry & (role == 3)
-
-    # per-record seq/qual length equality (always an error in the reference:
-    # CorruptedFile, parser.mojo:452-522)
-    seq_len_at3 = p2 - p3 - 1
-    bad |= jnp.any(e_r3 & (line_len != seq_len_at3))
-
-    # ---- device-tier bounds ----------------------------------------------
-    # Correlation leakage (a lag reaching the NEXT record's same-class line)
-    # exists only at lags >= min start-to-start gap; true panel values are
-    # zero at lags >= the longest seq/qual line. So min_gap >= max_line
-    # makes every leaked lag land in the provably-zero region, which is
-    # zeroed explicitly below — records merely >= the longest read stay in
-    # tier, not records >= width.
-    big = jnp.int32(1 << 30)
-    gap_mask = entry & ((role == 0) | (role == 2)) & (l_idx >= 4)
-    min_gap = jnp.min(jnp.where(gap_mask, pos_slot - p4, big), initial=big)
-    max_line = jnp.max(jnp.where(e_r1 | e_r3, line_len, 0), initial=0)
-    # correlation lags stop at width-1, so leaked lags (>= min_gap) are
-    # harmless once min_gap >= width even when lines exceed width — long
-    # reads stay on device (truncation semantics above)
-    fallback = (jnp.max(m_t, initial=0) > B) \
-        | (min_gap < jnp.minimum(max_line, jnp.int32(width)))
-
-    # ---- per-read histograms on the slot structure ------------------------
-    # Binned values fit u16 (lengths clip to LEN_BINS-1) / u8 (GC%% <= 100,
-    # mean phred <= 63); invalid slots carry an out-of-range sentinel. The
-    # one-hot compare then runs in packed sub-32-bit lanes, and the first
-    # accumulation stage stays u8 (a tile row holds B <= slot_cap <= 255
-    # slots, so per-(tile, bin) counts cannot wrap).
-    lens_b = jnp.where(e_r1, jnp.minimum(line_len, LEN_BINS - 1),
-                       0xFFFF).astype(jnp.uint16)
-    # GC%/mean-quality are over the in-window bases (host row_histograms
-    # semantics: cnt = min(true length, width)); length_hist stays TRUE
-    eff_len = jnp.minimum(line_len, jnp.int32(width))
-    safe_len = jnp.maximum(eff_len, 1)
-    gcb_b = jnp.where(e_r1 & (line_len > 0),
-                      (200 * line_cg + eff_len) // (2 * safe_len),
-                      0xFF).astype(jnp.uint8)
-    mqb_b = jnp.where(
-        e_r3 & (line_len > 0),
-        jnp.minimum((2 * line_ph + eff_len) // (2 * safe_len),
-                    MAX_PHRED - 1), 0xFF).astype(jnp.uint8)
-
-    def onehot_hist(v2d, nb):
-        # narrow-dtype compares (packed lanes), flat i32 accumulation —
-        # the measured-fast shape on v5e (staged u8 partials lose)
-        bins = jnp.arange(nb, dtype=v2d.dtype)
-        v = v2d.reshape(-1)
-        return jnp.sum(v[:, None] == bins[None, :], axis=0, dtype=jnp.int32)
-
-    # ---- global panels (qc_stats truncation semantics) --------------------
-    # bases/length_hist use TRUE lengths; composition/quality panels cover
-    # in-window bytes. The r4 design burned five full-[T, K] masked
-    # reductions here; each is a tiny [T, B] slot reduction instead, and
-    # the A/C/G/T composition comes free below as row sums of the corr
-    # per-position panels.
-    reads = jnp.sum(e_r3, dtype=jnp.int32)
-    bases = jnp.sum(jnp.where(e_r1, line_len, 0), dtype=jnp.int32)
-    win_bases = jnp.sum(jnp.where(e_r1, eff_len, 0), dtype=jnp.int32)
-    qual_bytes = jnp.sum(jnp.where(e_r3, eff_len, 0), dtype=jnp.int32)
-
-    if len_vals:
-        # eq-mode length histogram (same contract as hist_vals): real
-        # corpora hit a handful of distinct read lengths, so LEN_BINS=512
-        # one-hot compares — the biggest [T, B] cost — shrink to one
-        # equality per OBSERVED length; the remainder bin at max+1 is
-        # reads minus the sum (a slot outside the set can only be a
-        # length the peek missed), and the caller re-runs full-bins when
-        # it is nonzero. Sentinel slots (0xFFFF) never match.
-        assert max(len_vals) + 1 < LEN_BINS, "len_vals needs a remainder bin"
-        lcounts = [jnp.sum(lens_b == jnp.uint16(v), dtype=jnp.int32)
-                   for v in len_vals]
+    if "slots" in _ablate:
+        # Engine 3 skipped WHOLE (rank compaction, carry scans, per-read
+        # histograms, slot reductions): attributes the full slot-machinery
+        # cost in one subtraction. Stats WRONG by design; the corr dataflow
+        # is preserved (max_line pinned to width keeps the lag zeroing
+        # inert) and the m_t > B fallback term kept so the step returns.
+        zi = jnp.zeros((), jnp.int32)
+        reads = bases = win_bases = qual_bytes = zi
+        max_line = jnp.int32(width)
+        fallback = jnp.max(m_t, initial=0) > B
         length_hist = jnp.zeros(LEN_BINS, jnp.int32)
-        for v, cv in zip(len_vals, lcounts):
-            length_hist = length_hist.at[v].set(cv)
-        length_hist = length_hist.at[max(len_vals) + 1].set(
-            reads - sum(lcounts))
+        gc_hist = jnp.zeros(GC_BINS, jnp.int32)
+        mq_hist = jnp.zeros(MAX_PHRED, jnp.int32)
     else:
-        length_hist = onehot_hist(lens_b, LEN_BINS)
-    gc_hist = onehot_hist(gcb_b, GC_BINS)
-    mq_hist = onehot_hist(mqb_b, MAX_PHRED)
+        pos_s = [jnp.sum(jnp.where(nl & (rank == jnp.uint8(b)), col, 0),
+                         axis=1, dtype=jnp.int32) for b in range(B)]
+        pos_slot = jnp.stack(pos_s, axis=1) + (jnp.arange(T, dtype=jnp.int32)
+                                               * K)[:, None]
+        line_cg = seg_sums(cg_v)
+        line_ph = seg_sums(ph_v)
+
+        bcol = jax.lax.broadcasted_iota(jnp.int32, (T, B), 1)
+        l_idx = offs[:, None] + bcol                  # global line index
+        entry = (bcol < jnp.minimum(m_t, B)[:, None]) \
+            & (pos_slot < tail_start)
+        role = l_idx & 3
+
+        p1 = _carry_prev(pos_slot, m_t, B)
+        p2 = _carry_prev(p1, m_t, B)
+        p3 = _carry_prev(p2, m_t, B)
+        p4 = _carry_prev(p3, m_t, B)
+        p1e = jnp.where(l_idx == 0, -1, p1)
+
+        line_len = pos_slot - p1e - 1
+
+        e_r1 = entry & (role == 1)
+        e_r3 = entry & (role == 3)
+
+        # per-record seq/qual length equality (always an error in the
+        # reference: CorruptedFile, parser.mojo:452-522)
+        seq_len_at3 = p2 - p3 - 1
+        bad |= jnp.any(e_r3 & (line_len != seq_len_at3))
+
+        # ---- device-tier bounds -------------------------------------------
+        # Correlation leakage (a lag reaching the NEXT record's same-class
+        # line) exists only at lags >= min start-to-start gap; true panel
+        # values are zero at lags >= the longest seq/qual line. So
+        # min_gap >= max_line makes every leaked lag land in the
+        # provably-zero region, which is zeroed explicitly below — records
+        # merely >= the longest read stay in tier, not records >= width.
+        big = jnp.int32(1 << 30)
+        gap_mask = entry & ((role == 0) | (role == 2)) & (l_idx >= 4)
+        min_gap = jnp.min(jnp.where(gap_mask, pos_slot - p4, big),
+                          initial=big)
+        max_line = jnp.max(jnp.where(e_r1 | e_r3, line_len, 0), initial=0)
+        # correlation lags stop at width-1, so leaked lags (>= min_gap) are
+        # harmless once min_gap >= width even when lines exceed width — long
+        # reads stay on device (truncation semantics above)
+        fallback = (jnp.max(m_t, initial=0) > B) \
+            | (min_gap < jnp.minimum(max_line, jnp.int32(width)))
+
+        # ---- per-read histograms on the slot structure ---------------------
+        # Binned values fit u16 (lengths clip to LEN_BINS-1) / u8 (GC%% <=
+        # 100, mean phred <= 63); invalid slots carry an out-of-range
+        # sentinel. The one-hot compare then runs in packed sub-32-bit
+        # lanes, and the first accumulation stage stays u8 (a tile row
+        # holds B <= slot_cap <= 255 slots, so per-(tile, bin) counts
+        # cannot wrap).
+        lens_b = jnp.where(e_r1, jnp.minimum(line_len, LEN_BINS - 1),
+                           0xFFFF).astype(jnp.uint16)
+        # GC%/mean-quality are over the in-window bases (host row_histograms
+        # semantics: cnt = min(true length, width)); length_hist stays TRUE
+        eff_len = jnp.minimum(line_len, jnp.int32(width))
+        safe_len = jnp.maximum(eff_len, 1)
+        gcb_b = jnp.where(e_r1 & (line_len > 0),
+                          (200 * line_cg + eff_len) // (2 * safe_len),
+                          0xFF).astype(jnp.uint8)
+        mqb_b = jnp.where(
+            e_r3 & (line_len > 0),
+            jnp.minimum((2 * line_ph + eff_len) // (2 * safe_len),
+                        MAX_PHRED - 1), 0xFF).astype(jnp.uint8)
+
+        def onehot_hist(v2d, nb):
+            # narrow-dtype compares (packed lanes), flat i32 accumulation —
+            # the measured-fast shape on v5e (staged u8 partials lose)
+            bins = jnp.arange(nb, dtype=v2d.dtype)
+            v = v2d.reshape(-1)
+            return jnp.sum(v[:, None] == bins[None, :], axis=0,
+                           dtype=jnp.int32)
+
+        # ---- global panels (qc_stats truncation semantics) -----------------
+        # bases/length_hist use TRUE lengths; composition/quality panels
+        # cover in-window bytes. The r4 design burned five full-[T, K]
+        # masked reductions here; each is a tiny [T, B] slot reduction
+        # instead, and the A/C/G/T composition comes free below as row sums
+        # of the corr per-position panels.
+        reads = jnp.sum(e_r3, dtype=jnp.int32)
+        bases = jnp.sum(jnp.where(e_r1, line_len, 0), dtype=jnp.int32)
+        win_bases = jnp.sum(jnp.where(e_r1, eff_len, 0), dtype=jnp.int32)
+        qual_bytes = jnp.sum(jnp.where(e_r3, eff_len, 0), dtype=jnp.int32)
+
+        if "rhist" in _ablate:
+            # just the [T, B] bin compares (the len/GC/meanQ histograms) —
+            # the finer member that splits engine 3's histogram cost from
+            # its compaction/carry cost
+            length_hist = jnp.zeros(LEN_BINS, jnp.int32)
+            gc_hist = jnp.zeros(GC_BINS, jnp.int32)
+            mq_hist = jnp.zeros(MAX_PHRED, jnp.int32)
+        else:
+            if len_vals:
+                # eq-mode length histogram (same contract as hist_vals):
+                # real corpora hit a handful of distinct read lengths, so
+                # LEN_BINS=512 one-hot compares — the biggest [T, B] cost —
+                # shrink to one equality per OBSERVED length; the remainder
+                # bin at max+1 is reads minus the sum (a slot outside the
+                # set can only be a length the peek missed), and the caller
+                # re-runs full-bins when it is nonzero. Sentinel slots
+                # (0xFFFF) never match.
+                assert max(len_vals) + 1 < LEN_BINS, \
+                    "len_vals needs a remainder bin"
+                lcounts = [jnp.sum(lens_b == jnp.uint16(v), dtype=jnp.int32)
+                           for v in len_vals]
+                length_hist = jnp.zeros(LEN_BINS, jnp.int32)
+                for v, cv in zip(len_vals, lcounts):
+                    length_hist = length_hist.at[v].set(cv)
+                length_hist = length_hist.at[max(len_vals) + 1].set(
+                    reads - sum(lcounts))
+            else:
+                length_hist = onehot_hist(lens_b, LEN_BINS)
+            gc_hist = onehot_hist(gcb_b, GC_BINS)
+            mq_hist = onehot_hist(mqb_b, MAX_PHRED)
 
     # Phred histogram: cumulative ge-trick off raw quality bytes (see
     # ops/uniform_qc.py); flat u8-compare + i32 reduce — staged u8/u16

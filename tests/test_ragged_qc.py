@@ -461,3 +461,43 @@ def test_model_truncated_ragged_file_raises_like_host(tmp_path):
     assert (host_exc is None) == (dev_exc is None)
     if host_exc is not None:
         assert type(dev_exc) is type(host_exc)
+
+
+@pytest.mark.parametrize("members", [("slots",), ("rhist",),
+                                     ("slots", "vals", "hist")])
+def test_ablation_members_run_and_zero_their_engine(members):
+    # _ablate is diagnostic-only: each member must compile, run, and zero
+    # exactly the panels its engine owns (benchmark/scripts/ab_ragged_qc
+    # attributes step time by subtraction, so the members must stay wired)
+    buf = gen(300, seed=5)
+    sch = parse_schema("sanger")
+    width = 128
+    K = 2 * ((width + 127) // 128) * 128
+    n = max((len(buf) + K - 1) // K, 1) * K
+    arr = np.zeros(n, np.uint8)
+    arr[: len(buf)] = np.frombuffer(buf, np.uint8)
+    r = ragged_qc(jnp.asarray(arr), jnp.int32(len(buf)), width=width,
+                  q_lo=int(sch.LOWER), q_hi=int(sch.UPPER),
+                  offset=int(sch.OFFSET), _ablate=frozenset(members))
+    full = dev_qc(buf, width)
+    assert not bool(r.fallback)
+    assert int(r.tail_start) == int(full.tail_start)
+    s = r.stats
+    assert int(np.asarray(s.length_hist).sum()) == 0
+    assert int(np.asarray(s.gc_hist).sum()) == 0
+    assert int(np.asarray(s.mean_qual_hist).sum()) == 0
+    if "slots" in members:
+        assert int(s.reads) == 0 and int(s.bases) == 0
+    else:
+        assert int(s.reads) == int(full.stats.reads)
+        assert int(s.bases) == int(full.stats.bases)
+    # engines outside the members stay intact
+    if "hist" not in members:
+        got = np.asarray(s.qual_hist)
+        want = np.asarray(full.stats.qual_hist)
+        if "slots" in members:  # qual_bytes (bin-0 anchor) is slot-derived
+            assert np.array_equal(got[1:], want[1:])
+        else:
+            assert np.array_equal(got, want)
+    assert np.array_equal(np.asarray(s.per_pos_count),
+                          np.asarray(full.stats.per_pos_count))
